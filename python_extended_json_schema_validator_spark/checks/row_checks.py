@@ -1,0 +1,161 @@
+"""Pass-1 row-level checks (SURVEY.md §2.2 P4/P5) compiled to a single
+fused projection of Catalyst predicates.
+
+The reference delegates per-document structural validation to the
+jsonschema library (extensible_validator.py:1163-1194) and walks every
+document in Python.  Here every JSON-Schema keyword becomes ONE
+boolean Column, all checks for a table are fused into ONE ``select``
+(array-of-structs + filter + explode), and the whole battery runs
+inside WholeStageCodegen — zero Python in the hot path.
+
+Violation rows carry reason = the jsonschema validator name
+(``required``, ``type``, ``enum``, ``pattern``, ...) matching the
+reference's error reasons (extensible_validator.py:1177-1194).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..spec import ColumnCheck, SpecError
+
+# P5 format checkers: the reference registers format-nongpl checkers
+# (extensible_validator.py:132-138).  Regex-expressible ones compile to
+# rlike; payload formats (image decode etc.) live in payload/.
+FORMATS = {
+    "date": r"^\d{4}-\d{2}-\d{2}$",
+    "time": r"^\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
+    "date-time": r"^\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
+    "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",
+    "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "ipv4": r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$",
+    "uri": r"^[a-zA-Z][a-zA-Z0-9+.-]*://\S+$",
+    "hostname": r"^[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?(\.[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?)*$",
+}
+
+
+def _lit(v) -> Column:
+    return F.lit(v)
+
+
+def compile_check(check: ColumnCheck) -> List[Tuple[str, str, Column, Column]]:
+    """Compile one ColumnCheck into ``(constraint_id, reason,
+    ok_predicate, observed)`` tuples, one per active keyword.
+
+    JSON-Schema keyword semantics: every keyword except ``required``
+    vacuously passes on NULL (a missing property only fails
+    ``required`` — jsonschema semantics the reference inherits).
+    """
+    c = F.col(check.column)
+    out: List[Tuple[str, str, Column, Column]] = []
+    cid = f"check:{check.column}"
+
+    def add(reason: str, ok: Column, observed: Column = None):
+        # NULL passes everything except `required` (vacuous truth)
+        out.append(
+            (
+                f"{cid}:{reason}",
+                reason,
+                F.when(c.isNull() & F.lit(reason != "required"), F.lit(True)).otherwise(
+                    ok
+                ),
+                (observed if observed is not None else c.cast("string")),
+            )
+        )
+
+    if check.required:
+        add("required", c.isNotNull())
+    if check.dtype is not None:
+        # "type" ⇔ value losslessly castable to the declared Spark type
+        # (try_cast: ANSI mode makes plain cast throw on malformed input)
+        add("type", c.isNull() | c.try_cast(check.dtype).isNotNull())
+    if check.enum is not None:
+        add("enum", c.isin(*[F.lit(v) for v in check.enum]))
+    if check.const is not None:
+        add("const", c == _lit(check.const))
+    if check.pattern is not None:
+        add("pattern", c.rlike(check.pattern))
+    if check.minimum is not None:
+        add("minimum", c >= _lit(check.minimum))
+    if check.maximum is not None:
+        add("maximum", c <= _lit(check.maximum))
+    if check.exclusive_minimum is not None:
+        add("exclusiveMinimum", c > _lit(check.exclusive_minimum))
+    if check.exclusive_maximum is not None:
+        add("exclusiveMaximum", c < _lit(check.exclusive_maximum))
+    if check.min_length is not None:
+        add("minLength", F.length(c) >= _lit(check.min_length))
+    if check.max_length is not None:
+        add("maxLength", F.length(c) <= _lit(check.max_length))
+    if check.min_items is not None:
+        add("minItems", F.size(c) >= _lit(check.min_items))
+    if check.max_items is not None:
+        add("maxItems", F.size(c) <= _lit(check.max_items))
+    if check.format is not None:
+        if check.format not in FORMATS:
+            raise SpecError(f"unknown format {check.format!r}")
+        add("format", c.rlike(FORMATS[check.format]))
+    if check.sql_predicate is not None:
+        add("sql", F.expr(check.sql_predicate))
+    return out
+
+
+def compile_battery(
+    checks: List[ColumnCheck],
+) -> List[Tuple[str, str, Column, Column]]:
+    out: List[Tuple[str, str, Column, Column]] = []
+    for ch in checks:
+        out.extend(compile_check(ch))
+    return out
+
+
+def pass1_ok(compiled: List[Tuple[str, str, Column, Column]]) -> Column:
+    """Single boolean: the row passed every row-level check.  This is
+    the revocation predicate (SURVEY.md §2.3 A6): rows failing pass 1
+    are filtered out BEFORE key aggregation, so their PK/index keys
+    are never registered and their FK values never checked —
+    reproducing the reference's forget() (index_check.py:372-391,
+    verified via fk_simple_example/bad_validation_2)."""
+    ok = F.lit(True)
+    for _, _, pred, _ in compiled:
+        ok = ok & pred
+    return ok
+
+
+def row_violations(
+    df: DataFrame,
+    row_id: Column,
+    compiled: List[Tuple[str, str, Column, Column]],
+) -> DataFrame:
+    """One fused projection: array of violation structs, compact, then
+    explode → (constraint_id, reason, row_id, observed_value, path)."""
+    structs = [
+        F.when(
+            ~pred,
+            F.struct(
+                F.lit(cid).alias("constraint_id"),
+                F.lit(reason).alias("reason"),
+                row_id.cast("string").alias("row_id"),
+                obs.alias("observed_value"),
+                F.lit("/" + cid.split(":", 2)[1]).alias("path"),
+            ),
+        )
+        for cid, reason, pred, obs in compiled
+    ]
+    if not structs:
+        # empty battery → empty violations frame with the right schema
+        return (
+            df.sparkSession.createDataFrame(
+                [],
+                "constraint_id string, reason string, row_id string, "
+                "observed_value string, path string",
+            )
+        )
+    arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+    return (
+        df.select(F.explode(arr).alias("v"))
+        .select("v.constraint_id", "v.reason", "v.row_id", "v.observed_value", "v.path")
+    )

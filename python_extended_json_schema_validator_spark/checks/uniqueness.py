@@ -1,0 +1,86 @@
+"""Uniqueness family (SURVEY.md §2.3 A1-A5): ``unique`` /
+``primary_key`` dedup + ``index`` / PK key-dimension extraction.
+
+The reference detects duplicates with an in-heap dict probe in input
+order (unique_check.py:133-148) — the "survivor" is whichever file
+os.listdir yielded first, i.e. nondeterministic.  We replace it with a
+deterministic hash-partitioned dedup window:
+
+    row_number() OVER (PARTITION BY key [, scope] ORDER BY row_id)
+
+survivor = min(row_id); every rn > 1 row is a violation.  One shuffle
+per distinct key-column-set; the canonical key column is shared with
+the referential pass (same shuffle key) so a PK used as an FK target
+costs its shuffle once.
+
+Scale notes (100 TB): the window shuffle hash-partitions on the
+canonical key — the natural layout.  A pathologically hot key (e.g.
+billions of rows sharing one phash) lands in one partition; for
+metrics-only paths use stats.salted_group_count instead.  For the
+dedup window itself hot keys are bounded by writing
+``F.min(row_id).over(partitionBy(key))`` which Spark evaluates without
+a sort for min — we keep row_number as it also yields stable dup
+ordinals, and AQE handles moderate skew.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import errors
+from ..keys import key_columns
+from ..spec import KeySpec, TableSpec
+
+
+def keyed(df: DataFrame, spec: TableSpec, ks: KeySpec) -> DataFrame:
+    """Project (row_id, __key, __observed) for one key declaration.
+    Rows whose key is NULL (missing-member exclusion, SURVEY.md §1.3
+    item 5) are dropped here — they contribute no key at all."""
+    key, obs = key_columns(ks.members, ks.limit_scope, spec.scope_col)
+    return (
+        df.select(
+            F.col(spec.row_id).cast("string").alias("__row_id"),
+            key.alias("__key"),
+            obs.alias("__observed"),
+        )
+        .where(F.col("__key").isNotNull())
+    )
+
+
+def dup_violations(
+    df: DataFrame, spec: TableSpec, ks: KeySpec, reason: str, cid_prefix: str
+) -> DataFrame:
+    """Duplicate-key violations: every row after the min-row_id
+    survivor.  reason ∈ {dup_unique, dup_pk}."""
+    cid = f"{cid_prefix}:{ks.label}"
+    w = Window.partitionBy("__key").orderBy("__row_id")
+    return (
+        keyed(df, spec, ks)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(
+            F.lit(cid).alias("constraint_id"),
+            F.lit(reason).alias("reason"),
+            F.col("__row_id").alias("row_id"),
+            F.col("__observed").alias("observed_value"),
+            F.lit("/" + ",".join(ks.members)).alias("path"),
+        )
+    )
+
+
+def key_dimension(df: DataFrame, spec: TableSpec, ks: KeySpec) -> DataFrame:
+    """The key world as a dimension DataFrame ``(__key)`` — distinct
+    canonical keys — the join target for the referential pass
+    (reference holds these as IndexDef.values dicts,
+    index_check.py:42-53; here they are just DataFrames).
+
+    For an ``index`` declaration duplicates are allowed and no
+    violations are emitted (index_check.py:295-370) — distinct() is
+    all there is.  Note: limit_scope is intentionally NOT part of the
+    dimension key (the reference's FK probe matches on the unscoped
+    value tuple)."""
+    key, _ = key_columns(ks.members, limit_scope=False, scope_col=None)
+    return df.select(key.alias("__key")).where(F.col("__key").isNotNull()).distinct()

@@ -1,0 +1,79 @@
+"""Key providers (SURVEY.md §2.1 S7/S8): externally-supplied PK values
+that pre-populate a dimension before validation.
+
+The reference supports an inline YAML provider
+(pk_check.py:148-155, consumed :206-300) and a remote HTTP provider
+(pk_check.py:157-204).  Spark-first translation: a provider is just
+another small dimension DataFrame unioned into the FK-join dimension —
+inline lists become broadcast literal frames; remote providers become
+``spark.read`` of an external table (never per-executor HTTP).
+
+``allow_provider_duplicates`` (pk_check.py:216-240): when True the
+provider keys live in a *shadow world* — only the FK pass sees them,
+so a document repeating a provider key is NOT a duplicate.  When
+False, provider keys are real recorded keys: any surviving row whose
+key matches a provider key is a ``dup_pk`` (the provider is "first").
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Iterable, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def canonical_key_py(values) -> str:
+    """Driver-side twin of keys.canonical_key for literal provider
+    values — the same semantics as the reference's GenKeyStrings
+    (index_check.py:262-293): a single atomic value is its JSON scalar
+    literal; a tuple is the compact JSON array."""
+    if isinstance(values, (list, tuple)):
+        if len(values) == 1:
+            values = values[0]
+        else:
+            return json.dumps(list(values), sort_keys=True, separators=(",", ":"))
+    return json.dumps(values, sort_keys=True, separators=(",", ":"))
+
+
+@dataclass
+class InlineProvider:
+    """Literal key values feeding one table's PK dimension
+    (⇔ ``primary_key.inline_provider[schemaURI]`` in the reference's
+    YAML config, example test-data/fk_with_inline/ejv_inline.yaml)."""
+
+    table: str
+    keys: List = field(default_factory=list)
+    refers_to: Optional[str] = None  # feed only this named PK (None = all)
+    allow_duplicates: bool = True  # ⇔ allow_provider_duplicates
+
+    def dimension(self, spark: SparkSession) -> DataFrame:
+        canon = sorted({canonical_key_py(k) for k in self.keys})
+        return spark.createDataFrame([(k,) for k in canon], "__key string")
+
+
+@dataclass
+class TableProvider:
+    """External dimension table provider (⇔ the remote HTTP provider,
+    pk_check.py:157-204 — but loaded as a distributed read, not a
+    driver GET).  ``df`` must contain the key member columns; the
+    engine canonicalizes them with the same key algebra as data
+    rows."""
+
+    table: str
+    df: DataFrame = None
+    members: Sequence[str] = ()
+    refers_to: Optional[str] = None
+    allow_duplicates: bool = True
+
+    def dimension(self, spark: SparkSession) -> DataFrame:
+        from .keys import key_columns
+        from pyspark.sql import functions as F
+
+        key, _ = key_columns(list(self.members))
+        return (
+            self.df.select(key.alias("__key"))
+            .where(F.col("__key").isNotNull())
+            .distinct()
+        )

@@ -1,0 +1,276 @@
+"""Constraint spec model — the relational form of the reference's
+trigger-attribute grammar (SURVEY.md §2.6).
+
+The reference declares constraints inside JSON Schemas::
+
+    "unique": true | ["a","b"] | {"members": [...], "name": ..., "limit_scope": ...}
+    "foreign_keys": [{"schema_id": ..., "members": [...], "refers_to": ...}]
+
+(grammar at reference index_check.py:91-131, pk_check.py:96-132,
+fk_check.py:104-137). Here a *table* plays the role of a schema and
+*columns* (dotted paths into structs allowed) play the role of
+JSONPaths; the grammar is otherwise identical, including named keys,
+``limit_scope`` and ``refers_to``.
+
+Spec-level validation mirrors the reference's meta-schema fragment
+rejection (abstract_check.py:218-227 — malformed declarations fail
+schema load, verified exit 1) and the ``fk_no_schema`` bootstrap error
+(fk_check.py:157-207): a malformed spec raises ``SpecError`` at
+compile time, before any Spark job runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional, Sequence
+
+
+class SpecError(ValueError):
+    """Malformed constraint spec — the analogue of the reference's
+    meta-schema rejection (exit code 1) and fk_no_schema errors."""
+
+
+@dataclass(frozen=True)
+class KeySpec:
+    """A ``unique`` / ``primary_key`` / ``index`` declaration.
+
+    members: column names (dotted struct paths allowed).
+    name: optional key name, targetable by FK ``refers_to``
+          (reference index_check.py:153-187 IndexWorldByName).
+    limit_scope: scope uniqueness to the table's ``scope_col``
+          (reference index_check.py:346-349 prefixes the file name).
+    """
+
+    members: tuple
+    name: Optional[str] = None
+    limit_scope: bool = False
+
+    def __post_init__(self):
+        if not self.members:
+            raise SpecError("key spec needs at least one member")
+        object.__setattr__(self, "members", tuple(self.members))
+
+    @property
+    def label(self) -> str:
+        return self.name or ",".join(self.members)
+
+
+@dataclass(frozen=True)
+class ForeignKeySpec:
+    """A ``foreign_keys`` / ``join_keys`` array entry.
+
+    ref_table: the referenced table (``schema_id`` analogue).
+    refers_to: optional name of a specific PK/index on the target;
+        unnamed FKs match ANY recorded key world of the target
+        (reference fk_check.py:399,429-434).
+    """
+
+    members: tuple
+    ref_table: str
+    refers_to: Optional[str] = None
+
+    def __post_init__(self):
+        if not self.members:
+            raise SpecError("foreign key spec needs at least one member")
+        if not self.ref_table:
+            raise SpecError("foreign key spec needs ref_table (schema_id)")
+        object.__setattr__(self, "members", tuple(self.members))
+
+    @property
+    def label(self) -> str:
+        tgt = self.ref_table + (f".{self.refers_to}" if self.refers_to else "")
+        return f"{','.join(self.members)}->{tgt}"
+
+
+@dataclass(frozen=True)
+class ColumnCheck:
+    """Row-level structural checks for one column — the relational
+    compilation of JSON Schema keywords (reference delegates these to
+    jsonschema, extensible_validator.py:1163-1194; here each keyword
+    becomes one Catalyst predicate, SURVEY.md §2.2 P4)."""
+
+    column: str
+    required: bool = False  # ⇔ "required" (NULL disallowed)
+    dtype: Optional[str] = None  # ⇔ "type": castable to this Spark type
+    enum: Optional[tuple] = None  # ⇔ "enum"
+    const: Optional[Any] = None  # ⇔ "const"
+    pattern: Optional[str] = None  # ⇔ "pattern" (Java regex, rlike)
+    minimum: Optional[float] = None  # ⇔ "minimum" (inclusive)
+    maximum: Optional[float] = None  # ⇔ "maximum" (inclusive)
+    exclusive_minimum: Optional[float] = None
+    exclusive_maximum: Optional[float] = None
+    min_length: Optional[int] = None  # ⇔ "minLength"
+    max_length: Optional[int] = None  # ⇔ "maxLength"
+    min_items: Optional[int] = None  # ⇔ "minItems" (array size)
+    max_items: Optional[int] = None  # ⇔ "maxItems"
+    format: Optional[str] = None  # ⇔ "format" (P5; see row_checks.FORMATS)
+    sql_predicate: Optional[str] = None  # escape hatch: custom SQL bool expr
+
+    def __post_init__(self):
+        if self.enum is not None:
+            object.__setattr__(self, "enum", tuple(self.enum))
+
+
+@dataclass
+class TableSpec:
+    """All constraints attached to one table (⇔ one reference schema).
+
+    row_id: column uniquely identifying a row for blame/reporting
+        (⇔ the reference's source *file* name).
+    scope_col: the column ``limit_scope`` keys are prefixed with
+        (⇔ the reference's file name / partition id).
+    """
+
+    name: str
+    row_id: str
+    checks: list = field(default_factory=list)
+    unique: list = field(default_factory=list)
+    primary_keys: list = field(default_factory=list)
+    indexes: list = field(default_factory=list)
+    foreign_keys: list = field(default_factory=list)
+    join_keys: list = field(default_factory=list)
+    scope_col: Optional[str] = None
+
+    def __post_init__(self):
+        if not self.name:
+            raise SpecError("table spec needs a name")
+        if not self.row_id:
+            raise SpecError("table spec needs a row_id column")
+        seen: dict = {}
+        for ks in [*self.unique, *self.primary_keys, *self.indexes]:
+            if ks.limit_scope and not self.scope_col:
+                raise SpecError(
+                    f"{self.name}: limit_scope requires scope_col on the table"
+                )
+            if ks.name is not None:
+                # duplicate names warn in the reference
+                # (index_check.py:168-176); we reject outright.
+                if ks.name in seen:
+                    raise SpecError(f"{self.name}: duplicate key name {ks.name!r}")
+                seen[ks.name] = ks
+
+
+# ---------------------------------------------------------------------------
+# Dict-grammar parser: accepts the reference's trigger-attribute forms
+# (true is not meaningful column-wise, so `true` is rejected; the list
+# and object forms map 1:1).
+# ---------------------------------------------------------------------------
+
+
+def _parse_key_decl(decl: Any, what: str) -> KeySpec:
+    """``["a","b"]`` or ``{"members": [...], "name":..., "limit_scope":...}``
+    — reference grammar at index_check.py:91-131."""
+    if isinstance(decl, str):
+        return KeySpec(members=(decl,))
+    if isinstance(decl, (list, tuple)):
+        if not all(isinstance(m, str) for m in decl):
+            raise SpecError(f"{what}: members must be strings, got {decl!r}")
+        return KeySpec(members=tuple(decl))
+    if isinstance(decl, Mapping):
+        members = decl.get("members")
+        if isinstance(members, str):
+            members = [members]
+        if not members or not all(isinstance(m, str) for m in members):
+            raise SpecError(f"{what}: object form needs 'members' list, got {decl!r}")
+        return KeySpec(
+            members=tuple(members),
+            name=decl.get("name"),
+            limit_scope=bool(decl.get("limit_scope", False)),
+        )
+    # the reference rejects e.g. `unique: 18` at schema-validation time
+    # (verified: unique_schema_wrong.json → exit 1)
+    raise SpecError(f"{what}: malformed declaration {decl!r}")
+
+
+def _parse_fk_decl(decl: Any, what: str) -> ForeignKeySpec:
+    """``{"schema_id": t, "members": [...], "refers_to": n}`` —
+    reference grammar at fk_check.py:104-137.  ``on_delete_hint`` is
+    accepted and ignored (declared but never read in the reference)."""
+    if not isinstance(decl, Mapping):
+        raise SpecError(f"{what}: malformed declaration {decl!r}")
+    members = decl.get("members")
+    if isinstance(members, str):
+        members = [members]
+    if not members:
+        raise SpecError(f"{what}: needs 'members'")
+    ref = decl.get("schema_id") or decl.get("ref_table")
+    if not ref:
+        raise SpecError(f"{what}: needs 'schema_id' (ref table)")
+    return ForeignKeySpec(
+        members=tuple(members), ref_table=ref, refers_to=decl.get("refers_to")
+    )
+
+
+def parse_table_spec(name: str, d: Mapping) -> TableSpec:
+    """Parse a dict spec (the reference grammar, column-flavored)::
+
+        {"row_id": "id", "scope_col": "part",
+         "checks": [{"column": "w", "required": true, "minimum": 1}],
+         "unique": [["a","b"], {"members": ["c"], "name": "ck"}],
+         "primary_key": ["id"],
+         "index": [{"members": ["code"], "name": "codes"}],
+         "foreign_keys": [{"schema_id": "dim", "members": ["ref"]}],
+         "join_keys": [{"schema_id": "dim", "members": ["ref"],
+                        "refers_to": "codes"}]}
+    """
+    def _key_list(v, what):
+        if v is None:
+            return []
+        # `primary_key: ["a","b"]` is ONE compound key in the reference
+        # grammar; a list of lists/objects is a list of keys.
+        if isinstance(v, (list, tuple)) and v and all(isinstance(m, str) for m in v):
+            return [_parse_key_decl(list(v), what)]
+        if isinstance(v, (list, tuple)):
+            return [_parse_key_decl(x, what) for x in v]
+        return [_parse_key_decl(v, what)]
+
+    checks = []
+    for c in d.get("checks", []):
+        if not isinstance(c, Mapping) or "column" not in c:
+            raise SpecError(f"{name}: malformed check {c!r}")
+        checks.append(ColumnCheck(**c))
+
+    return TableSpec(
+        name=name,
+        row_id=d.get("row_id", "row_id"),
+        scope_col=d.get("scope_col"),
+        checks=checks,
+        unique=_key_list(d.get("unique"), f"{name}.unique"),
+        primary_keys=_key_list(d.get("primary_key"), f"{name}.primary_key"),
+        indexes=_key_list(d.get("index"), f"{name}.index"),
+        foreign_keys=[
+            _parse_fk_decl(x, f"{name}.foreign_keys") for x in d.get("foreign_keys", [])
+        ],
+        join_keys=[
+            _parse_fk_decl(x, f"{name}.join_keys") for x in d.get("join_keys", [])
+        ],
+    )
+
+
+def validate_spec_set(specs: Sequence[TableSpec]) -> None:
+    """Cross-spec consistency — the analogue of FK bootstrap
+    (reference fk_check.py:157-207, error ``fk_no_schema``): every
+    FK/JK must target a declared table; ``refers_to`` must name an
+    existing PK (for FK) or any key (for JK) on the target."""
+    by_name = {s.name: s for s in specs}
+    for s in specs:
+        for kind, fks in (("foreign_keys", s.foreign_keys), ("join_keys", s.join_keys)):
+            for fk in fks:
+                tgt = by_name.get(fk.ref_table)
+                if tgt is None:
+                    raise SpecError(
+                        f"fk_no_schema: {s.name}.{kind} targets unknown table "
+                        f"{fk.ref_table!r}"
+                    )
+                if fk.refers_to is not None:
+                    pool = (
+                        tgt.primary_keys
+                        if kind == "foreign_keys"
+                        else [*tgt.indexes, *tgt.primary_keys, *tgt.unique]
+                    )
+                    if not any(k.name == fk.refers_to for k in pool):
+                        # The reference defers this to pass 2 and emits
+                        # per-row stale_fk "key not found" (fk_check.py:349-389).
+                        # We keep that behavior (engine emits blanket
+                        # violations), so this is NOT a SpecError.
+                        pass

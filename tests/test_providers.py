@@ -1,0 +1,112 @@
+"""Provider-populated dimensions (FIXTURES.md F8 ⇔ reference
+test-data fk_with_inline; pk_check.py:148-155,206-300)."""
+
+from python_extended_json_schema_validator_spark import (
+    ForeignKeySpec,
+    KeySpec,
+    TableSpec,
+    ValidationEngine,
+)
+from python_extended_json_schema_validator_spark.providers import (
+    InlineProvider,
+    TableProvider,
+    canonical_key_py,
+)
+from tests.conftest import viol_set
+
+
+def specs():
+    dim = TableSpec(name="dim8", row_id="row_id", primary_keys=[KeySpec(("a", "b"))])
+    fact = TableSpec(
+        name="fact8",
+        row_id="row_id",
+        foreign_keys=[ForeignKeySpec(("ra", "rb"), ref_table="dim8")],
+    )
+    return dim, fact
+
+
+def test_f8_inline_provider_no_dim_rows(spark):
+    """dim table has NO rows at all; keys come purely from the inline
+    provider (fk_with_inline)."""
+    dim, fact = specs()
+    prov = InlineProvider(
+        table="dim8",
+        keys=[("uno", "diez"), ("dos", "veinte"), ("tres", "treinta")],
+    )
+    fdf = spark.createDataFrame(
+        [("f1", "uno", "diez"), ("f2", "dos", "20")],
+        "row_id string, ra string, rb string",
+    )
+    res = ValidationEngine([dim, fact], providers=[prov]).validate({"fact8": fdf})
+    assert viol_set(res.violations) == {
+        ("fk:fact8.ra,rb->dim8", "stale_fk", "f2", '["dos","20"]')
+    }
+
+
+def test_f8_provider_unions_with_observed_keys(spark):
+    dim, fact = specs()
+    prov = InlineProvider(table="dim8", keys=[("uno", "diez")])
+    ddf = spark.createDataFrame(
+        [("d1", "dos", "veinte")], "row_id string, a string, b string"
+    )
+    fdf = spark.createDataFrame(
+        [("f1", "uno", "diez"), ("f2", "dos", "veinte"), ("f3", "x", "y")],
+        "row_id string, ra string, rb string",
+    )
+    res = ValidationEngine([dim, fact], providers=[prov]).validate(
+        {"dim8": ddf, "fact8": fdf}
+    )
+    assert viol_set(res.violations) == {
+        ("fk:fact8.ra,rb->dim8", "stale_fk", "f3", '["x","y"]')
+    }
+
+
+def test_allow_provider_duplicates_shadow_world(spark):
+    """allow_duplicates=True (default): a row repeating a provider key
+    is NOT a duplicate — the provider world is a shadow only the FK
+    pass sees (pk_check.py:216-240)."""
+    dim, fact = specs()
+    prov = InlineProvider(table="dim8", keys=[("uno", "diez")], allow_duplicates=True)
+    ddf = spark.createDataFrame(
+        [("d1", "uno", "diez")], "row_id string, a string, b string"
+    )
+    res = ValidationEngine([dim, fact], providers=[prov]).validate({"dim8": ddf})
+    assert viol_set(res.violations) == set()
+
+
+def test_disallow_provider_duplicates(spark):
+    dim, fact = specs()
+    prov = InlineProvider(table="dim8", keys=[("uno", "diez")], allow_duplicates=False)
+    ddf = spark.createDataFrame(
+        [("d1", "uno", "diez"), ("d2", "dos", "veinte")],
+        "row_id string, a string, b string",
+    )
+    res = ValidationEngine([dim, fact], providers=[prov]).validate({"dim8": ddf})
+    assert viol_set(res.violations) == {
+        ("pk:a,b", "dup_pk", "d1", '["uno","diez"]')
+    }
+
+
+def test_table_provider(spark):
+    """External dimension table (⇔ remote HTTP provider, loaded as a
+    distributed read instead of a driver GET)."""
+    dim, fact = specs()
+    ext = spark.createDataFrame(
+        [("uno", "diez")], "ka string, kb string"
+    )
+    prov = TableProvider(table="dim8", df=ext, members=("ka", "kb"))
+    fdf = spark.createDataFrame(
+        [("f1", "uno", "diez"), ("f2", "no", "pe")],
+        "row_id string, ra string, rb string",
+    )
+    res = ValidationEngine([dim, fact], providers=[prov]).validate({"fact8": fdf})
+    assert viol_set(res.violations) == {
+        ("fk:fact8.ra,rb->dim8", "stale_fk", "f2", '["no","pe"]')
+    }
+
+
+def test_canonical_key_py():
+    assert canonical_key_py(("uno", "diez")) == '["uno","diez"]'
+    assert canonical_key_py("uno") == '"uno"'
+    assert canonical_key_py(2) == "2"
+    assert canonical_key_py(("solo",)) == '"solo"'
