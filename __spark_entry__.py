@@ -1,10 +1,16 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each query constructs constraint specs, runs them through
+ValidationEngine (python_extended_json_schema_validator_spark), and
+returns the violations / verdicts / stats DataFrame.  The oracle SQL
+reproduces the same semantics in ANSI SQL for DuckDB.
+
+Column-name + ordering notes:
+- row_id is always a STRING (the engine casts); oracles CAST AS VARCHAR.
+- dedup windows order by the STRING row_id, so oracles use
+  ROW_NUMBER() ... ORDER BY CAST(expr AS VARCHAR) to match.
+- composite observed values are compact JSON arrays ('[1,2]',
+  '["a","b"]') — oracles concatenate the same literal form.
 """
 
 from __future__ import annotations
@@ -12,27 +18,430 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_extended_json_schema_validator_spark import (
+    ColumnCheck,
+    ForeignKeySpec,
+    KeySpec,
+    TableSpec,
+    ValidationEngine,
+)
+from python_extended_json_schema_validator_spark.providers import InlineProvider
+from python_extended_json_schema_validator_spark import stats as stats_mod
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+VIOL_COLS = ["constraint_id", "reason", "row_id", "observed_value"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _viol(res) -> DataFrame:
+    return res.violations.select(*VIOL_COLS)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_row_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 battery over part: minimum/maximum/enum/maxLength."""
+    spec = TableSpec(
+        name="part",
+        row_id="p_partkey",
+        checks=[
+            ColumnCheck(column="p_size", minimum=5, maximum=45),
+            ColumnCheck(column="p_brand", enum=tuple(f"Brand#{i}" for i in range(1, 25))),
+            ColumnCheck(column="p_name", max_length=11, required=True),
+        ],
+    )
+    res = ValidationEngine([spec]).validate({"part": _t(spark, sf_dir, "part")})
+    return _viol(res)
+
+
+def q_unique_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: unique(o_custkey) over orders — deterministic min-row_id
+    survivor, every later row blamed dup_unique."""
+    spec = TableSpec(
+        name="orders", row_id="o_orderkey", unique=[KeySpec(("o_custkey",))]
+    )
+    res = ValidationEngine([spec]).validate({"orders": _t(spark, sf_dir, "orders")})
+    return _viol(res)
+
+
+def q_pk_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: compound primary_key(l_partkey,l_suppkey) over lineitem;
+    observed value = canonical JSON array."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "li_id", (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    )
+    spec = TableSpec(
+        name="lineitem",
+        row_id="li_id",
+        primary_keys=[KeySpec(("l_partkey", "l_suppkey"))],
+    )
+    res = ValidationEngine([spec]).validate({"lineitem": li})
+    return _viol(res)
+
+
+def q_fk_revocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+J2: customers failing pass 1 (negative acctbal) have their
+    PKs revoked; orders referencing them go stale_fk."""
+    specs = [
+        TableSpec(
+            name="customer",
+            row_id="c_custkey",
+            checks=[ColumnCheck(column="c_acctbal", minimum=0.0)],
+            primary_keys=[KeySpec(("c_custkey",))],
+        ),
+        TableSpec(
+            name="orders",
+            row_id="o_orderkey",
+            foreign_keys=[ForeignKeySpec(("o_custkey",), ref_table="customer")],
+        ),
+    ]
+    res = ValidationEngine(specs).validate(
+        {
+            "customer": _t(spark, sf_dir, "customer"),
+            "orders": _t(spark, sf_dir, "orders"),
+        }
+    )
+    return _viol(res)
+
+
+def q_fk_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 on clean data: lineitem FKs to part and supplier — zero
+    violations expected (parity on the empty set matters too)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "li_id", (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    )
+    specs = [
+        TableSpec(name="part", row_id="p_partkey", primary_keys=[KeySpec(("p_partkey",))]),
+        TableSpec(
+            name="supplier", row_id="s_suppkey", primary_keys=[KeySpec(("s_suppkey",))]
+        ),
+        TableSpec(
+            name="lineitem",
+            row_id="li_id",
+            foreign_keys=[
+                ForeignKeySpec(("l_partkey",), ref_table="part"),
+                ForeignKeySpec(("l_suppkey",), ref_table="supplier"),
+            ],
+        ),
+    ]
+    res = ValidationEngine(specs).validate(
+        {
+            "part": _t(spark, sf_dir, "part"),
+            "supplier": _t(spark, sf_dir, "supplier"),
+            "lineitem": li,
+        }
+    )
+    return _viol(res)
+
+
+def q_jk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+J3: index over urgent orders' custkeys (duplicates allowed);
+    join_keys from customer — customers with no urgent order are
+    stale_jk."""
+    urgent = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    specs = [
+        TableSpec(
+            name="orders",
+            row_id="o_orderkey",
+            indexes=[KeySpec(("o_custkey",), name="urgent_cust")],
+        ),
+        TableSpec(
+            name="customer",
+            row_id="c_custkey",
+            join_keys=[ForeignKeySpec(("c_custkey",), ref_table="orders")],
+        ),
+    ]
+    res = ValidationEngine(specs).validate(
+        {"orders": urgent, "customer": _t(spark, sf_dir, "customer")}
+    )
+    return _viol(res)
+
+
+def q_limit_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: unique(l_partkey) scoped per l_returnflag — duplicates
+    across scopes are fine, within a scope blamed."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "li_id", (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    )
+    spec = TableSpec(
+        name="lineitem",
+        row_id="li_id",
+        scope_col="l_returnflag",
+        unique=[KeySpec(("l_partkey",), limit_scope=True)],
+    )
+    res = ValidationEngine([spec]).validate({"lineitem": li})
+    return _viol(res)
+
+
+def q_missing_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.3.5 missing-member exclusion: rows whose key member is NULL
+    contribute no key (here: priority 3-MEDIUM nulled out)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_prio_n", F.expr("nullif(o_orderpriority, '3-MEDIUM')")
+    )
+    spec = TableSpec(
+        name="orders",
+        row_id="o_orderkey",
+        unique=[KeySpec(("o_custkey", "o_prio_n"))],
+    )
+    res = ValidationEngine([spec]).validate({"orders": o})
+    return _viol(res)
+
+
+def q_dangling_jk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: join_keys to a table that declares NO index worlds → every
+    jk row dangles."""
+    specs = [
+        TableSpec(name="region", row_id="r_regionkey"),  # no index declared
+        TableSpec(
+            name="nation",
+            row_id="n_nationkey",
+            join_keys=[ForeignKeySpec(("n_regionkey",), ref_table="region")],
+        ),
+    ]
+    res = ValidationEngine(specs).validate(
+        {
+            "region": _t(spark, sf_dir, "region"),
+            "nation": _t(spark, sf_dir, "nation"),
+        }
+    )
+    return _viol(res)
+
+
+def q_provider_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: inline-provider-fed PK dimension, dim table absent — FKs
+    check against provider keys only (⇔ fk_with_inline)."""
+    specs = [
+        TableSpec(
+            name="region", row_id="r_regionkey", primary_keys=[KeySpec(("r_regionkey",))]
+        ),
+        TableSpec(
+            name="nation",
+            row_id="n_nationkey",
+            foreign_keys=[ForeignKeySpec(("n_regionkey",), ref_table="region")],
+        ),
+    ]
+    prov = InlineProvider(table="region", keys=[0, 1, 2])
+    res = ValidationEngine(specs, providers=[prov]).validate(
+        {"nation": _t(spark, sf_dir, "nation")}
+    )
+    return _viol(res)
+
+
+def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star per-partition pass/fail ledger (scope = order
+    status; check = totalprice cap)."""
+    spec = TableSpec(
+        name="orders",
+        row_id="o_orderkey",
+        scope_col="o_orderstatus",
+        checks=[ColumnCheck(column="o_totalprice", maximum=300000.0)],
+    )
+    res = ValidationEngine([spec]).validate({"orders": _t(spark, sf_dir, "orders")})
+    pv = res.partition_verdicts("orders")
+    return pv.select(
+        F.col("partition").alias("scope"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_failed").cast("long").alias("n_failed"),
+        F.col("pass").cast("int").alias("pass_flag"),
+    )
+
+
+def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-group column profile (nulls/min/max/distinct)
+    — the engine's stats pass with exact distinct for oracle parity."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = stats_mod.profile(
+        li, group_by=["l_returnflag"], columns=["l_quantity", "l_partkey"]
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("l_quantity_nulls").cast("long").alias("q_nulls"),
+        F.col("l_quantity_min").alias("q_min"),
+        F.col("l_quantity_max").alias("q_max"),
+        F.col("l_partkey_distinct").cast("long").alias("pk_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the revocation + referential pipeline at sf0.001."""
+    return q_fk_revocation(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "row_checks": q_row_checks,
+        "unique_atomic": q_unique_atomic,
+        "pk_compound": q_pk_compound,
+        "fk_revocation": q_fk_revocation,
+        "fk_clean": q_fk_clean,
+        "jk_index": q_jk_index,
+        "limit_scope": q_limit_scope,
+        "missing_member": q_missing_member,
+        "dangling_jk": q_dangling_jk,
+        "provider_inline": q_provider_inline,
+        "partition_verdicts": q_partition_verdicts,
+        "stats_profile": q_stats_profile,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+LI_ID = "CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "row_checks": f"""
+            SELECT 'check:p_size:minimum' AS constraint_id, 'minimum' AS reason,
+                   CAST(p_partkey AS VARCHAR) AS row_id, CAST(p_size AS VARCHAR) AS observed_value
+            FROM part WHERE p_size IS NOT NULL AND NOT (p_size >= 5)
+            UNION ALL
+            SELECT 'check:p_size:maximum', 'maximum', CAST(p_partkey AS VARCHAR), CAST(p_size AS VARCHAR)
+            FROM part WHERE p_size IS NOT NULL AND NOT (p_size <= 45)
+            UNION ALL
+            SELECT 'check:p_brand:enum', 'enum', CAST(p_partkey AS VARCHAR), p_brand
+            FROM part WHERE p_brand IS NOT NULL
+              AND p_brand NOT IN ({",".join(repr(f"Brand#{i}") for i in range(1, 25))})
+            UNION ALL
+            SELECT 'check:p_name:maxLength', 'maxLength', CAST(p_partkey AS VARCHAR), p_name
+            FROM part WHERE p_name IS NOT NULL AND NOT (LENGTH(p_name) <= 11)
+            UNION ALL
+            SELECT 'check:p_name:required', 'required', CAST(p_partkey AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM part WHERE p_name IS NULL
+        """,
+        "unique_atomic": """
+            SELECT 'unique:o_custkey' AS constraint_id, 'dup_unique' AS reason,
+                   CAST(o_orderkey AS VARCHAR) AS row_id,
+                   CAST(o_custkey AS VARCHAR) AS observed_value
+            FROM (
+              SELECT o_orderkey, o_custkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY CAST(o_orderkey AS VARCHAR)) AS rn
+              FROM orders WHERE o_custkey IS NOT NULL
+            ) WHERE rn > 1
+        """,
+        "pk_compound": f"""
+            SELECT 'pk:l_partkey,l_suppkey' AS constraint_id, 'dup_pk' AS reason,
+                   li_id AS row_id,
+                   '[' || l_partkey || ',' || l_suppkey || ']' AS observed_value
+            FROM (
+              SELECT {LI_ID} AS li_id, l_partkey, l_suppkey,
+                     ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey
+                                        ORDER BY {LI_ID}) AS rn
+              FROM lineitem WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+            ) WHERE rn > 1
+        """,
+        "fk_revocation": """
+            SELECT 'check:c_acctbal:minimum' AS constraint_id, 'minimum' AS reason,
+                   CAST(c_custkey AS VARCHAR) AS row_id,
+                   CAST(c_acctbal AS VARCHAR) AS observed_value
+            FROM customer WHERE c_acctbal IS NOT NULL AND NOT (c_acctbal >= 0.0)
+            UNION ALL
+            SELECT 'fk:orders.o_custkey->customer', 'stale_fk',
+                   CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR)
+            FROM orders o
+            WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal >= 0.0
+            )
+        """,
+        "fk_clean": f"""
+            SELECT 'fk:lineitem.l_partkey->part' AS constraint_id, 'stale_fk' AS reason,
+                   {LI_ID} AS row_id, CAST(l_partkey AS VARCHAR) AS observed_value
+            FROM lineitem l
+            WHERE l_partkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+            UNION ALL
+            SELECT 'fk:lineitem.l_suppkey->supplier', 'stale_fk',
+                   {LI_ID}, CAST(l_suppkey AS VARCHAR)
+            FROM lineitem l
+            WHERE l_suppkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        """,
+        "jk_index": """
+            SELECT 'jk:customer.c_custkey->orders' AS constraint_id, 'stale_jk' AS reason,
+                   CAST(c_custkey AS VARCHAR) AS row_id,
+                   CAST(c_custkey AS VARCHAR) AS observed_value
+            FROM customer c
+            WHERE c_custkey IS NOT NULL AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+            )
+        """,
+        "limit_scope": f"""
+            SELECT 'unique:l_partkey' AS constraint_id, 'dup_unique' AS reason,
+                   li_id AS row_id, CAST(l_partkey AS VARCHAR) AS observed_value
+            FROM (
+              SELECT {LI_ID} AS li_id, l_partkey,
+                     ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_partkey
+                                        ORDER BY {LI_ID}) AS rn
+              FROM lineitem
+              WHERE l_partkey IS NOT NULL AND l_returnflag IS NOT NULL
+            ) WHERE rn > 1
+        """,
+        "missing_member": """
+            SELECT 'unique:o_custkey,o_prio_n' AS constraint_id, 'dup_unique' AS reason,
+                   CAST(o_orderkey AS VARCHAR) AS row_id,
+                   '[' || o_custkey || ',' || to_json(o_prio_n) || ']' AS observed_value
+            FROM (
+              SELECT o_orderkey, o_custkey,
+                     NULLIF(o_orderpriority, '3-MEDIUM') AS o_prio_n,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey, NULLIF(o_orderpriority, '3-MEDIUM')
+                       ORDER BY CAST(o_orderkey AS VARCHAR)) AS rn
+              FROM orders
+              WHERE o_custkey IS NOT NULL
+                AND NULLIF(o_orderpriority, '3-MEDIUM') IS NOT NULL
+            ) WHERE rn > 1
+        """,
+        "dangling_jk": """
+            SELECT 'jk:nation.n_regionkey->region' AS constraint_id,
+                   'dangling_jk' AS reason,
+                   CAST(n_nationkey AS VARCHAR) AS row_id,
+                   CAST(n_regionkey AS VARCHAR) AS observed_value
+            FROM nation WHERE n_regionkey IS NOT NULL
+        """,
+        "provider_inline": """
+            SELECT 'fk:nation.n_regionkey->region' AS constraint_id,
+                   'stale_fk' AS reason,
+                   CAST(n_nationkey AS VARCHAR) AS row_id,
+                   CAST(n_regionkey AS VARCHAR) AS observed_value
+            FROM nation
+            WHERE n_regionkey IS NOT NULL AND n_regionkey NOT IN (0, 1, 2)
+        """,
+        "partition_verdicts": """
+            SELECT o_orderstatus AS scope,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                                  AND NOT (o_totalprice <= 300000.0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+                   CAST(CASE WHEN SUM(CASE WHEN o_totalprice IS NOT NULL
+                                            AND NOT (o_totalprice <= 300000.0)
+                                       THEN 1 ELSE 0 END) = 0
+                        THEN 1 ELSE 0 END AS INT) AS pass_flag
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "stats_profile": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+                   MIN(l_quantity) AS q_min,
+                   MAX(l_quantity) AS q_max,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS pk_distinct
+            FROM lineitem GROUP BY l_returnflag
+        """,
+    }

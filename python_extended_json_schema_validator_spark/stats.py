@@ -1,0 +1,128 @@
+"""Column-statistics pass (north star: per-column null rate, min/max,
+cardinality, quantiles computed in a SINGLE grouped-by-partition pass).
+
+The reference has no statistics machinery at all — this is the
+scale-path addition BASELINE.json mandates.  Design:
+
+- ``profile``: ONE ``groupBy(partition).agg(...)`` computing every
+  requested statistic for every column in a single shuffle — never
+  one job per column.  Exact variant (count/min/max/count_distinct)
+  for oracle parity; ``approx=True`` swaps exact distinct counts for
+  ``approx_count_distinct`` (HyperLogLog++, constant memory — the
+  only sane choice at 10^12 rows).
+- ``quantile_sketch``: t-digest-style quantiles per group via a
+  two-level Arrow-batched aggregation (see tdigest.py).
+- ``salted_group_count``: two-stage aggregation for skewed keys —
+  stage 1 groups on (key, salt) so a hot key spreads over
+  ``n_salts`` partitions with map-side partial aggregation, stage 2
+  merges the partials.  Identical result to a direct groupBy; bounded
+  per-partition state at any skew.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(
+    df: DataFrame,
+    group_by: Sequence[str],
+    columns: Sequence[str],
+    approx_distinct: bool = False,
+    distinct_rsd: float = 0.05,
+) -> DataFrame:
+    """Per-group column profile in one aggregation pass.
+
+    Output columns per profiled column c:
+      ``{c}_nulls, {c}_min, {c}_max, {c}_distinct``
+    plus ``n_rows`` — all computed in a single shuffle on group_by.
+    """
+    aggs: List[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}_nulls"))
+        aggs.append(F.min(col).alias(f"{c}_min"))
+        aggs.append(F.max(col).alias(f"{c}_max"))
+        if approx_distinct:
+            aggs.append(
+                F.approx_count_distinct(col, rsd=distinct_rsd).alias(f"{c}_distinct")
+            )
+        else:
+            aggs.append(F.countDistinct(col).alias(f"{c}_distinct"))
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def null_rates(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Global null rate per column, one pass, one row out."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs.append(
+            (F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) / F.count(F.lit(1)))
+            .alias(f"{c}_null_rate")
+        )
+    return df.agg(*aggs)
+
+
+def salted_group_count(
+    df: DataFrame, keys: Sequence[str], n_salts: int = 32
+) -> DataFrame:
+    """Two-stage skew-proof ``groupBy(keys).count()``.
+
+    Stage 1 partially aggregates on (keys, salt) — the salt is a
+    deterministic hash of the whole row spread over ``n_salts``
+    buckets, so a key owning billions of rows produces ``n_salts``
+    partials instead of one giant reduce partition.  Stage 2 sums the
+    partials per key.  Result is bit-identical to
+    ``df.groupBy(keys).count()``.
+    """
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    stage1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return stage1.groupBy(*keys).agg(F.sum("__partial").alias("count"))
+
+
+def exact_quantiles(
+    df: DataFrame,
+    group_by: Sequence[str],
+    column: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact per-group quantiles via the built-in sort-based
+    ``percentile`` — fine at test scale; at 10^12 rows use
+    tdigest.quantile_sketch instead."""
+    aggs = [
+        F.percentile(F.col(column), F.lit(p)).alias(f"p{int(p * 100)}") for p in probs
+    ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def approx_quantiles(
+    df: DataFrame,
+    group_by: Sequence[str],
+    column: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Greenwald-Khanna approximate per-group quantiles
+    (``approx_percentile`` — mergeable sketch, the built-in scale
+    path; tdigest.py provides the pandas-UDAF t-digest the north star
+    names)."""
+    aggs = [
+        F.percentile_approx(F.col(column), F.lit(p), F.lit(accuracy)).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in probs
+    ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)
