@@ -256,6 +256,25 @@ def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star flagship: full image+caption validation (engine
+    constraints + Arrow-batched payload decode/dims/fmt/PSNR battery +
+    column-wise caption equality) over a deterministic synthetic image
+    table derived from part keys.  The oracle replicates the injection
+    rules arithmetically — it predicts exactly which keys the engine
+    must flag WITHOUT decoding anything, so the decode path is being
+    checked end-to-end, not mirrored.  observed_value is dropped (PSNR
+    magnitudes aren't SQL-expressible)."""
+    from python_extended_json_schema_validator_spark.payload import synth
+    from python_extended_json_schema_validator_spark.payload.validate import (
+        validate_images,
+    )
+
+    images = synth.images_from_part(spark, sf_dir)
+    viol = validate_images(images, synth.formats_dim(spark))
+    return viol.select("constraint_id", "reason", "row_id")
+
+
 def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-group column profile (nulls/min/max/distinct)
     — the engine's stats pass with exact distinct for oracle parity."""
@@ -296,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dangling_jk": q_dangling_jk,
         "provider_inline": q_provider_inline,
         "partition_verdicts": q_partition_verdicts,
+        "image_suite": q_image_suite,
         "stats_profile": q_stats_profile,
     }
 
@@ -434,6 +454,45 @@ def oracle_sql() -> dict[str, str]:
                                        THEN 1 ELSE 0 END) = 0
                         THEN 1 ELSE 0 END AS INT) AS pass_flag
             FROM orders GROUP BY o_orderstatus
+        """,
+        # Injection-rule oracle for the image suite (see payload/synth.py):
+        # valid for key domains where the id-dup/phash-dup rules don't
+        # collide with the pass-1 rules (k < 7171, true at sf≤0.01).
+        "image_suite": """
+            WITH base AS (
+              SELECT p_partkey AS k,
+                     'img' || lpad(CAST(CASE WHEN p_partkey % 73 = 0 AND p_partkey >= 73
+                                        THEN p_partkey - 1 ELSE p_partkey END AS VARCHAR),
+                                   8, '0') AS iid
+              FROM part
+            )
+            SELECT 'payload:decode' AS constraint_id, 'decode' AS reason, iid AS row_id
+            FROM base WHERE k % 97 = 0
+            UNION ALL
+            SELECT 'payload:dims', 'dims', iid FROM base
+            WHERE k % 97 <> 0 AND (k % 101 = 0 OR k % 89 = 0)
+            UNION ALL
+            SELECT 'payload:fmt', 'fmt', iid FROM base
+            WHERE k % 97 <> 0 AND k % 103 = 0
+            UNION ALL
+            SELECT 'payload:psnr', 'psnr', iid FROM base
+            WHERE k % 97 <> 0 AND k % 83 = 0
+            UNION ALL
+            SELECT 'payload:caption', 'caption', iid FROM base WHERE k % 79 = 0
+            UNION ALL
+            SELECT 'check:w:minimum', 'minimum', iid FROM base WHERE k % 101 = 0
+            UNION ALL
+            SELECT 'fk:images.fmt->formats', 'stale_fk', iid FROM base
+            WHERE k % 103 = 0 AND k % 101 <> 0   -- pass-1 revocation gate
+            UNION ALL
+            SELECT 'pk:image_id', 'dup_pk', iid FROM base
+            WHERE k % 73 = 0 AND k >= 73
+              AND k % 101 <> 0 AND (k - 1) % 101 <> 0  -- revoked partners drop the pair
+            UNION ALL
+            SELECT 'unique:phash', 'dup_unique',
+                   'img' || lpad(CAST(k AS VARCHAR), 8, '0')
+            FROM base WHERE k % 71 = 0 AND k >= 71
+              AND k % 101 <> 0 AND (k - 3) % 101 <> 0
         """,
         "stats_profile": """
             SELECT l_returnflag,

@@ -1,0 +1,131 @@
+"""Deterministic synthetic image+caption tables (FIXTURES.md F11, the
+north-star input shape: image_id string, bytes binary, w int, h int,
+fmt string, caption string, phash long) with violations injected at
+known keys, so an independent oracle can predict the exact violation
+set without decoding anything.
+
+Injection rules, keyed on integer k (the source key, e.g. p_partkey);
+all arithmetic is SQL-expressible so the DuckDB oracle can replicate:
+
+  corrupt bytes        k % 97 == 0     → payload:decode
+  declared w = -w      k % 101 == 0    → check:w:minimum + payload:dims
+  declared w = w+1     k % 89 == 0     → payload:dims       (unless %101 too)
+  pixel noise ±16      k % 83 == 0     → payload:psnr (≈29 dB < 40)
+  caption mutated      k % 79 == 0     → payload:caption
+  declared fmt 'tiff'  k % 103 == 0    → fk stale (formats dim) + payload:fmt
+  duplicate image_id   k % 73 == 0 (k≥73) → id of row k-1 → dup_pk
+  duplicate phash      k % 71 == 0 (k≥71) → phash of row k-3 → dup_unique
+
+Base attributes:
+  w = 8 + k % 25, h = 8 + k % 17, fmt = [jpeg,png,webp][k % 3]
+  image_id = 'img' + lpad(k', 8)  (zero-padded so string order ==
+  numeric order — dedup-window tiebreaks match SQL oracles)
+  phash = (k'' * 2654435761) % 1000000007   (injective for k < 10^9)
+  caption = 'caption for image ' + image_id
+  partition col part = 'p' + k % 16
+
+Generation is distributed ``mapInPandas`` over the source keys —
+scales to any row count, no driver-side data.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import codec
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("part", T.StringType(), True),
+    ]
+)
+
+FMTS = ["jpeg", "png", "webp"]
+PHASH_MULT = 2654435761
+PHASH_MOD = 1000000007
+
+
+def _img_id(k: int) -> str:
+    kk = k - 1 if (k % 73 == 0 and k >= 73) else k
+    return f"img{kk:08d}"
+
+
+def _phash(k: int) -> int:
+    src = k - 3 if (k % 71 == 0 and k >= 71) else k
+    return (src * PHASH_MULT) % PHASH_MOD
+
+
+def _gen_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = {c.name: [] for c in IMAGES_SCHEMA.fields}
+    for k in pdf["k"]:
+        k = int(k)
+        w = 8 + k % 25
+        h = 8 + k % 17
+        base_fmt = FMTS[k % 3]
+        noise = 16 if k % 83 == 0 else 0
+        buf = bytearray(codec.encode(k, w, h, base_fmt, noise_amp=noise))
+        if k % 97 == 0:  # corrupt: flip a payload byte → CRC mismatch
+            buf[-1] ^= 0xFF
+        if k % 101 == 0:
+            declared_w = -w
+        elif k % 89 == 0:
+            declared_w = w + 1
+        else:
+            declared_w = w
+        declared_fmt = "tiff" if k % 103 == 0 else base_fmt
+        iid = _img_id(k)
+        caption = f"caption for image {iid}"
+        if k % 79 == 0:
+            caption += " MUTATED"
+        rows["image_id"].append(iid)
+        rows["bytes"].append(bytes(buf))
+        rows["w"].append(declared_w)
+        rows["h"].append(h)
+        rows["fmt"].append(declared_fmt)
+        rows["caption"].append(caption)
+        rows["phash"].append(_phash(k))
+        rows["part"].append(f"p{k % 16}")
+    return pd.DataFrame(rows)
+
+
+def images_from_keys(keys_df: DataFrame) -> DataFrame:
+    """keys_df: one column ``k`` (long). Round-robin repartition first
+    so image cost (∝ w*h) never clusters — the salting step the north
+    star asks for ahead of payload UDFs."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _gen_batch(pdf)
+
+    return keys_df.mapInPandas(gen, schema=IMAGES_SCHEMA)
+
+
+def images_from_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    keys = part.select(F.col("p_partkey").cast("long").alias("k"))
+    return images_from_keys(keys)
+
+
+def images_from_range(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """Arbitrary-size bench table: keys 1..n."""
+    return images_from_keys(
+        spark.range(1, n + 1, 1, partitions).select(F.col("id").alias("k"))
+    )
+
+
+def formats_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(f,) for f in FMTS], "fmt string")
