@@ -270,7 +270,7 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         validate_images,
     )
 
-    images = synth.images_from_part(spark, sf_dir)
+    images = synth.materialize_images(spark, sf_dir)
     viol = validate_images(images, synth.formats_dim(spark))
     return viol.select("constraint_id", "reason", "row_id")
 

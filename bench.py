@@ -1,0 +1,111 @@
+"""Benchmark harness: runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+The flagship number is images/sec through the full north-star
+validation suite (engine constraints + payload decode battery +
+caption check) — BASELINE.json's "validated images/sec" metric.
+
+Usage:
+    python3 bench.py                 # driver entry point
+    python3 bench.py --cpus 8        # override parallelism (scaling runs)
+    python3 bench.py --queries image_suite,unique_atomic
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "image_suite",
+    "row_checks",
+    "unique_atomic",
+    "pk_compound",
+    "fk_revocation",
+    "fk_clean",
+    "jk_index",
+    "limit_scope",
+    "missing_member",
+    "partition_verdicts",
+    "stats_profile",
+]
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("validation-engine-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--queries", default=",".join(BENCH_QUERIES))
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+
+    spark = build_session(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    names = [q for q in args.queries.split(",") if q in qs]
+
+    # warm the JVM/codegen path once so per-query times measure the
+    # engine, not first-job setup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        t0 = time.time()
+        n = qs[name](spark, args.sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        rows[name] = n
+
+    total = round(sum(timings.values()), 3)
+    n_images = spark.read.parquet(f"{args.sf_dir}/part.parquet").count()
+    images_per_sec = (
+        round(n_images / timings["image_suite"], 1) if "image_suite" in timings else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "validation suite wall time (flagship: validated images/sec over full engine+payload suite)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": args.cpus,
+                "n_images": n_images,
+                "images_per_sec": images_per_sec,
+                "violation_rows": rows,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -129,3 +129,22 @@ def images_from_range(spark: SparkSession, n: int, partitions: int = 32) -> Data
 
 def formats_dim(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([(f,) for f in FMTS], "fmt string")
+
+
+def materialize_images(
+    spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/spark_graft_images"
+) -> DataFrame:
+    """Generate-once, validate-many: writes the synthetic image table
+    for this sf to parquet (partitioned by ``part``) and returns a
+    reader over it.  Validation benchmarks then measure scanning +
+    validating a STORED table — the north-star setup — instead of
+    paying deterministic re-encoding once per plan branch."""
+    import os
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"{cache_root}/{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        images_from_part(spark, sf_dir).write.mode("overwrite").partitionBy(
+            "part"
+        ).parquet(path)
+    return spark.read.parquet(path)
