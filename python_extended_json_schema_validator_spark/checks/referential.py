@@ -39,7 +39,7 @@ def fk_tuples(df: DataFrame, spec: TableSpec, fk: ForeignKeySpec) -> DataFrame:
     """J1: project (row_id, __key, __observed) for one FK declaration,
     excluding rows with any NULL member (missing-member exclusion —
     the reference records no FKVals for them, fk_check.py:411-424)."""
-    key, obs = key_columns(fk.members, limit_scope=False, scope_col=None)
+    key, obs = key_columns(fk.members, limit_scope=False, scope_col=None, df=df)
     return (
         df.select(
             F.col(spec.row_id).cast("string").alias("__row_id"),

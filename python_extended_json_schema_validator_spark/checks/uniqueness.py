@@ -39,7 +39,7 @@ def keyed(df: DataFrame, spec: TableSpec, ks: KeySpec) -> DataFrame:
     """Project (row_id, __key, __observed) for one key declaration.
     Rows whose key is NULL (missing-member exclusion, SURVEY.md §1.3
     item 5) are dropped here — they contribute no key at all."""
-    key, obs = key_columns(ks.members, ks.limit_scope, spec.scope_col)
+    key, obs = key_columns(ks.members, ks.limit_scope, spec.scope_col, df=df)
     return (
         df.select(
             F.col(spec.row_id).cast("string").alias("__row_id"),
@@ -82,5 +82,5 @@ def key_dimension(df: DataFrame, spec: TableSpec, ks: KeySpec) -> DataFrame:
     all there is.  Note: limit_scope is intentionally NOT part of the
     dimension key (the reference's FK probe matches on the unscoped
     value tuple)."""
-    key, _ = key_columns(ks.members, limit_scope=False, scope_col=None)
+    key, _ = key_columns(ks.members, limit_scope=False, scope_col=None, df=df)
     return df.select(key.alias("__key")).where(F.col("__key").isNotNull()).distinct()

@@ -31,6 +31,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def member_col(member: str) -> Column:
@@ -41,20 +42,54 @@ def member_col(member: str) -> Column:
     return F.col(member)
 
 
-def json_scalar(c: Column) -> Column:
+# characters whose presence forces the exact (interpreted) JSON
+# escaping path for strings: quote, backslash, C0 controls
+_NEEDS_ESCAPE = '[\\x00-\\x1f"\\\\]'
+
+_PLAIN_CAST_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.BooleanType,
+)
+
+
+def json_scalar(c: Column, dtype: Optional[T.DataType] = None) -> Column:
     """JSON scalar literal of an atomic value: ``2`` for int 2,
-    ``"2"`` for str "2", ``true``/``false``, ``1.5``.  Implemented as
-    ``to_json(array(x))`` minus the brackets so Spark handles escaping
-    and type tags; NULL in → NULL out."""
+    ``"2"`` for str "2", ``true``/``false``, ``1.5``.  NULL → NULL.
+
+    This is the engine's hot key-canonicalization primitive, so it is
+    type-specialized to stay inside WholeStageCodegen:
+    - integral/boolean: JSON literal == plain string cast (codegen);
+    - string: quote-concat fast path, falling back to the exact
+      ``to_json`` escape path only when escape-worthy characters are
+      present (codegen branch + rare interpreted branch);
+    - anything else (double, struct, array, binary): the generic
+      ``to_json(array(x))`` minus brackets, which Spark escapes and
+      type-tags correctly (e.g. 1e20 → JSON exponent form).
+    """
+    if dtype is not None and isinstance(dtype, _PLAIN_CAST_TYPES):
+        return c.cast("string")
+    generic = None
     arr = F.to_json(F.array(c))
-    inner = arr.substr(F.lit(2), F.length(arr) - F.lit(2))
-    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(inner)
+    generic = arr.substr(F.lit(2), F.length(arr) - F.lit(2))
+    if dtype is not None and isinstance(dtype, T.StringType):
+        fast = F.concat(F.lit('"'), c, F.lit('"'))
+        return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+            F.when(c.rlike(_NEEDS_ESCAPE), generic).otherwise(fast)
+        )
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(generic)
 
 
-def canonical_key(members: Sequence[Column]) -> Column:
+def canonical_key(
+    members: Sequence[Column], dtypes: Optional[Sequence[Optional[T.DataType]]] = None
+) -> Column:
     """The canonical key string for a tuple of member columns, NULL if
     any member is NULL (missing-member exclusion)."""
-    scalars = [json_scalar(m) for m in members]
+    if dtypes is None:
+        dtypes = [None] * len(members)
+    scalars = [json_scalar(m, t) for m, t in zip(members, dtypes)]
     if len(members) == 1:
         key = scalars[0]
     else:
@@ -65,7 +100,9 @@ def canonical_key(members: Sequence[Column]) -> Column:
     return F.when(any_null, F.lit(None).cast("string")).otherwise(key)
 
 
-def observed_value(members: Sequence[Column]) -> Column:
+def observed_value(
+    members: Sequence[Column], dtypes: Optional[Sequence[Optional[T.DataType]]] = None
+) -> Column:
     """The human-facing observed value for violation rows: the raw
     value for atomic keys (the reference reports ``Unmatching FK (2)``
     without JSON quoting, fk_check.py:436-449), the compact JSON array
@@ -73,29 +110,49 @@ def observed_value(members: Sequence[Column]) -> Column:
     ``["tres","treinta"]``)."""
     if len(members) == 1:
         return members[0].cast("string")
-    return canonical_key(members)
+    return canonical_key(members, dtypes)
+
+
+def _resolve_dtype(df: Optional[DataFrame], member: str) -> Optional[T.DataType]:
+    if df is None:
+        return None
+    try:
+        return df.select(member_col(member)).schema.fields[0].dataType
+    except Exception:
+        return None
 
 
 def key_columns(
     members: Sequence[str],
     limit_scope: bool = False,
     scope_col: Optional[str] = None,
+    df: Optional[DataFrame] = None,
 ) -> tuple[Column, Column]:
     """Returns ``(grouping_key, observed)`` for a key declaration.
 
     ``grouping_key`` includes the scope prefix when ``limit_scope``
     (reference prefixes the file name, index_check.py:346-349);
     ``observed`` never does (reports show the key values only).
+    ``df`` (optional) lets the key expressions type-specialize to stay
+    in codegen.
     """
     cols = [member_col(m) for m in members]
-    key = canonical_key(cols)
+    dtypes = [_resolve_dtype(df, m) for m in members]
+    key = canonical_key(cols, dtypes)
+    obs = observed_value(cols, dtypes)
     if limit_scope:
         if scope_col is None:
             raise ValueError("limit_scope requires a scope column")
         key = F.when(
             key.isNull(), F.lit(None).cast("string")
-        ).otherwise(F.concat(json_scalar(F.col(scope_col)), F.lit("|"), key))
-    return key, observed_value(cols)
+        ).otherwise(
+            F.concat(
+                json_scalar(F.col(scope_col), _resolve_dtype(df, scope_col)),
+                F.lit("|"),
+                key,
+            )
+        )
+    return key, obs
 
 
 def with_key(

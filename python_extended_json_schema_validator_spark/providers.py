@@ -71,7 +71,7 @@ class TableProvider:
         from .keys import key_columns
         from pyspark.sql import functions as F
 
-        key, _ = key_columns(list(self.members))
+        key, _ = key_columns(list(self.members), df=self.df)
         return (
             self.df.select(key.alias("__key"))
             .where(F.col("__key").isNotNull())
