@@ -1,0 +1,244 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard — all expressed relationally
+(explode → aggregate → join) so they scale with shuffles instead of
+driver state, and all deterministic (md5-based hashing) so an ANSI-SQL
+oracle can replicate them.
+
+Scale shape (the part that matters at 100 TB):
+- shingling is ``explode`` (no driver fan-out), shingle→doc pairs are
+  DISTINCT-ed before aggregation (bounds map-side combine state);
+- MinHash signatures are ONE groupBy(doc) computing H mins in a single
+  shuffle, not H passes;
+- LSH banding turns all-pairs O(n²) into groupBy(band_key) buckets —
+  candidate pairs come from a self-join *within* buckets only;
+- verification (true Jaccard) runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str = "text", normalized: bool = True
+) -> DataFrame:
+    """Rows that duplicate an earlier (min-id survivor) document
+    byte-for-byte (or normalized): → (dup_id, survivor_id, fp)."""
+    norm = F.col(text_col)
+    if normalized:
+        norm = F.trim(F.regexp_replace(F.lower(norm), r"\s+", " "))
+    keyed = df.select(F.col(id_col).alias("doc"), F.md5(norm.cast("binary")).alias("fp"))
+    w = Window.partitionBy("fp")
+    return (
+        keyed.withColumn("survivor", F.min("doc").over(w))
+        .where(F.col("doc") != F.col("survivor"))
+        .select(F.col("doc").alias("dup_id"), F.col("survivor").alias("survivor_id"), "fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct k-word shingles per document → (doc, shingle).
+    Tokenization: lowercase, split on whitespace."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """H-wide MinHash signature per doc in ONE aggregation: hash_i =
+    min(md5(i || shingle)) — md5 hex strings compare lexicographically
+    identically everywhere, so no engine-specific 64-bit arithmetic."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")).cast("binary"))).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows = num_hashes/bands) and self-join
+    within band buckets → candidate pairs (doc_a < doc_b, distinct)."""
+    rows = num_hashes // bands
+    banded = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        banded.append(
+            signatures.select(
+                F.col("doc"),
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *cols).alias("bucket"),
+            )
+        )
+    all_bands = banded[0]
+    for d in banded[1:]:
+        all_bands = all_bands.unionByName(d)
+    a = all_bands.alias("a")
+    b = all_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame, shingles: DataFrame
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs only:
+    |A∩B| via join on shingle, |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.alias("sa")
+    sb = shingles.alias("sb")
+    inter = (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc"))
+        .join(
+            sb,
+            (pairs.doc_b == F.col("sb.doc"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full pipeline: shingle → minhash → LSH buckets → exact Jaccard
+    on candidates → pairs ≥ threshold."""
+    sh = word_shingles(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, num_hashes)
+    pairs = lsh_candidate_pairs(sig, num_hashes, bands)
+    return jaccard_on_pairs(pairs, sh).where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text", positions: int = 16
+) -> DataFrame:
+    """16-position SimHash over word tokens: position i takes the i-th
+    hex nibble of md5(token); the sign of Σ±1 across tokens gives bit
+    i.  Near-duplicate docs differ in few positions (compare via
+    hamming distance on the bit string).  Relational + portable: no
+    64-bit arithmetic, just substr/IN/sum."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .withColumn("th", F.md5(F.col("tok").cast("binary")))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.substring("th", i + 1, 1).isin(*_HEX_HIGH), 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(positions)
+    ]
+    sums = toks.groupBy("doc").agg(*aggs)
+    bits = F.concat(
+        *[F.when(F.col(f"s{i}") >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(positions)]
+    )
+    return sums.select("doc", bits.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 2,
+    positions: int = 16,
+) -> DataFrame:
+    """Pairs whose SimHash differs in ≤ max_hamming positions.  Scale
+    path: block on the first half of the signature (near-dups almost
+    always agree there), then verify hamming on the full string —
+    avoids the all-pairs join."""
+    sh = simhash(df, id_col, text_col, positions)
+    half = positions // 2
+    blocked = sh.withColumn("block", F.substring("simhash", 1, half))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    ham = sum(
+        (
+            F.when(
+                F.substring(F.col("a.simhash"), i + 1, 1)
+                != F.substring(F.col("b.simhash"), i + 1, 1),
+                1,
+            ).otherwise(0)
+            for i in range(positions)
+        ),
+        F.lit(0),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            "hamming",
+        )
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>):
+brute-force cosine top-k as the exactness baseline, sign-LSH bucketed
+ANN as the scale path, and embedding-cosine near-duplicate detection.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` (JVM-side, no UDF);
+accumulation is in DOUBLE in declared index order so results are
+deterministic and reproducible by the SQL oracle.
+
+Scale shape: brute-force is a broadcast nested-loop (queries tiny ×
+corpus huge — fine, one scan); the ANN variant buckets by sign
+pattern so the join fans out only within buckets.  For real 10^12-row
+ANN you'd persist an IVF index table (centroid assignment via k-means
+— the same bucketed-join shape with learned buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank), self-match
+    excluded, ties broken by neighbor id (deterministic)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    # broadcast the QUERY side (small) against the corpus scan
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """Sign-LSH bucket key: the sign pattern of the first ``bits``
+    components — a cosine LSH for roughly centered embeddings."""
+    return F.concat(
+        *[
+            F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's sign bucket;
+    exact cosine + ranking within the bucket only.  Recall < 1 by
+    design; the bucketed equi-join replaces the all-pairs scan."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def cosine_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 8,
+) -> DataFrame:
+    """Embedding near-dup pairs (cos ≥ threshold), bucketed by sign-LSH
+    (pairs this similar share the sign pattern of the leading dims with
+    overwhelming probability)."""
+    v = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
