@@ -293,6 +293,109 @@ def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-pipeline operators (dedup / text / similarity)
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ injected near-duplicates (doc_id+100000, one token
+    appended) — deterministic, SQL-replicable corpus for dedup ops."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    return docs.unionByName(extra)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_extended_json_schema_validator_spark.pipeline import text as textops
+
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.quality_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars_m").cast("long").alias("n_chars_m"),
+        F.col("en_stop_hits").cast("long").alias("en_stop_hits"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_extended_json_schema_validator_spark.pipeline import text as textops
+
+    docs = _t(spark, sf_dir, "documents")
+    return textops.lang_id(docs).select("doc_id", "lang_pred")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_extended_json_schema_validator_spark.pipeline import dedup
+
+    # injected docs are EXACT dups (same text) for this query
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return dedup.exact_duplicates(docs.unionByName(extra), "doc_id").select(
+        F.col("dup_id").cast("long").alias("dup_id"),
+        F.col("survivor_id").cast("long").alias("survivor_id"),
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_extended_json_schema_validator_spark.pipeline import dedup
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    out = dedup.minhash_near_duplicates(
+        corpus, "doc_id", k=3, num_hashes=8, bands=4, threshold=0.5
+    )
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_extended_json_schema_validator_spark.pipeline import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id").select(
+        F.col("doc").cast("long").alias("doc_id"), "simhash"
+    )
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_extended_json_schema_validator_spark.pipeline import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_extended_json_schema_validator_spark.pipeline import similarity
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = similarity.cosine_near_duplicates(
+        emb.unionByName(clones), threshold=0.95, bits=8
+    )
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -317,6 +420,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_verdicts": q_partition_verdicts,
         "image_suite": q_image_suite,
         "stats_profile": q_stats_profile,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "embed_topk": q_embed_topk,
+        "embed_neardup": q_embed_neardup,
     }
 
 
@@ -502,5 +612,155 @@ def oracle_sql() -> dict[str, str]:
                    MAX(l_quantity) AS q_max,
                    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS pk_distinct
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_m,
+                   CAST(len(regexp_extract_all(lower(text), '\\bthe\\b'))
+                      + len(regexp_extract_all(lower(text), '\\band\\b'))
+                      + len(regexp_extract_all(lower(text), '\\bof\\b')) AS BIGINT) AS en_stop_hits,
+                   CASE WHEN length(text) > 0
+                        THEN round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                   * 1.0 / length(text), 6)
+                        ELSE NULL END AS alpha_ratio
+            FROM documents
+        """,
+        "lang_id": """
+            WITH s AS (
+              SELECT doc_id,
+                len(regexp_extract_all(lower(text), '\\bthe\\b'))
+                  + len(regexp_extract_all(lower(text), '\\band\\b'))
+                  + len(regexp_extract_all(lower(text), '\\bof\\b')) AS en,
+                len(regexp_extract_all(lower(text), '\\bel\\b'))
+                  + len(regexp_extract_all(lower(text), '\\bla\\b'))
+                  + len(regexp_extract_all(lower(text), '\\bde\\b')) AS es,
+                len(regexp_extract_all(lower(text), '\\ble\\b'))
+                  + len(regexp_extract_all(lower(text), '\\bla\\b'))
+                  + len(regexp_extract_all(lower(text), '\\bet\\b')) AS fr,
+                len(regexp_extract_all(lower(text), '\\bder\\b'))
+                  + len(regexp_extract_all(lower(text), '\\bund\\b'))
+                  + len(regexp_extract_all(lower(text), '\\bdie\\b')) AS de
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                        WHEN de = greatest(en, es, fr, de) THEN 'de'
+                        WHEN en = greatest(en, es, fr, de) THEN 'en'
+                        WHEN es = greatest(en, es, fr, de) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
+        "dedup_exact": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+            ), keyed AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM corpus
+            )
+            SELECT CAST(doc_id AS BIGINT) AS dup_id,
+                   CAST(MIN(doc_id) OVER (PARTITION BY fp) AS BIGINT) AS survivor_id
+            FROM keyed
+            QUALIFY doc_id <> MIN(doc_id) OVER (PARTITION BY fp)
+        """,
+        "dedup_minhash": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text || ' extra token' FROM documents
+              WHERE doc_id < 30
+            ), toks AS (
+              SELECT doc_id AS doc,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM corpus
+            ), sh AS (
+              SELECT DISTINCT doc,
+                     CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+                          ELSE array_to_string(t, ' ') END AS shingle
+              FROM toks,
+                   LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+            ), sig AS (
+              SELECT doc,
+                     min(md5('s0:' || shingle)) AS h0, min(md5('s1:' || shingle)) AS h1,
+                     min(md5('s2:' || shingle)) AS h2, min(md5('s3:' || shingle)) AS h3,
+                     min(md5('s4:' || shingle)) AS h4, min(md5('s5:' || shingle)) AS h5,
+                     min(md5('s6:' || shingle)) AS h6, min(md5('s7:' || shingle)) AS h7
+              FROM sh GROUP BY doc
+            ), bands AS (
+              SELECT doc, 0 AS band, h0 || '|' || h1 AS bucket FROM sig
+              UNION ALL SELECT doc, 1, h2 || '|' || h3 FROM sig
+              UNION ALL SELECT doc, 2, h4 || '|' || h5 FROM sig
+              UNION ALL SELECT doc, 3, h6 || '|' || h7 FROM sig
+            ), pairs AS (
+              SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+            ), sizes AS (
+              SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+            ), inter AS (
+              SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+              FROM pairs p
+              JOIN sh sa ON sa.doc = p.doc_a
+              JOIN sh sb ON sb.doc = p.doc_b AND sb.shingle = sa.shingle
+              GROUP BY p.doc_a, p.doc_b
+            )
+            SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
+                   CAST(p.doc_b AS BIGINT) AS doc_b,
+                   round(COALESCE(i.i, 0) * 1.0 / (za.sz + zb.sz - COALESCE(i.i, 0)), 6) AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+            JOIN sizes za ON za.doc = p.doc_a
+            JOIN sizes zb ON zb.doc = p.doc_b
+            WHERE COALESCE(i.i, 0) * 1.0 / (za.sz + zb.sz - COALESCE(i.i, 0)) >= 0.5
+        """,
+        "dedup_simhash": """
+            WITH toks AS (
+              SELECT doc_id, md5(u.tok) AS th
+              FROM documents,
+                   LATERAL unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(tok)
+            ), sums AS (
+              SELECT doc_id,
+                """ + ",\n                ".join(
+                    f"SUM(CASE WHEN substr(th, {i + 1}, 1) IN "
+                    f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{i}"
+                    for i in range(16)
+                ) + """
+              FROM toks GROUP BY doc_id
+            )
+            SELECT doc_id,
+                """ + " || ".join(
+                    f"(CASE WHEN s{i} >= 0 THEN '1' ELSE '0' END)" for i in range(16)
+                ) + """ AS simhash
+            FROM sums
+        """,
+        "embed_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings),
+                 scored AS (
+                   SELECT query_id, neighbor_id,
+                          list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+                   FROM q, c WHERE query_id <> neighbor_id
+                 )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS rnk
+              FROM scored
+            ) WHERE rnk <= 5
+        """,
+        "embed_neardup": """
+            SELECT CAST(vec_id AS BIGINT) AS doc_a,
+                   CAST(vec_id + 100000 AS BIGINT) AS doc_b
+            FROM embeddings WHERE vec_id < 20
         """,
     }
