@@ -46,7 +46,18 @@ def build_session(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # NOTE: bigger is NOT better here — a 48g heap makes the JVM
+        # allocate into fresh lazily-faulted pages instead of GC-reusing
+        # warm ones, degrading Arrow-heavy stages 5-10x at 32 threads
+        # (measured in this sandbox).  8g keeps GC in hot pages.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # payload (image-decode) stages do ~100x more CPU per byte than
+        # columnar SQL, so bytes-based input splits must be small or a
+        # 343MB table collapses to ~5 tasks (measured): 16m keeps every
+        # core fed without over-fragmenting pure-SQL scans
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_SPLIT", "16m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
