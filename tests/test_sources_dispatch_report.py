@@ -1,0 +1,125 @@
+"""Sources (array shredding, corrupt JSON), schema dispatch, report
+sink and exit codes."""
+
+import json
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_extended_json_schema_validator_spark import (
+    ColumnCheck,
+    KeySpec,
+    TableSpec,
+    ValidationEngine,
+)
+from python_extended_json_schema_validator_spark import report as report_mod
+from python_extended_json_schema_validator_spark.dispatch import SchemaDispatcher
+from python_extended_json_schema_validator_spark.sources import (
+    read_json_documents,
+    shred_arrays,
+)
+
+
+def test_read_json_documents_with_corrupt(spark):
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/good.json", "w") as f:
+            json.dump({"local_id": "uno", "n": 1}, f)
+        with open(f"{d}/bad.json", "w") as f:
+            f.write("{not json at all")
+        df = read_json_documents(
+            spark, d, schema="local_id string, n long"
+        )
+        rows = {r.file.split("/")[-1]: r for r in df.collect()}
+        assert rows["good.json"].local_id == "uno"
+        assert rows["bad.json"]._corrupt is not None
+        assert rows["bad.json"].local_id is None
+
+
+def test_shred_arrays_synthetic_names(spark):
+    df = spark.createDataFrame(
+        [("f1.json", [10, 20, 30])], "file string, items array<long>"
+    )
+    out = shred_arrays(df, "items").collect()
+    # the reference names shredded entries `f [i]`
+    assert [(r.file, r.doc) for r in out] == [
+        ("f1.json [0]", 10),
+        ("f1.json [1]", 20),
+        ("f1.json [2]", 30),
+    ]
+
+
+def test_schema_dispatch_routing(spark):
+    df = spark.createDataFrame(
+        [
+            ("f1", "tA", 5, None),
+            ("f2", "tB", None, "ok"),
+            ("f3", "tB", None, "this-is-too-long"),
+            ("f4", None, 1, None),       # no_id
+            ("f5", "ghost", 1, None),    # schema_unknown
+        ],
+        "file string, `_schema` string, size long, name string",
+    )
+    disp = SchemaDispatcher(
+        {
+            "tA": TableSpec(
+                name="tA", row_id="file",
+                checks=[ColumnCheck(column="size", minimum=1)],
+            ),
+            "tB": TableSpec(
+                name="tB", row_id="file",
+                checks=[ColumnCheck(column="name", max_length=5)],
+            ),
+        }
+    )
+    got = {(r.reason, r.row_id) for r in disp.validate(df).collect()}
+    assert got == {
+        ("no_id", "f4"),
+        ("schema_unknown", "f5"),
+        ("maxLength", "f3"),
+    }
+
+
+def test_guess_mode_first_match_wins(spark):
+    df = spark.createDataFrame(
+        [("f1", 5), ("f2", -5)], "file string, v long"
+    )
+    disp = SchemaDispatcher(
+        {
+            "pos": TableSpec(name="pos", row_id="file",
+                             checks=[ColumnCheck(column="v", minimum=0)]),
+            "neg": TableSpec(name="neg", row_id="file",
+                             checks=[ColumnCheck(column="v", maximum=0)]),
+        }
+    )
+    got = {r["file"]: r["__matched_schema"] for r in
+           disp.guess(df).select("file", "__matched_schema").collect()}
+    assert got == {"f1": "pos", "f2": "neg"}
+
+
+def test_json_report_and_exit_codes(spark):
+    spec = TableSpec(
+        name="t", row_id="rid",
+        checks=[ColumnCheck(column="v", minimum=0)],
+        unique=[KeySpec(("v",))],
+    )
+    df = spark.createDataFrame(
+        [("r1", 1), ("r2", -1), ("r3", 1)], "rid string, v long"
+    )
+    res = ValidationEngine([spec]).validate({"t": df})
+    rep = report_mod.json_report(res)
+    by_id = {e["file"]: e for e in rep}
+    assert len(by_id) == 3
+    assert by_id["r1"]["errors"] == []
+    assert {e["reason"] for e in by_id["r2"]["errors"]} == {"minimum"}
+    assert {e["reason"] for e in by_id["r3"]["errors"]} == {"dup_unique"}
+
+    err_only = report_mod.json_report(res, error_report=True)
+    assert {e["file"] for e in err_only} == {"r2", "r3"}
+
+    # exit-code contract incl. the verified report-mode quirk
+    assert report_mod.exit_code(0, 0) == 0
+    assert report_mod.exit_code(0, 5) == 2
+    assert report_mod.exit_code(0, 5, report_mode=True) == 0
+    assert report_mod.exit_code(2, 5) == 3
+    assert report_mod.exit_code(0, 0, schemas_loaded=False) == 1
