@@ -1,0 +1,207 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The real decoders (libjpeg/ffmpeg/libsndfile) are not in this
+container, so the *codecs* are deterministic fakes with the same
+interface (documented seam, like payload/codec.py) — but everything
+Spark-side is real and tested: schemas, column pruning before the
+Arrow boundary, batch shapes, per-row → per-frame fan-out, and the
+numpy feature math (RMS/zero-crossings/resize) which is identical for
+real payloads.
+
+Container formats (little-endian):
+  video  b'FVID' u32 n_frames then n x (u32 len, FIMG frame blob)
+  audio  b'FAUD' u32 sample_rate u32 n_samples then int16 PCM
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..payload import codec as imgcodec
+
+VID_MAGIC = b"FVID"
+AUD_MAGIC = b"FAUD"
+
+
+# ---------------------------------------------------------------------------
+# fake encoders (deterministic synth)
+# ---------------------------------------------------------------------------
+
+
+def encode_video(seed: int, n_frames: int, w: int = 16, h: int = 12) -> bytes:
+    frames = [
+        imgcodec.encode(seed * 1000 + i, w, h, "png") for i in range(n_frames)
+    ]
+    out = [VID_MAGIC, struct.pack("<I", n_frames)]
+    for fr in frames:
+        out.append(struct.pack("<I", len(fr)))
+        out.append(fr)
+    return b"".join(out)
+
+
+def encode_audio(seed: int, n_samples: int = 8000, rate: int = 8000) -> bytes:
+    rng = np.random.Generator(np.random.Philox(seed))
+    t = np.arange(n_samples, dtype=np.float64)
+    freq = 100.0 + (seed % 20) * 50.0
+    wave = 0.5 * np.sin(2 * np.pi * freq * t / rate) + 0.05 * rng.standard_normal(
+        n_samples
+    )
+    pcm = np.clip(wave * 32767, -32768, 32767).astype("<i2")
+    return AUD_MAGIC + struct.pack("<II", rate, n_samples) + pcm.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# distributed operators
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_k: int = 2, id_col: str = "video_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Every k-th frame of each video → one row per sampled frame
+    (decoded header metadata included).  Row → many-rows fan-out
+    through mapInPandas; only (id, bytes) crosses the Arrow boundary."""
+    cols = df.select(
+        F.col(id_col).cast("string").alias("__id"), F.col(bytes_col).alias("__b")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in FRAME_SCHEMA.fields}
+            for vid, buf in zip(pdf["__id"], pdf["__b"]):
+                if buf is None or bytes(buf[:4]) != VID_MAGIC:
+                    continue
+                (n,) = struct.unpack_from("<I", buf, 4)
+                off = 8
+                for i in range(n):
+                    (ln,) = struct.unpack_from("<I", buf, off)
+                    off += 4
+                    frame = bytes(buf[off : off + ln])
+                    off += ln
+                    if i % every_k != 0:
+                        continue
+                    ok, fmt, w, h, _ = imgcodec.decode(frame)
+                    out["video_id"].append(vid)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(frame if ok else None)
+                    out["w"].append(w if ok else None)
+                    out["h"].append(h if ok else None)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "audio_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """PCM feature extraction (duration, RMS, zero-crossing count,
+    peak) — all-numpy per clip, Arrow-batched."""
+    cols = df.select(
+        F.col(id_col).cast("string").alias("__id"), F.col(bytes_col).alias("__b")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in AUDIO_FEATURES_SCHEMA.fields}
+            for aid, buf in zip(pdf["__id"], pdf["__b"]):
+                out["audio_id"].append(aid)
+                if buf is None or bytes(buf[:4]) != AUD_MAGIC:
+                    for k in ("sample_rate", "duration_s", "rms",
+                              "zero_crossings", "peak"):
+                        out[k].append(None)
+                    continue
+                rate, n = struct.unpack_from("<II", buf, 4)
+                pcm = np.frombuffer(bytes(buf[12 : 12 + 2 * n]), dtype="<i2")
+                x = pcm.astype(np.float64) / 32768.0
+                out["sample_rate"].append(rate)
+                out["duration_s"].append(n / rate)
+                out["rms"].append(float(np.sqrt(np.mean(x * x))))
+                out["zero_crossings"].append(int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))))
+                out["peak"].append(float(np.max(np.abs(x))))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded — a real pixel transform
+    (the interpolation kernel is what a production PIL/opencv swap
+    would change, not the Spark plumbing)."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), True),
+            T.StructField("w", T.IntegerType(), True),
+            T.StructField("h", T.IntegerType(), True),
+        ]
+    )
+    cols = df.select(
+        F.col(id_col).cast("string").alias("__id"), F.col(bytes_col).alias("__b")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for iid, buf in zip(pdf["__id"], pdf["__b"]):
+                ok, fmt, w, h, px = imgcodec.decode(buf)
+                out["image_id"].append(iid)
+                if not ok:
+                    out["bytes"].append(None)
+                    out["w"].append(None)
+                    out["h"].append(None)
+                    continue
+                yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+                xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+                resized = px[yi][:, xi]
+                # re-encode losslessly with a seed derived from content
+                payload = resized.tobytes()
+                import zlib
+
+                comp = zlib.compress(payload, level=1)
+                hdr = imgcodec._HDR.pack(
+                    imgcodec.MAGIC, imgcodec.FMT_CODES["png"], out_w, out_h,
+                    0, zlib.crc32(comp) & 0xFFFFFFFF,
+                )
+                out["bytes"].append(hdr + comp)
+                out["w"].append(out_w)
+                out["h"].append(out_h)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(gen, schema=schema)

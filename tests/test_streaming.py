@@ -1,0 +1,69 @@
+"""Structured-Streaming incremental validation: file-source micro
+batches through the batch engine via foreachBatch, and streaming
+dedup state."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_extended_json_schema_validator_spark import ColumnCheck, KeySpec, TableSpec
+from python_extended_json_schema_validator_spark.streaming import incremental
+
+
+def test_foreach_batch_validation(spark):
+    with tempfile.TemporaryDirectory() as d:
+        src, sink, ckpt = f"{d}/src", f"{d}/sink", f"{d}/ckpt"
+        spark.createDataFrame(
+            [("r1", 5), ("r2", -3), ("r2", 7)], "rid string, v long"
+        ).write.parquet(src)
+
+        spec = TableSpec(
+            name="t",
+            row_id="rid",
+            checks=[ColumnCheck(column="v", minimum=0)],
+            primary_keys=[KeySpec(("rid",))],
+        )
+        stream = spark.readStream.schema("rid string, v long").parquet(src)
+        q = incremental.validate_stream_foreach_batch(stream, spec, sink, ckpt)
+        q.awaitTermination(120)
+
+        out = spark.read.parquet(sink)
+        got = {(r.constraint_id, r.reason, r.row_id) for r in out.collect()}
+        # r2 with v=-3 fails pass 1 → revoked from PK world, so the
+        # surviving r2 is unique: only the row check fires
+        assert got == {("check:v:minimum", "minimum", "r2")}
+        assert out.select("batch_id").distinct().count() == 1
+
+        # second increment: a new file with a PK duplicate of r1
+        spark.createDataFrame(
+            [("r1", 9)], "rid string, v long"
+        ).write.mode("append").parquet(src)
+        q2 = incremental.validate_stream_foreach_batch(stream, spec, sink, ckpt)
+        q2.awaitTermination(120)
+        out2 = spark.read.parquet(sink)
+        # within-batch dedup sees only the new file → no dup flagged
+        # (cross-batch uniqueness is the manifest/key-dim path, as in
+        # batch resume) — the new batch contributes no violations
+        assert out2.count() == 1
+
+
+def test_streaming_dedup_state(spark):
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        spark.createDataFrame(
+            [("k1", "r1"), ("k1", "r2"), ("k2", "r3")], "k string, rid string"
+        ).write.parquet(src)
+        stream = spark.readStream.schema("k string, rid string").parquet(src)
+        survivors = incremental.dup_flags_stream(stream, "k", "rid")
+        q = (
+            survivors.writeStream.format("memory")
+            .queryName("surv")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from surv").collect()
+        assert len(rows) == 2  # one survivor per key
+        assert {r.k for r in rows} == {"k1", "k2"}
