@@ -395,6 +395,131 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-group quantiles (sort-based percentile;
+    the scale path is tdigest.quantile_sketch, benched separately)."""
+    from python_extended_json_schema_validator_spark import stats as s
+
+    li = _t(spark, sf_dir, "lineitem")
+    return s.exact_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", (0.25, 0.5, 0.75, 0.95)
+    ).select("l_returnflag", "p25", "p50", "p75", "p95")
+
+
+def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted group count (skew-proof) — must be
+    bit-identical to a plain GROUP BY count."""
+    from python_extended_json_schema_validator_spark import stats as s
+
+    li = _t(spark, sf_dir, "lineitem")
+    return s.salted_group_count(li, ["l_suppkey"], n_salts=16).select(
+        "l_suppkey", F.col("count").cast("long").alias("n")
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming ≤ 2, blocked join) over
+    documents + exact clones (doc_id+100000)."""
+    from python_extended_json_schema_validator_spark.pipeline import dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    out = dedup.simhash_near_duplicates(
+        docs.unionByName(clones), "doc_id", max_hamming=2
+    )
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard for a fixed candidate set (all pairs
+    among doc_id < 15)."""
+    from python_extended_json_schema_validator_spark.pipeline import dedup
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 15)
+    sh = dedup.word_shingles(docs, "doc_id", k=3)
+    ids = docs.select(F.col("doc_id").alias("doc_a"))
+    ids2 = docs.select(F.col("doc_id").alias("doc_b"))
+    pairs = ids.crossJoin(ids2).where(F.col("doc_a") < F.col("doc_b"))
+    out = dedup.jaccard_on_pairs(pairs, sh)
+    return out.select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.col("inter").cast("long").alias("inter"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+# -- rows-only entries (no SQL-expressible oracle; driver records a
+#    weaker rows-only check) ------------------------------------------------
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-k (approximate by design — recall<1
+    vs brute force, so no exact oracle)."""
+    from python_extended_json_schema_validator_spark.pipeline import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.where(F.col("vec_id") < 20), k=5, bits=8)
+
+
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest sketch quantiles (approximate; accuracy
+    bounds tested in tests/test_tdigest.py)."""
+    from python_extended_json_schema_validator_spark.tdigest import quantile_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    return quantile_sketch(li, ["l_returnflag"], "l_extendedprice", (0.5,))
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over a deterministic synthetic PCM
+    table (multimodal plumbing; fake codec seam)."""
+    from python_extended_json_schema_validator_spark.pipeline import multimodal as mm
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "audio_id": [f"a{int(k)}" for k in pdf["id"]],
+                    "bytes": [mm.encode_audio(int(k), 2000, 8000) for k in pdf["id"]],
+                }
+            )
+
+    clips = (
+        spark.range(0, 50, 1, 4)
+        .mapInPandas(gen, "audio_id string, bytes binary")
+    )
+    return mm.audio_features(clips)
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over a deterministic synthetic container
+    table (multimodal plumbing)."""
+    from python_extended_json_schema_validator_spark.pipeline import multimodal as mm
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "video_id": [f"v{int(k)}" for k in pdf["id"]],
+                    "bytes": [mm.encode_video(int(k), n_frames=5) for k in pdf["id"]],
+                }
+            )
+
+    vids = spark.range(0, 20, 1, 4).mapInPandas(gen, "video_id string, bytes binary")
+    return mm.sample_frames(vids, every_k=2).select(
+        "video_id", "frame_idx", "w", "h"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -427,6 +552,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
+        "quantiles_exact": q_quantiles_exact,
+        "salted_counts": q_salted_counts,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        # rows-only (approximate / plumbing — no exact SQL oracle)
+        "ann_lsh": q_ann_lsh,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
     }
 
 
@@ -762,5 +896,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(vec_id AS BIGINT) AS doc_a,
                    CAST(vec_id + 100000 AS BIGINT) AS doc_b
             FROM embeddings WHERE vec_id < 20
+        """,
+        "quantiles_exact": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.25) AS p25,
+                   quantile_cont(l_extendedprice, 0.5) AS p50,
+                   quantile_cont(l_extendedprice, 0.75) AS p75,
+                   quantile_cont(l_extendedprice, 0.95) AS p95
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "salted_counts": """
+            SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "simhash_pairs": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30
+            ), toks AS (
+              SELECT doc_id, md5(u.tok) AS th
+              FROM corpus,
+                   LATERAL unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(tok)
+            ), sums AS (
+              SELECT doc_id,
+                """ + ",\n                ".join(
+                    f"SUM(CASE WHEN substr(th, {i + 1}, 1) IN "
+                    f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{i}"
+                    for i in range(16)
+                ) + """
+              FROM toks GROUP BY doc_id
+            ), sh AS (
+              SELECT doc_id AS doc,
+                """ + " || ".join(
+                    f"(CASE WHEN s{i} >= 0 THEN '1' ELSE '0' END)" for i in range(16)
+                ) + """ AS simhash
+              FROM sums
+            )
+            SELECT CAST(a.doc AS BIGINT) AS doc_a, CAST(b.doc AS BIGINT) AS doc_b,
+                   CAST(("""
+                   + " + ".join(
+                       f"(CASE WHEN substr(a.simhash,{i+1},1) <> substr(b.simhash,{i+1},1) THEN 1 ELSE 0 END)"
+                       for i in range(16)
+                   )
+                   + """) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b
+              ON substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8) AND a.doc < b.doc
+            WHERE ("""
+                   + " + ".join(
+                       f"(CASE WHEN substr(a.simhash,{i+1},1) <> substr(b.simhash,{i+1},1) THEN 1 ELSE 0 END)"
+                       for i in range(16)
+                   )
+                   + """) <= 2
+        """,
+        "ngram_jaccard": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 15
+            ), toks AS (
+              SELECT doc_id AS doc,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM docs
+            ), sh AS (
+              SELECT DISTINCT doc,
+                     CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+                          ELSE array_to_string(t, ' ') END AS shingle
+              FROM toks,
+                   LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+            ), sizes AS (
+              SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+            ), pairs AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b
+              FROM (SELECT doc FROM sizes) a, (SELECT doc FROM sizes) b
+              WHERE a.doc < b.doc
+            ), inter AS (
+              SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+              FROM pairs p
+              JOIN sh sa ON sa.doc = p.doc_a
+              JOIN sh sb ON sb.doc = p.doc_b AND sb.shingle = sa.shingle
+              GROUP BY p.doc_a, p.doc_b
+            )
+            SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
+                   CAST(p.doc_b AS BIGINT) AS doc_b,
+                   CAST(COALESCE(i.i, 0) AS BIGINT) AS inter,
+                   round(COALESCE(i.i, 0) * 1.0 / (za.sz + zb.sz - COALESCE(i.i, 0)), 6) AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+            JOIN sizes za ON za.doc = p.doc_a
+            JOIN sizes zb ON zb.doc = p.doc_b
         """,
     }
