@@ -1,0 +1,244 @@
+"""DIFFERENTIAL parity: run the ACTUAL reference validator
+(/root/reference, in-process, with stdlib shims for its two missing
+pure-utility deps) and this engine on the same logical data, and
+compare per-document violation reasons.
+
+This is the strongest parity evidence available in-sandbox: not our
+reading of the reference's semantics, but the reference itself.
+"""
+
+import sys
+import types
+import urllib.parse
+
+import pytest
+
+from python_extended_json_schema_validator_spark import (
+    ColumnCheck,
+    ForeignKeySpec,
+    KeySpec,
+    TableSpec,
+    ValidationEngine,
+)
+
+
+# --- shims: ijson (only used by --iter-arrays) and uritools (thin
+#     wrappers over urllib.parse) ------------------------------------------
+def _install_shims():
+    if "ijson" not in sys.modules:
+        fake = types.ModuleType("ijson")
+        fake.items = lambda *a, **k: iter(())
+        fake.common = types.SimpleNamespace(IncompleteJSONError=ValueError)
+        sys.modules["ijson"] = fake
+    if "uritools" not in sys.modules:
+        ut = types.ModuleType("uritools")
+        ut.uridefrag = lambda u: tuple(urllib.parse.urldefrag(u))
+        ut.isabsuri = lambda u: bool(urllib.parse.urlsplit(u).scheme)
+        ut.urijoin = urllib.parse.urljoin
+        sys.modules["uritools"] = ut
+    if "xdg" not in sys.modules:
+        import tempfile
+
+        xdg = types.ModuleType("xdg")
+        bd = types.ModuleType("xdg.BaseDirectory")
+        bd.save_cache_path = lambda *a: tempfile.mkdtemp(prefix="xdgcache")
+        xdg.BaseDirectory = bd
+        sys.modules["xdg"] = xdg
+        sys.modules["xdg.BaseDirectory"] = bd
+
+
+@pytest.fixture(scope="module")
+def reference(tmp_path_factory):
+    _install_shims()
+    sys.path.insert(0, "/root/reference")
+    from extended_json_schema_validator.extensible_validator import (
+        ExtensibleValidator,
+    )
+
+    import json
+
+    def run(schemas: list, docs: list):
+        """schemas: list of schema dicts; docs: list of (name, dict).
+        → {file: sorted list of error reasons}"""
+        d = tmp_path_factory.mktemp("schemas")
+        for i, s in enumerate(schemas):
+            (d / f"s{i}.json").write_text(json.dumps(s))
+        ev = ExtensibleValidator()
+        n = ev.loadJSONSchemas(str(d))
+        assert n == len(schemas), "reference failed to load schemas"
+        entries = [{"file": name, "json": doc, "errors": []} for name, doc in docs]
+        out = ev.jsonValidate(*entries)
+        return {
+            e["file"]: sorted(err["reason"] or "schema_error" for err in e["errors"])
+            for e in out
+        }
+
+    return run
+
+
+DRAFT = "http://json-schema.org/draft-07/schema#"
+
+
+def engine_reasons(spark, specs, tables, id_order):
+    res = ValidationEngine(specs).validate(tables)
+    rows = res.violations.collect()
+    out = {rid: [] for rid in id_order}
+    for r in rows:
+        # engine keyword reasons (minimum/required/...) ⇔ reference's
+        # generic 'schema_error' for structural failures
+        reason = r.reason
+        if reason not in (
+            "dup_unique", "dup_pk", "stale_fk", "dangling_fk",
+            "stale_jk", "dangling_jk",
+        ):
+            reason = "schema_error"
+        out.setdefault(r.row_id, []).append(reason)
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_diff_unique_duplicates(spark, reference):
+    schema = {
+        "$id": "diff://unique/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "properties": {"local_id": {"type": "string", "unique": True}},
+        "required": ["local_id"],
+    }
+    docs = [
+        ("r1", {"@schema": "diff://unique/1.0", "local_id": "uno"}),
+        ("r2", {"@schema": "diff://unique/1.0", "local_id": "dos"}),
+        ("r3", {"@schema": "diff://unique/1.0", "local_id": "uno"}),
+    ]
+    ref = reference([schema], docs)
+
+    spec = TableSpec(name="t", row_id="rid", unique=[KeySpec(("local_id",))])
+    df = spark.createDataFrame(
+        [(n, d["local_id"]) for n, d in docs], "rid string, local_id string"
+    )
+    got = engine_reasons(spark, [spec], {"t": df}, [n for n, _ in docs])
+    assert ref == got == {"r1": [], "r2": [], "r3": ["dup_unique"]}
+
+
+def test_diff_missing_member_exclusion(spark, reference):
+    schema = {
+        "$id": "diff://cpk/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "primary_key": ["local_id", "other_id"],
+        "properties": {
+            "local_id": {"type": "string"},
+            "other_id": {"type": "string"},
+        },
+    }
+    docs = [
+        ("r1", {"@schema": "diff://cpk/1.0", "local_id": "solo"}),
+        ("r2", {"@schema": "diff://cpk/1.0", "local_id": "solo"}),
+    ]
+    ref = reference([schema], docs)
+
+    spec = TableSpec(
+        name="t", row_id="rid", primary_keys=[KeySpec(("local_id", "other_id"))]
+    )
+    df = spark.createDataFrame(
+        [("r1", "solo", None), ("r2", "solo", None)],
+        "rid string, local_id string, other_id string",
+    )
+    got = engine_reasons(spark, [spec], {"t": df}, ["r1", "r2"])
+    assert ref == got == {"r1": [], "r2": []}
+
+
+def test_diff_fk_revocation(spark, reference):
+    dim_schema = {
+        "$id": "diff://dim/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "properties": {
+            "local_id": {"type": "string", "primary_key": True},
+            "weight": {"type": "integer", "minimum": 0},
+        },
+        "required": ["local_id", "weight"],
+    }
+    fact_schema = {
+        "$id": "diff://fact/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "foreign_keys": [
+            {"schema_id": "diff://dim/1.0", "members": ["ref_id"]}
+        ],
+        "properties": {"ref_id": {"type": "string"}},
+    }
+    docs = [
+        ("d1", {"@schema": "diff://dim/1.0", "local_id": "uno", "weight": 1}),
+        ("d2", {"@schema": "diff://dim/1.0", "local_id": "cuatro", "weight": -5}),
+        ("f1", {"@schema": "diff://fact/1.0", "ref_id": "uno"}),
+        ("f2", {"@schema": "diff://fact/1.0", "ref_id": "cuatro"}),
+    ]
+    ref = reference([dim_schema, fact_schema], docs)
+
+    dspec = TableSpec(
+        name="dim", row_id="rid",
+        checks=[ColumnCheck(column="weight", minimum=0)],
+        primary_keys=[KeySpec(("local_id",))],
+    )
+    fspec = TableSpec(
+        name="fact", row_id="rid",
+        foreign_keys=[ForeignKeySpec(("ref_id",), ref_table="dim")],
+    )
+    ddf = spark.createDataFrame(
+        [("d1", "uno", 1), ("d2", "cuatro", -5)],
+        "rid string, local_id string, weight long",
+    )
+    fdf = spark.createDataFrame(
+        [("f1", "uno"), ("f2", "cuatro")], "rid string, ref_id string"
+    )
+    got = engine_reasons(
+        spark, [dspec, fspec], {"dim": ddf, "fact": fdf}, ["d1", "d2", "f1", "f2"]
+    )
+    assert ref == got == {
+        "d1": [],
+        "d2": ["schema_error"],
+        "f1": [],
+        "f2": ["stale_fk"],
+    }
+
+
+def test_diff_int_str_key_distinctness(spark, reference):
+    dim_schema = {
+        "$id": "diff://idim/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "properties": {"k": {"type": "integer", "primary_key": True}},
+    }
+    fact_schema = {
+        "$id": "diff://ifact/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "foreign_keys": [{"schema_id": "diff://idim/1.0", "members": ["rk"]}],
+        "properties": {"rk": {}},
+    }
+    docs = [
+        ("d1", {"@schema": "diff://idim/1.0", "k": 2}),
+        ("f1", {"@schema": "diff://ifact/1.0", "rk": 2}),
+        ("f2", {"@schema": "diff://ifact/1.0", "rk": "2"}),  # str != int
+    ]
+    ref = reference([dim_schema, fact_schema], docs)
+
+    dspec = TableSpec(name="idim", row_id="rid", primary_keys=[KeySpec(("k",))])
+    fspec = TableSpec(
+        name="ifact", row_id="rid",
+        foreign_keys=[ForeignKeySpec(("rk",), ref_table="idim")],
+    )
+    ddf = spark.createDataFrame([("d1", 2)], "rid string, k long")
+    # engine side: rk is a string column carrying "2" for f2, and a
+    # separate long column for f1 — model as two fact tables sharing
+    # the FK spec? simpler: one table with both typed columns
+    f1df = spark.createDataFrame([("f1", 2)], "rid string, rk long")
+    f2df = spark.createDataFrame([("f2", "2")], "rid string, rk string")
+    got1 = engine_reasons(spark, [dspec, fspec], {"idim": ddf, "ifact": f1df}, ["f1"])
+    fspec2 = TableSpec(
+        name="ifact", row_id="rid",
+        foreign_keys=[ForeignKeySpec(("rk",), ref_table="idim")],
+    )
+    got2 = engine_reasons(spark, [dspec, fspec2], {"idim": ddf, "ifact": f2df}, ["f2"])
+    assert ref["f1"] == got1["f1"] == []
+    assert ref["f2"] == got2["f2"] == ["stale_fk"]
