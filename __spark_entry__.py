@@ -637,7 +637,7 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
         """,
         "jk_index": """
-            SELECT 'jk:customer.c_custkey->orders' AS constraint_id, 'stale_jk' AS reason,
+            SELECT 'jk:customer.c_custkey->orders' AS constraint_id, 'stale_fk' AS reason,
                    CAST(c_custkey AS VARCHAR) AS row_id,
                    CAST(c_custkey AS VARCHAR) AS observed_value
             FROM customer c

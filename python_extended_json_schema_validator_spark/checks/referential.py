@@ -79,7 +79,12 @@ def referential_violations(
     J4 "key not found" (fk_check.py:349-389) with no special case.
     kind: 'fk' → stale_fk/dangling_fk, 'jk' → stale_jk/dangling_jk.
     """
-    stale = errors.STALE_FK if kind == "fk" else errors.STALE_JK
+    # Reference quirk, [verified] by differential test: join-key misses
+    # report reason "stale_fk", NOT "stale_jk" — fk_check.py:378,440
+    # hardcode the string instead of using self._errorReason, so
+    # JoinKey's declared stale_jk (join_check.py:22) is never emitted.
+    # Only the dangling reason respects the subclass (fk_check.py:469).
+    stale = errors.STALE_FK
     dangling = errors.DANGLING_FK if kind == "fk" else errors.DANGLING_JK
     cid = f"{kind}:{fact_spec.name}.{fk.label}"
     fkt = fk_tuples(fact_df, fact_spec, fk)

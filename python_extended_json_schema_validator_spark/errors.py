@@ -15,7 +15,9 @@ DUP_UNIQUE = "dup_unique"
 DUP_PK = "dup_pk"
 STALE_FK = "stale_fk"
 DANGLING_FK = "dangling_fk"
-STALE_JK = "stale_jk"
+STALE_JK = "stale_jk"  # declared in the reference (join_check.py:22) but
+# never emitted for misses — fk_check.py:378,440 hardcode stale_fk
+# ([verified] differentially); kept for the constant's documentary value
 DANGLING_JK = "dangling_jk"
 SCHEMA_ERROR = "schema_error"
 FK_NO_SCHEMA = "fk_no_schema"

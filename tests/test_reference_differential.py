@@ -202,6 +202,128 @@ def test_diff_fk_revocation(spark, reference):
     }
 
 
+def test_diff_refers_to_named_pk(spark, reference):
+    dim_schema = {
+        "$id": "diff://ndim/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "properties": {
+            "a": {"type": "string",
+                  "primary_key": {"name": "pk", "members": True}},
+            "z": {"type": "string",
+                  "primary_key": {"name": "zk", "members": True}},
+        },
+    }
+    fact_schema = {
+        "$id": "diff://nfact/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "foreign_keys": [
+            {"schema_id": "diff://ndim/1.0", "members": ["ra"],
+             "refers_to": "pk"}
+        ],
+        "properties": {"ra": {"type": "string"}},
+    }
+    docs = [
+        ("d1", {"@schema": "diff://ndim/1.0", "a": "uno", "z": "zzz"}),
+        ("f1", {"@schema": "diff://nfact/1.0", "ra": "uno"}),
+        # zzz exists only in the zk world → must be stale via refers_to pk
+        ("f2", {"@schema": "diff://nfact/1.0", "ra": "zzz"}),
+    ]
+    ref = reference([dim_schema, fact_schema], docs)
+
+    dspec = TableSpec(
+        name="ndim", row_id="rid",
+        primary_keys=[KeySpec(("a",), name="pk"), KeySpec(("z",), name="zk")],
+    )
+    fspec = TableSpec(
+        name="nfact", row_id="rid",
+        foreign_keys=[ForeignKeySpec(("ra",), ref_table="ndim", refers_to="pk")],
+    )
+    ddf = spark.createDataFrame([("d1", "uno", "zzz")], "rid string, a string, z string")
+    fdf = spark.createDataFrame([("f1", "uno"), ("f2", "zzz")], "rid string, ra string")
+    got = engine_reasons(spark, [dspec, fspec], {"ndim": ddf, "nfact": fdf},
+                         ["d1", "f1", "f2"])
+    assert ref == got == {"d1": [], "f1": [], "f2": ["stale_fk"]}
+
+
+def test_diff_join_keys_index(spark, reference):
+    dim_schema = {
+        "$id": "diff://jdim/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "properties": {"code": {"type": "string", "index": True}},
+    }
+    fact_schema = {
+        "$id": "diff://jfact/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "join_keys": [{"schema_id": "diff://jdim/1.0", "members": ["rc"]}],
+        "properties": {"rc": {"type": "string"}},
+    }
+    docs = [
+        ("d1", {"@schema": "diff://jdim/1.0", "code": "A"}),
+        ("d2", {"@schema": "diff://jdim/1.0", "code": "A"}),  # dup: no error
+        ("f1", {"@schema": "diff://jfact/1.0", "rc": "A"}),
+        ("f2", {"@schema": "diff://jfact/1.0", "rc": "C"}),
+    ]
+    ref = reference([dim_schema, fact_schema], docs)
+
+    dspec = TableSpec(
+        name="jdim", row_id="rid", indexes=[KeySpec(("code",))]
+    )
+    fspec = TableSpec(
+        name="jfact", row_id="rid",
+        join_keys=[ForeignKeySpec(("rc",), ref_table="jdim")],
+    )
+    ddf = spark.createDataFrame([("d1", "A"), ("d2", "A")], "rid string, code string")
+    fdf = spark.createDataFrame([("f1", "A"), ("f2", "C")], "rid string, rc string")
+    got = engine_reasons(spark, [dspec, fspec], {"jdim": ddf, "jfact": fdf},
+                         ["d1", "d2", "f1", "f2"])
+    # reference QUIRK: join-key misses report stale_fk, not the
+    # declared stale_jk (fk_check.py:378,440 hardcode the string)
+    assert ref == got == {"d1": [], "d2": [], "f1": [], "f2": ["stale_fk"]}
+
+
+def test_diff_compound_fk(spark, reference):
+    dim_schema = {
+        "$id": "diff://cdim/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "primary_key": ["a", "b"],
+        "properties": {"a": {"type": "string"}, "b": {"type": "string"}},
+    }
+    fact_schema = {
+        "$id": "diff://cfact/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "foreign_keys": [
+            {"schema_id": "diff://cdim/1.0", "members": ["ra", "rb"]}
+        ],
+        "properties": {"ra": {"type": "string"}, "rb": {"type": "string"}},
+    }
+    docs = [
+        ("d1", {"@schema": "diff://cdim/1.0", "a": "uno", "b": "diez"}),
+        ("f1", {"@schema": "diff://cfact/1.0", "ra": "uno", "rb": "diez"}),
+        ("f2", {"@schema": "diff://cfact/1.0", "ra": "siete", "rb": "setenta"}),
+    ]
+    ref = reference([dim_schema, fact_schema], docs)
+
+    dspec = TableSpec(name="cdim", row_id="rid", primary_keys=[KeySpec(("a", "b"))])
+    fspec = TableSpec(
+        name="cfact", row_id="rid",
+        foreign_keys=[ForeignKeySpec(("ra", "rb"), ref_table="cdim")],
+    )
+    ddf = spark.createDataFrame([("d1", "uno", "diez")], "rid string, a string, b string")
+    fdf = spark.createDataFrame(
+        [("f1", "uno", "diez"), ("f2", "siete", "setenta")],
+        "rid string, ra string, rb string",
+    )
+    got = engine_reasons(spark, [dspec, fspec], {"cdim": ddf, "cfact": fdf},
+                         ["d1", "f1", "f2"])
+    assert ref == got == {"d1": [], "f1": [], "f2": ["stale_fk"]}
+
+
 def test_diff_int_str_key_distinctness(spark, reference):
     dim_schema = {
         "$id": "diff://idim/1.0",

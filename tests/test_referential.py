@@ -217,8 +217,10 @@ def test_f9_join_keys_index(spark):
         [("f1", "A"), ("f2", "C")], "row_id string, ref_code string"
     )
     res = ValidationEngine([dim, fact]).validate({"dim9": ddf, "fact9": fdf})
+    # reason is stale_fk even for join keys — reference hardcode quirk
+    # (fk_check.py:378,440), verified differentially
     assert viol_set(res.violations) == {
-        ("jk:fact9.ref_code->dim9", "stale_jk", "f2", "C")
+        ("jk:fact9.ref_code->dim9", "stale_fk", "f2", "C")
     }
 
 
