@@ -395,6 +395,25 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured documents: extract a member from a JSON payload
+    column (⇔ the reference's per-document JSON parsing + member
+    extraction) and validate it alongside plain columns."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object(F.col("props"), "$.k").cast("long")
+    )
+    spec = TableSpec(
+        name="events",
+        row_id="event_id",
+        checks=[
+            ColumnCheck(column="k", required=True, minimum=10),
+            ColumnCheck(column="event_type", enum=("click", "view", "purchase", "signup")),
+        ],
+    )
+    res = ValidationEngine([spec]).validate({"events": ev})
+    return _viol(res)
+
+
 def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated per-group quantiles (sort-based percentile;
     the scale path is tdigest.quantile_sketch, benched separately)."""
@@ -552,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
+        "events_json": q_events_json,
         "quantiles_exact": q_quantiles_exact,
         "salted_counts": q_salted_counts,
         "simhash_pairs": q_simhash_pairs,
@@ -896,6 +916,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(vec_id AS BIGINT) AS doc_a,
                    CAST(vec_id + 100000 AS BIGINT) AS doc_b
             FROM embeddings WHERE vec_id < 20
+        """,
+        "events_json": """
+            SELECT 'check:k:minimum' AS constraint_id, 'minimum' AS reason,
+                   CAST(event_id AS VARCHAR) AS row_id,
+                   CAST(json_extract(props, '$.k')::BIGINT AS VARCHAR) AS observed_value
+            FROM events
+            WHERE json_extract(props, '$.k')::BIGINT IS NOT NULL
+              AND NOT (json_extract(props, '$.k')::BIGINT >= 10)
+            UNION ALL
+            SELECT 'check:k:required', 'required', CAST(event_id AS VARCHAR),
+                   CAST(NULL AS VARCHAR)
+            FROM events WHERE json_extract(props, '$.k')::BIGINT IS NULL
+            UNION ALL
+            SELECT 'check:event_type:enum', 'enum', CAST(event_id AS VARCHAR),
+                   event_type
+            FROM events
+            WHERE event_type IS NOT NULL
+              AND event_type NOT IN ('click', 'view', 'purchase', 'signup')
         """,
         "quantiles_exact": """
             SELECT l_returnflag,
