@@ -45,10 +45,11 @@ from .spec import TableSpec, validate_spec_set
 
 @dataclass
 class EngineConfig:
-    # persist key dimensions that are referenced by >1 FK (they are
-    # re-scanned per join otherwise)
-    persist_shared_dims: bool = True
-    # providers are literal/small → force broadcast on their joins
+    # providers are literal/small → force broadcast on their joins.
+    # Deliberately NO dim-persist option: PK dims can be as large as
+    # the table (distinct image_ids at 10^12 rows) — caching them is a
+    # scale hazard; Catalyst reuses the scan and AQE broadcasts small
+    # dims at runtime, which is the right default.
     broadcast_provider_dims: bool = True
 
 

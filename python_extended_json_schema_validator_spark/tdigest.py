@@ -144,7 +144,7 @@ def quantile_sketch(
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.concatenate([np.asarray(x) for x in pdf["__means"]])
         w = np.concatenate([np.asarray(x) for x in pdf["__weights"]])
-        m, w = _compress(m, w, 2 * 128)
+        m, w = _compress(m, w, 2 * max_centroids)
         vals = _quantiles(m, w, probs)
         row = {g: [k] for g, k in zip(gcols, key)}
         for p, v in zip(probs, vals):

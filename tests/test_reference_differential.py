@@ -57,21 +57,30 @@ def reference(tmp_path_factory):
 
     import json
 
-    def run(schemas: list, docs: list):
+    def run(schemas: list, docs: list, config: dict = {}, warm_up: bool = False):
         """schemas: list of schema dicts; docs: list of (name, dict).
-        → {file: sorted list of error reasons}"""
+        → {file: sorted list of error reasons}
+        warm_up ⇔ the CLI's --warm-up: the inline provider only takes
+        effect after an eager warmUpCaches (pk_check.py's inline path
+        sets gotIdsSet but doPopulate only becomes non-None via
+        cleanup() after a prior warm-up — lazy mode silently skips
+        provider population)."""
         d = tmp_path_factory.mktemp("schemas")
         for i, s in enumerate(schemas):
             (d / f"s{i}.json").write_text(json.dumps(s))
-        ev = ExtensibleValidator()
+        ev = ExtensibleValidator(config=config)
         n = ev.loadJSONSchemas(str(d))
         assert n == len(schemas), "reference failed to load schemas"
+        if warm_up:
+            ev.warmUpCaches()
         entries = [{"file": name, "json": doc, "errors": []} for name, doc in docs]
         out = ev.jsonValidate(*entries)
-        return {
-            e["file"]: sorted(err["reason"] or "schema_error" for err in e["errors"])
-            for e in out
-        }
+        agg: dict = {}
+        for e in out:
+            agg.setdefault(e["file"], []).extend(
+                err["reason"] or "schema_error" for err in e["errors"]
+            )
+        return {k: sorted(v) for k, v in agg.items()}
 
     return run
 
@@ -322,6 +331,99 @@ def test_diff_compound_fk(spark, reference):
     got = engine_reasons(spark, [dspec, fspec], {"cdim": ddf, "cfact": fdf},
                          ["d1", "f1", "f2"])
     assert ref == got == {"d1": [], "f1": [], "f2": ["stale_fk"]}
+
+
+def test_diff_inline_provider(spark, reference):
+    """fk_with_inline scenario: the dim schema has NO documents; PK
+    values come from the inline provider config."""
+    dim_schema = {
+        "$id": "diff://pdim/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "primary_key": ["a", "b"],
+        "properties": {"a": {"type": "string"}, "b": {"type": "string"}},
+    }
+    fact_schema = {
+        "$id": "diff://pfact/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "foreign_keys": [
+            {"schema_id": "diff://pdim/1.0", "members": ["ra", "rb"]}
+        ],
+        "properties": {"ra": {"type": "string"}, "rb": {"type": "string"}},
+    }
+    docs = [
+        ("f1", {"@schema": "diff://pfact/1.0", "ra": "uno", "rb": "diez"}),
+        ("f2", {"@schema": "diff://pfact/1.0", "ra": "dos", "rb": "20"}),
+    ]
+    config = {
+        "primary_key": {
+            "inline_provider": {
+                "diff://pdim/1.0": [["uno", "diez"], ["dos", "veinte"]]
+            }
+        }
+    }
+    ref = reference([dim_schema, fact_schema], docs, config=config, warm_up=True)
+
+    from python_extended_json_schema_validator_spark.providers import InlineProvider
+
+    dspec = TableSpec(name="pdim", row_id="rid", primary_keys=[KeySpec(("a", "b"))])
+    fspec = TableSpec(
+        name="pfact", row_id="rid",
+        foreign_keys=[ForeignKeySpec(("ra", "rb"), ref_table="pdim")],
+    )
+    prov = InlineProvider(table="pdim", keys=[("uno", "diez"), ("dos", "veinte")])
+    fdf = spark.createDataFrame(
+        [("f1", "uno", "diez"), ("f2", "dos", "20")],
+        "rid string, ra string, rb string",
+    )
+    res = ValidationEngine([dspec, fspec], providers=[prov]).validate({"pfact": fdf})
+    rows = res.violations.collect()
+    got = {"f1": [], "f2": []}
+    for r in rows:
+        got[r.row_id].append(r.reason)
+    assert ref == got == {"f1": [], "f2": ["stale_fk"]}
+
+
+def test_diff_limit_scope(spark, reference):
+    """limit_scope: uniqueness scoped per source file — two docs with
+    the same key in DIFFERENT files are fine; in the SAME file they
+    duplicate.  (No reference test-data covers this; differential run
+    is the ground truth.)"""
+    schema = {
+        "$id": "diff://scoped/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "properties": {
+            "local_id": {
+                "type": "string",
+                "unique": {"members": True, "limit_scope": True},
+            }
+        },
+    }
+    docs = [
+        ("fileA", {"@schema": "diff://scoped/1.0", "local_id": "uno"}),
+        ("fileB", {"@schema": "diff://scoped/1.0", "local_id": "uno"}),
+        ("fileA", {"@schema": "diff://scoped/1.0", "local_id": "uno"}),
+    ]
+    ref = reference([schema], docs)
+
+    spec = TableSpec(
+        name="t", row_id="rid", scope_col="part",
+        unique=[KeySpec(("local_id",), limit_scope=True)],
+    )
+    df = spark.createDataFrame(
+        [("fileA", "r1", "uno"), ("fileB", "r2", "uno"), ("fileA", "r3", "uno")],
+        "part string, rid string, local_id string",
+    )
+    res = ValidationEngine([spec]).validate({"t": df})
+    rows = res.violations.collect()
+    # compare per-scope reason multisets (the reference blames by file)
+    got = {"fileA": [], "fileB": []}
+    scope_of = {"r1": "fileA", "r2": "fileB", "r3": "fileA"}
+    for r in rows:
+        got[scope_of[r.row_id]].append(r.reason)
+    assert ref == got == {"fileA": ["dup_unique"], "fileB": []}
 
 
 def test_diff_int_str_key_distinctness(spark, reference):
