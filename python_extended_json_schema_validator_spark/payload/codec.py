@@ -39,12 +39,46 @@ LOSSY = {"jpeg", "webp"}
 _HDR = struct.Struct("<4sBHHQI")
 
 
+# counter-based pixel generator (murmur3 32-bit finalizer): fully
+# vectorizable with NO per-image RNG-object construction (a numpy
+# Philox Generator costs ~50µs/image just to set up — measured) and
+# 32-bit ops throughout (this numpy build's uint64 multiply is a ~45x
+# slower scalar path — measured).  image_checks batches the generation
+# across every image in an Arrow batch in one pass.
+_GOLD32 = np.uint32(2654435761)
+_C1 = np.uint32(0x85EBCA6B)
+_C2 = np.uint32(0xC2B2AE35)
+_IDX32 = np.arange(1 << 16, dtype=np.uint32)  # covers any w*h*3 here
+
+
+def _mix32(x: np.ndarray) -> np.ndarray:
+    x = x.copy()
+    x ^= x >> np.uint32(16)
+    x *= _C1
+    x ^= x >> np.uint32(13)
+    x *= _C2
+    x ^= x >> np.uint32(16)
+    return x
+
+
+def ref_bytes_flat(counters: np.ndarray) -> np.ndarray:
+    """uint8 stream for an arbitrary uint32 counter array — the
+    batched primitive image_checks uses to regenerate MANY images'
+    reference pixels in one vectorized pass."""
+    return (_mix32(counters) & np.uint32(0xFF)).astype(np.uint8)
+
+
+def seed32(seed: int) -> np.uint32:
+    return np.uint32((seed * 2654435761) & 0xFFFFFFFF)
+
+
 def ref_pixels(seed: int, w: int, h: int) -> np.ndarray:
     """The reference decode: the exact pixel array an uncorrupted
     image with this seed should contain (deterministic, so executors
     can regenerate it without any side data)."""
-    rng = np.random.Generator(np.random.Philox(seed & 0xFFFFFFFFFFFFFFFF))
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    n = w * h * 3
+    counters = _IDX32[:n] + seed32(seed)
+    return ref_bytes_flat(counters).reshape(h, w, 3)
 
 
 def encode(
@@ -58,8 +92,12 @@ def encode(
     a deterministic pixel perturbation (for injecting PSNR failures)."""
     px = ref_pixels(seed, w, h).astype(np.int16)
     if noise_amp:
-        nrng = np.random.Generator(np.random.Philox((seed ^ 0xA5A5A5A5) & 0xFFFFFFFFFFFFFFFF))
-        px = px + nrng.integers(-noise_amp, noise_amp + 1, size=px.shape)
+        n = w * h * 3
+        counters = _IDX32[:n] + seed32(seed ^ 0xA5A5A5A5) + np.uint32(1)
+        noise = (
+            ref_bytes_flat(counters).astype(np.int16) % (2 * noise_amp + 1)
+        ) - noise_amp
+        px = px + noise.reshape(px.shape)
     if fmt in LOSSY:
         px = (px // 4) * 4
     px = np.clip(px, 0, 255).astype(np.uint8)

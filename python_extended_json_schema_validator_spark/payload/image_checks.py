@@ -65,6 +65,8 @@ def payload_violations(
         F.col(fmt_col).cast("string").alias("__fmt"),
     )
 
+    vectorized = decoder is codec.decode and ref is codec.ref_pixels
+
     def check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("constraint_id", "reason", "row_id",
@@ -77,6 +79,9 @@ def payload_violations(
                 out["observed_value"].append(obs)
                 out["path"].append("/bytes")
 
+            # per-image structural pass (header parse + zlib decode) —
+            # collects decoded pixels for one BATCHED psnr computation
+            pix_bufs, pix_rids, pix_seeds, pix_lossy, pix_sizes = [], [], [], [], []
             for rid, buf, dw, dh, dfmt in zip(
                 pdf["__row_id"], pdf["__bytes"], pdf["__w"], pdf["__h"], pdf["__fmt"]
             ):
@@ -91,17 +96,50 @@ def payload_violations(
                 if fmt != dfmt:
                     emit("payload:fmt", "fmt", rid,
                          f"declared={dfmt} actual={fmt}")
-                if px is not None and seed_from_header:
-                    import struct as _s
-
+                if px is None or not seed_from_header:
+                    continue
+                if not vectorized:
+                    # production-decoder seam: per-image reference path
                     seed = codec._HDR.unpack_from(bytes(buf), 0)[4]
                     expected = ref(seed, w, h)
                     if dfmt in codec.LOSSY or fmt in codec.LOSSY:
-                        expected = np.clip((expected.astype(np.int16) // 4) * 4,
-                                           0, 255).astype(np.uint8)
+                        expected = (expected & np.uint8(0xFC))
                     p = codec.psnr(px, expected)
                     if p < psnr_min:
                         emit("payload:psnr", "psnr", rid, f"{p:.1f}dB")
+                    continue
+                pix_bufs.append(px.reshape(-1))
+                pix_rids.append(rid)
+                pix_seeds.append(codec._HDR.unpack_from(bytes(buf), 0)[4])
+                pix_lossy.append(dfmt in codec.LOSSY or fmt in codec.LOSSY)
+                pix_sizes.append(px.size)
+
+            if pix_bufs:
+                # ONE vectorized pass over every decoded pixel in the
+                # batch: regenerate all reference pixels with the
+                # 32-bit counter generator, quantize the lossy ones,
+                # reduce squared error per image with add.reduceat
+                flat = np.concatenate(pix_bufs)
+                sizes = np.asarray(pix_sizes, dtype=np.int64)
+                offsets = np.zeros(len(sizes), dtype=np.int64)
+                np.cumsum(sizes[:-1], out=offsets[1:])
+                seeds = np.asarray(
+                    [codec.seed32(s) for s in pix_seeds], dtype=np.uint32
+                )
+                # counter for element j of image i = (j - offset_i) + seed32_i
+                base = np.repeat(seeds - offsets.astype(np.uint32), sizes)
+                counters = np.arange(flat.size, dtype=np.uint32) + base
+                refs = codec.ref_bytes_flat(counters)
+                lossy_mask = np.repeat(np.asarray(pix_lossy), sizes)
+                refs = np.where(lossy_mask, refs & np.uint8(0xFC), refs)
+                d = flat.astype(np.int32) - refs.astype(np.int32)
+                sq_sums = np.add.reduceat(d * d, offsets)
+                mse = sq_sums / sizes
+                with np.errstate(divide="ignore"):
+                    psnr_db = 10.0 * np.log10(255.0 * 255.0 / mse)
+                for i in np.flatnonzero(psnr_db < psnr_min):
+                    emit("payload:psnr", "psnr", pix_rids[i],
+                         f"{psnr_db[i]:.1f}dB")
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(check_batches, schema=VIOLATION_SCHEMA)

@@ -132,7 +132,7 @@ def formats_dim(spark: SparkSession) -> DataFrame:
 
 
 def materialize_images(
-    spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/spark_graft_images"
+    spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/spark_graft_images_v2"
 ) -> DataFrame:
     """Generate-once, validate-many: writes the synthetic image table
     for this sf to parquet (partitioned by ``part``) and returns a

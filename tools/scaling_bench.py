@@ -20,7 +20,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DATA = "/tmp/spark_graft_scaling/images"
+DATA = "/tmp/spark_graft_scaling_v2/images"
 
 GEN = r"""
 import sys
