@@ -104,6 +104,15 @@ def main() -> int:
     images_per_sec = (
         round(n_images / timings["image_suite"], 1) if "image_suite" in timings else None
     )
+    # at sf0.1 the image table is only 20k rows, so images/sec is
+    # overhead-bound; surface the 1.5M-image scaling-run throughput
+    # (tools/scaling_bench.py, BENCH_SCALING.json) when available
+    scaling = None
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            scaling = json.load(f)
     print(
         json.dumps(
             {
@@ -115,6 +124,7 @@ def main() -> int:
                 "cpus": args.cpus,
                 "n_images": n_images,
                 "images_per_sec": images_per_sec,
+                "scaling_run": scaling,
                 "violation_rows": rows,
             }
         )
