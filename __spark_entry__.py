@@ -49,7 +49,11 @@ def _viol(res) -> DataFrame:
 
 
 def q_row_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 battery over part: minimum/maximum/enum/maxLength."""
+    """P4 battery over part: minimum/maximum/enum/maxLength +
+    exclusive bounds, const, pattern, minItems (derived array col)."""
+    part = _t(spark, sf_dir, "part").withColumn(
+        "name_words", F.split(F.col("p_name"), " ")
+    )
     spec = TableSpec(
         name="part",
         row_id="p_partkey",
@@ -57,9 +61,12 @@ def q_row_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ColumnCheck(column="p_size", minimum=5, maximum=45),
             ColumnCheck(column="p_brand", enum=tuple(f"Brand#{i}" for i in range(1, 25))),
             ColumnCheck(column="p_name", max_length=11, required=True),
+            ColumnCheck(column="p_retailprice", exclusive_minimum=910.0),
+            ColumnCheck(column="p_type", pattern="^[A-Z]+$"),
+            ColumnCheck(column="name_words", min_items=2),
         ],
     )
-    res = ValidationEngine([spec]).validate({"part": _t(spark, sf_dir, "part")})
+    res = ValidationEngine([spec]).validate({"part": part})
     return _viol(res)
 
 
@@ -395,6 +402,48 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 schema dispatch: a mixed-schema document table routed to
+    per-schema plans via the _schema probe; no_id / schema_unknown
+    routing errors included."""
+    from python_extended_json_schema_validator_spark.dispatch import SchemaDispatcher
+
+    nation = _t(spark, sf_dir, "nation").select(
+        F.lit("geo/nation").alias("_schema"),
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("file"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("long").alias("rk"),
+    )
+    region = _t(spark, sf_dir, "region").select(
+        F.lit("geo/region").alias("_schema"),
+        F.concat(F.lit("r"), F.col("r_regionkey")).alias("file"),
+        F.col("r_name").alias("name"),
+        F.lit(None).cast("long").alias("rk"),
+    )
+    strays = spark.createDataFrame(
+        [(None, "x0", "noid", 0), ("ghost", "x1", "lost", 0)],
+        "_schema string, file string, name string, rk long",
+    )
+    docs = nation.unionByName(region).unionByName(strays)
+    disp = SchemaDispatcher(
+        {
+            "geo/nation": TableSpec(
+                name="geo/nation", row_id="file",
+                checks=[
+                    ColumnCheck(column="name", required=True),
+                    ColumnCheck(column="rk", maximum=3),
+                ],
+            ),
+            "geo/region": TableSpec(
+                name="geo/region", row_id="file",
+                checks=[ColumnCheck(column="name", min_length=5)],
+            ),
+        },
+        row_id="file",
+    )
+    return disp.validate(docs).select(*VIOL_COLS)
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured documents: extract a member from a JSON payload
     column (⇔ the reference's per-document JSON parsing + member
@@ -571,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
+        "dispatch": q_dispatch,
         "events_json": q_events_json,
         "quantiles_exact": q_quantiles_exact,
         "salted_counts": q_salted_counts,
@@ -606,6 +656,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'check:p_name:required', 'required', CAST(p_partkey AS VARCHAR), CAST(NULL AS VARCHAR)
             FROM part WHERE p_name IS NULL
+            UNION ALL
+            SELECT 'check:p_retailprice:exclusiveMinimum', 'exclusiveMinimum',
+                   CAST(p_partkey AS VARCHAR), CAST(p_retailprice AS VARCHAR)
+            FROM part WHERE p_retailprice IS NOT NULL AND NOT (p_retailprice > 910.0)
+            UNION ALL
+            SELECT 'check:p_type:pattern', 'pattern', CAST(p_partkey AS VARCHAR), p_type
+            FROM part WHERE p_type IS NOT NULL AND NOT regexp_matches(p_type, '^[A-Z]+$')
+            UNION ALL
+            SELECT 'check:name_words:minItems', 'minItems', CAST(p_partkey AS VARCHAR),
+                   '[' || replace(p_name, ' ', ', ') || ']'
+            FROM part
+            WHERE p_name IS NOT NULL
+              AND len(string_split(p_name, ' ')) < 2
         """,
         "unique_atomic": """
             SELECT 'unique:o_custkey' AS constraint_id, 'dup_unique' AS reason,
@@ -916,6 +979,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(vec_id AS BIGINT) AS doc_a,
                    CAST(vec_id + 100000 AS BIGINT) AS doc_b
             FROM embeddings WHERE vec_id < 20
+        """,
+        "dispatch": """
+            SELECT 'dispatch' AS constraint_id, 'no_id' AS reason,
+                   'x0' AS row_id, CAST(NULL AS VARCHAR) AS observed_value
+            UNION ALL
+            SELECT 'dispatch', 'schema_unknown', 'x1', 'ghost'
+            UNION ALL
+            SELECT 'check:rk:maximum', 'maximum',
+                   'n' || CAST(n_nationkey AS VARCHAR),
+                   CAST(CAST(n_regionkey AS BIGINT) AS VARCHAR)
+            FROM nation
+            WHERE n_regionkey IS NOT NULL AND NOT (n_regionkey <= 3)
+            UNION ALL
+            SELECT 'check:name:minLength', 'minLength',
+                   'r' || CAST(r_regionkey AS VARCHAR), r_name
+            FROM region
+            WHERE r_name IS NOT NULL AND NOT (LENGTH(r_name) >= 5)
         """,
         "events_json": """
             SELECT 'check:k:minimum' AS constraint_id, 'minimum' AS reason,

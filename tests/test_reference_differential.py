@@ -385,6 +385,45 @@ def test_diff_inline_provider(spark, reference):
     assert ref == got == {"f1": [], "f2": ["stale_fk"]}
 
 
+def test_diff_provider_duplicates_flag(spark, reference):
+    """allow_provider_duplicates semantics: with the flag OFF, a
+    document repeating a provider key is a dup_pk; with it ON the
+    provider world is a shadow only the FK pass sees."""
+    dim_schema = {
+        "$id": "diff://sdim/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "properties": {"a": {"type": "string", "primary_key": True}},
+    }
+    docs = [("d1", {"@schema": "diff://sdim/1.0", "a": "uno"})]
+    base = {"inline_provider": {"diff://sdim/1.0": ["uno"]}}
+
+    ref_strict = reference(
+        [dim_schema], docs, config={"primary_key": dict(base)}, warm_up=True
+    )
+    ref_lax = reference(
+        [dim_schema],
+        docs,
+        config={"primary_key": {**base, "allow_provider_duplicates": True}},
+        warm_up=True,
+    )
+
+    from python_extended_json_schema_validator_spark.providers import InlineProvider
+
+    spec = TableSpec(name="sdim", row_id="rid", primary_keys=[KeySpec(("a",))])
+    df = spark.createDataFrame([("d1", "uno")], "rid string, a string")
+
+    def run(allow):
+        prov = InlineProvider(table="sdim", keys=["uno"], allow_duplicates=allow)
+        res = ValidationEngine([spec], providers=[prov]).validate({"sdim": df})
+        return sorted(r.reason for r in res.violations.collect())
+
+    assert ref_strict == {"d1": ["dup_pk"]}
+    assert run(False) == ["dup_pk"]
+    assert ref_lax == {"d1": []}
+    assert run(True) == []
+
+
 def test_diff_limit_scope(spark, reference):
     """limit_scope: uniqueness scoped per source file — two docs with
     the same key in DIFFERENT files are fine; in the SAME file they
