@@ -95,6 +95,104 @@ class PartitionManifest:
         return rid
 
 
+@dataclass
+class KeyLedger:
+    """Persistent canonical-key dimensions for CROSS-INCREMENT
+    uniqueness: the Spark analogue of the reference's key worlds
+    surviving across files within one run (index_check.py:79-80),
+    extended across *runs* for resumable validation.
+
+    Layout: one parquet dir per (table, key label) holding a single
+    `__key string` column, append-only (compact offline when it grows
+    fragmented).  An increment's rows whose key already exists in the
+    ledger are duplicates of PRIOR increments; the increment's own
+    keys are then appended."""
+
+    root: str
+
+    def _path(self, table: str, label: str) -> str:
+        safe = label.replace("/", "_").replace(",", "+")
+        return f"{self.root}/{table}/{safe}"
+
+    def dim(self, spark: SparkSession, table: str, label: str):
+        p = self._path(table, label)
+        if not os.path.exists(p):
+            return None
+        # pin the EXPLICIT file list: parquet relations re-list their
+        # directory on re-execution, so a directory-path read could see
+        # files appended after this dim was taken (the increment would
+        # collide with itself on any plan recomputation)
+        files = sorted(
+            f"{p}/{f}" for f in os.listdir(p) if f.endswith(".parquet")
+        )
+        if not files:
+            return None
+        return spark.read.schema("__key string").parquet(*files).distinct()
+
+    def record(self, keys_df: DataFrame, table: str, label: str) -> None:
+        """Append this increment's distinct keys (caller must have
+        already materialized any violations that read the ledger)."""
+        keys_df.select("__key").distinct().write.mode("append").parquet(
+            self._path(table, label)
+        )
+
+
+def cross_increment_dup_violations(
+    df: DataFrame,
+    spec,
+    ledger: KeyLedger,
+    update: bool = True,
+) -> DataFrame:
+    """Duplicate violations of this increment's rows against keys
+    recorded by PRIOR increments, for every unique/pk declaration of
+    ``spec``; then (optionally) records this increment's keys.
+
+    IMPORTANT: the returned violations are persisted + materialized
+    before the ledger is updated — otherwise the append would make the
+    increment collide with itself."""
+    from . import errors
+    from .checks import row_checks, uniqueness
+
+    spark = df.sparkSession
+    compiled = row_checks.compile_battery(spec.checks)
+    survivors = df.where(row_checks.pass1_ok(compiled)) if compiled else df
+
+    decls = [("unique", errors.DUP_UNIQUE, ks) for ks in spec.unique] + [
+        ("pk", errors.DUP_PK, ks) for ks in spec.primary_keys
+    ]
+    frames = []
+    keyed_by_label = {}
+    for prefix, reason, ks in decls:
+        keyed = uniqueness.keyed(survivors, spec, ks)
+        keyed_by_label[(prefix, ks.label)] = keyed
+        prior = ledger.dim(spark, spec.name, ks.label)
+        if prior is None:
+            continue
+        frames.append(
+            keyed.join(prior, "__key", "left_semi")
+            .select(
+                F.lit(f"{prefix}:{ks.label}").alias("constraint_id"),
+                F.lit(reason).alias("reason"),
+                F.col("__row_id").alias("row_id"),
+                F.col("__observed").alias("observed_value"),
+                F.lit("/" + ",".join(ks.members)).alias("path"),
+            )
+        )
+    if frames:
+        viol = reduce(lambda a, b: a.unionByName(b), frames).persist()
+        viol.count()  # materialize BEFORE the ledger grows
+    else:
+        viol = spark.createDataFrame(
+            [],
+            "constraint_id string, reason string, row_id string, "
+            "observed_value string, path string",
+        )
+    if update:
+        for (prefix, label), keyed in keyed_by_label.items():
+            ledger.record(keyed, spec.name, label)
+    return viol
+
+
 def partition_metrics(
     df: DataFrame,
     violations: DataFrame,
@@ -141,21 +239,27 @@ def run_resumable(
     scope_col: str = "part",
     row_id: str = "image_id",
     run_id: Optional[str] = None,
+    key_ledger: Optional[KeyLedger] = None,
 ):
     """One resumable validation increment over the north-star table:
     validates only pending partitions, records their lineage/metrics,
     returns (violations_df, metrics_df, run_id).
 
-    Semantics note: uniqueness/referential constraints are evaluated
-    WITHIN the pending increment (cross-increment duplicates need the
-    key dimensions persisted — see key_dimension — exactly as the
-    reference's key worlds persist across files within one run)."""
-    from .payload.validate import validate_images
+    Uniqueness semantics: within-increment duplicates always flag;
+    with ``key_ledger`` set, keys recorded by prior increments also
+    flag (cross-increment uniqueness — the persistent form of the
+    reference's key worlds) and this increment's keys are recorded."""
+    from .payload.validate import image_table_spec, validate_images
 
     pending = manifest.filter_pending(images, scope_col)
     # violations are consumed twice (metrics + caller) and are tiny
     # relative to the input — persist instead of re-validating
     violations = validate_images(pending, formats).persist()
+    if key_ledger is not None:
+        ledger_viol = cross_increment_dup_violations(
+            pending, image_table_spec(), key_ledger
+        )
+        violations = violations.unionByName(ledger_viol).persist()
     metrics = partition_metrics(pending, violations, row_id, scope_col)
     rid = manifest.record(metrics, run_id=run_id)
     return violations, metrics, rid

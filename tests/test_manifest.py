@@ -57,6 +57,59 @@ def test_failed_partitions_are_retried(spark, manifest):
     assert parts == {"p0"}
 
 
+def test_cross_increment_uniqueness(spark):
+    """Keys recorded by increment 1 flag duplicates arriving in
+    increment 2 (persistent key worlds)."""
+    import tempfile as tf
+
+    from python_extended_json_schema_validator_spark.manifest import (
+        KeyLedger,
+        cross_increment_dup_violations,
+    )
+    from python_extended_json_schema_validator_spark.payload.validate import (
+        image_table_spec,
+    )
+
+    with tf.TemporaryDirectory() as d:
+        ledger = KeyLedger(root=f"{d}/keys")
+        spec = image_table_spec()
+        inc1 = synth.images_from_range(spark, 100, partitions=2)
+        v1 = cross_increment_dup_violations(inc1, spec, ledger)
+        assert v1.count() == 0  # empty ledger → nothing prior to collide with
+
+        # increment 2 = fresh keys 101..150 PLUS a re-send of 1..10
+        inc2 = synth.images_from_range(spark, 150, partitions=2).where(
+            "image_id > 'img00000100' or image_id <= 'img00000010'"
+        )
+        v2 = cross_increment_dup_violations(inc2, spec, ledger)
+        got = {(r.constraint_id, r.row_id) for r in v2.collect()}
+        # the 10 re-sent image_ids and their phashes collide with inc1
+        assert ("pk:image_id", "img00000001") in got
+        assert len([g for g in got if g[0] == "pk:image_id"]) == 10
+        assert len([g for g in got if g[0] == "unique:phash"]) == 10
+
+        # a third identical increment still flags (ledger grew, idempotent read)
+        v3 = cross_increment_dup_violations(inc2, spec, ledger, update=False)
+        assert v3.where("constraint_id = 'pk:image_id'").count() >= 10
+
+
+def test_run_resumable_with_ledger(spark):
+    import tempfile as tf
+
+    from python_extended_json_schema_validator_spark.manifest import KeyLedger
+
+    with tf.TemporaryDirectory() as d:
+        manifest = PartitionManifest(path=f"{d}/manifest")
+        ledger = KeyLedger(root=f"{d}/keys")
+        images = synth.images_from_range(spark, 100, partitions=2).cache()
+        formats = synth.formats_dim(spark)
+        v1, m1, _ = run_resumable(images, formats, manifest, key_ledger=ledger)
+        n1 = v1.count()
+        # same table again: everything completed → nothing pending, no dups
+        v2, m2, _ = run_resumable(images, formats, manifest, key_ledger=ledger)
+        assert v2.count() == 0 and m2.count() == 0
+
+
 def test_partition_metrics_counts(spark):
     images = synth.images_from_range(spark, 200, partitions=4)
     from python_extended_json_schema_validator_spark.payload.validate import (
