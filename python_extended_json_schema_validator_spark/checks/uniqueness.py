@@ -51,22 +51,69 @@ def keyed(df: DataFrame, spec: TableSpec, ks: KeySpec) -> DataFrame:
 
 
 def dup_violations(
-    df: DataFrame, spec: TableSpec, ks: KeySpec, reason: str, cid_prefix: str
+    df: DataFrame,
+    spec: TableSpec,
+    ks: KeySpec,
+    reason: str,
+    cid_prefix: str,
+    strategy: str = "window",
 ) -> DataFrame:
     """Duplicate-key violations: every row after the min-row_id
-    survivor.  reason ∈ {dup_unique, dup_pk}."""
+    survivor.  reason ∈ {dup_unique, dup_pk}.
+
+    strategy='window' (default): one shuffle + per-key sort
+    (row_number).  Simple, but a pathologically hot key sorts in one
+    partition.
+
+    strategy='agg': skew-proof — groupBy(key, row_id) count, then
+    groupBy(key) min/total (both hash aggregations with map-side
+    partial combine; no per-key sort anywhere), join back the dup keys
+    (AQE broadcasts — dup keys are few), emit (count - 1{survivor})
+    copies per (key, row_id) via explode.  Identical output multiset
+    to the window strategy (parity-tested), bounded partition state at
+    ANY key skew.
+    """
     cid = f"{cid_prefix}:{ks.label}"
+    path = F.lit("/" + ",".join(ks.members)).alias("path")
+    k = keyed(df, spec, ks)
+
+    if strategy == "agg":
+        per_rid = k.groupBy("__key", "__row_id").agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.first("__observed").alias("__observed"),
+        )
+        per_key = per_rid.groupBy("__key").agg(
+            F.sum("__c").alias("__total"), F.min("__row_id").alias("__survivor")
+        )
+        dup_keys = per_key.where(F.col("__total") > 1)
+        blamed = (
+            per_rid.join(dup_keys, "__key")
+            .withColumn(
+                "__n",
+                F.col("__c")
+                - F.when(F.col("__row_id") == F.col("__survivor"), 1).otherwise(0),
+            )
+            .where(F.col("__n") > 0)
+        )
+        return blamed.select(
+            F.lit(cid).alias("constraint_id"),
+            F.lit(reason).alias("reason"),
+            F.col("__row_id").alias("row_id"),
+            F.col("__observed").alias("observed_value"),
+            path,
+            F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("__i"),
+        ).drop("__i")
+
     w = Window.partitionBy("__key").orderBy("__row_id")
     return (
-        keyed(df, spec, ks)
-        .withColumn("__rn", F.row_number().over(w))
+        k.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") > 1)
         .select(
             F.lit(cid).alias("constraint_id"),
             F.lit(reason).alias("reason"),
             F.col("__row_id").alias("row_id"),
             F.col("__observed").alias("observed_value"),
-            F.lit("/" + ",".join(ks.members)).alias("path"),
+            path,
         )
     )
 

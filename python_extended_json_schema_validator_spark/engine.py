@@ -51,6 +51,10 @@ class EngineConfig:
     # scale hazard; Catalyst reuses the scan and AQE broadcasts small
     # dims at runtime, which is the right default.
     broadcast_provider_dims: bool = True
+    # 'window' (per-key sort; simple) or 'agg' (skew-proof two-level
+    # hash aggregation — identical outputs, bounded partition state at
+    # any key skew; see uniqueness.dup_violations)
+    dedup_strategy: str = "window"
 
 
 @dataclass
@@ -191,13 +195,17 @@ class ValidationEngine:
             for ks in spec.unique:
                 kv.append(
                     uniqueness.dup_violations(
-                        df, spec, ks, errors.DUP_UNIQUE, "unique"
+                        df, spec, ks, errors.DUP_UNIQUE, "unique",
+                        strategy=self.config.dedup_strategy,
                     )
                 )
             shadow = self._provider_shadow(spark, name)
             for ks in spec.primary_keys:
                 kv.append(
-                    uniqueness.dup_violations(df, spec, ks, errors.DUP_PK, "pk")
+                    uniqueness.dup_violations(
+                        df, spec, ks, errors.DUP_PK, "pk",
+                        strategy=self.config.dedup_strategy,
+                    )
                 )
                 # non-shadow provider keys count as pre-recorded → any
                 # surviving row matching one is a duplicate

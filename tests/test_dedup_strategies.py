@@ -1,0 +1,100 @@
+"""Parity between the window and skew-proof agg dedup strategies:
+identical violation MULTISETS on data with duplicate keys, duplicate
+row_ids (the blame-the-survivor-copy case), scoped keys, and on real
+testdata."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_extended_json_schema_validator_spark import (
+    EngineConfig,
+    KeySpec,
+    TableSpec,
+    ValidationEngine,
+)
+from python_extended_json_schema_validator_spark.checks import uniqueness
+
+
+def multiset(df):
+    return Counter(
+        (r.constraint_id, r.reason, r.row_id, r.observed_value)
+        for r in df.collect()
+    )
+
+
+CASES = [
+    # (rows, schema, keyspec)
+    (
+        [("r1", "a"), ("r2", "a"), ("r3", "b"), ("r4", "a")],
+        "rid string, k string",
+        KeySpec(("k",)),
+    ),
+    (
+        # duplicate row_ids sharing a key: window blames m-1 copies of
+        # the survivor id; agg must match exactly
+        [("x", "a"), ("x", "a"), ("y", "b"), ("x", "b")],
+        "rid string, k string",
+        KeySpec(("k",)),
+    ),
+    (
+        # NULL members excluded
+        [("r1", None), ("r2", None), ("r3", "c"), ("r4", "c")],
+        "rid string, k string",
+        KeySpec(("k",)),
+    ),
+]
+
+
+@pytest.mark.parametrize("rows,schema,ks", CASES)
+def test_window_agg_parity_synthetic(spark, rows, schema, ks):
+    df = spark.createDataFrame(rows, schema)
+    spec = TableSpec(name="t", row_id="rid", unique=[ks])
+    outs = {}
+    for strat in ("window", "agg"):
+        out = uniqueness.dup_violations(
+            df, spec, ks, "dup_unique", "unique", strategy=strat
+        )
+        outs[strat] = multiset(out)
+    assert outs["window"] == outs["agg"]
+    assert sum(outs["window"].values()) > 0 or rows[0][1] is None
+
+
+def test_window_agg_parity_scoped(spark):
+    df = spark.createDataFrame(
+        [("p1", "r1", "a"), ("p1", "r2", "a"), ("p2", "r3", "a")],
+        "part string, rid string, k string",
+    )
+    spec = TableSpec(
+        name="t", row_id="rid", scope_col="part",
+        unique=[KeySpec(("k",), limit_scope=True)],
+    )
+    outs = {
+        s: multiset(
+            uniqueness.dup_violations(
+                df, spec, spec.unique[0], "dup_unique", "unique", strategy=s
+            )
+        )
+        for s in ("window", "agg")
+    }
+    assert outs["window"] == outs["agg"]
+    assert sum(outs["window"].values()) == 1
+
+
+def test_window_agg_parity_testdata(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").withColumn(
+        "li_id", (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    )
+    spec = TableSpec(
+        name="lineitem", row_id="li_id",
+        primary_keys=[KeySpec(("l_partkey", "l_suppkey"))],
+    )
+    outs = {}
+    for strat in ("window", "agg"):
+        res = ValidationEngine(
+            [spec], config=EngineConfig(dedup_strategy=strat)
+        ).validate({"lineitem": li})
+        outs[strat] = multiset(res.violations)
+    assert outs["window"] == outs["agg"]
+    assert sum(outs["window"].values()) > 100
