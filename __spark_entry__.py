@@ -536,6 +536,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.where(F.col("vec_id") < 20), k=5, bits=8)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: DataFrame-op k-means index + cluster-probed top-k
+    (approximate by design — recall tuned by nprobe; no exact
+    oracle)."""
+    from python_extended_json_schema_validator_spark.pipeline import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, nlist=8, nprobe=3, iters=3
+    )
+
+
 def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable t-digest sketch quantiles (approximate; accuracy
     bounds tested in tests/test_tdigest.py)."""
@@ -628,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         # rows-only (approximate / plumbing — no exact SQL oracle)
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "tdigest_quantiles": q_tdigest_quantiles,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
