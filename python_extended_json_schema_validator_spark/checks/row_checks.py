@@ -54,14 +54,23 @@ def compile_check(check: ColumnCheck) -> List[Tuple[str, str, Column, Column]]:
     cid = f"check:{check.column}"
 
     def add(reason: str, ok: Column, observed: Column = None):
-        # NULL passes everything except `required` (vacuous truth)
+        # NULL passes everything except `required` (vacuous truth).
+        # The outer coalesce pins a three-valued-logic edge: a predicate
+        # that evaluates to NULL (e.g. a sql_predicate touching other
+        # NULL columns) must count as FAILED in BOTH places that consume
+        # it — pass1_ok (revocation) and row_violations (emission) —
+        # otherwise the row would be silently revoked from key/FK worlds
+        # with no recorded violation (~NULL is NULL, so the struct
+        # filter would drop it).
+        pred = F.coalesce(
+            F.when(c.isNull() & F.lit(reason != "required"), F.lit(True)).otherwise(ok),
+            F.lit(False),
+        )
         out.append(
             (
                 f"{cid}:{reason}",
                 reason,
-                F.when(c.isNull() & F.lit(reason != "required"), F.lit(True)).otherwise(
-                    ok
-                ),
+                pred,
                 (observed if observed is not None else c.cast("string")),
             )
         )

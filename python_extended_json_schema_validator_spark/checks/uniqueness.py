@@ -126,8 +126,22 @@ def key_dimension(df: DataFrame, spec: TableSpec, ks: KeySpec) -> DataFrame:
 
     For an ``index`` declaration duplicates are allowed and no
     violations are emitted (index_check.py:295-370) — distinct() is
-    all there is.  Note: limit_scope is intentionally NOT part of the
-    dimension key (the reference's FK probe matches on the unscoped
-    value tuple)."""
-    key, _ = key_columns(ks.members, limit_scope=False, scope_col=None, df=df)
+    all there is.
+
+    ``limit_scope`` IS part of the stored key: the reference registers
+    scoped key strings at index time (index_check.py:346-349 prepends
+    the current file) and the FK probe prepends the probing document's
+    file when the RESOLVED target key is scoped (fk_check.py:405-411
+    ``obtainedValues = ([fkVals.where], *obtainedValues)``), so a
+    cross-file FK to a scoped key is stale there — and here.  The
+    fact-side twin is referential.fk_tuples(scoped=True).  When the
+    table has no scope_col, row_id stands in for the reference's
+    per-document file name."""
+    scope = spec.scope_col or spec.row_id
+    key, _ = key_columns(
+        ks.members,
+        limit_scope=ks.limit_scope,
+        scope_col=scope if ks.limit_scope else None,
+        df=df,
+    )
     return df.select(key.alias("__key")).where(F.col("__key").isNotNull()).distinct()

@@ -150,14 +150,20 @@ class ValidationEngine:
             out.append(p.dimension(spark))
         return out
 
-    def _provider_shadow(self, spark: SparkSession, table: str):
+    def _provider_shadow(self, spark: SparkSession, table: str, key_name):
         """Dims of providers with allow_duplicates=False — these DO
-        participate in duplicate detection (pk_check.py:216-240)."""
-        return [
-            p.dimension(spark)
-            for p in self.providers
-            if p.table == table and not p.allow_duplicates
-        ]
+        participate in duplicate detection (pk_check.py:216-240).
+        Filtered by refers_to exactly like _provider_dims: a provider
+        targeting one named PK must not flag collisions on an
+        unrelated PK of the same table."""
+        out = []
+        for p in self.providers:
+            if p.table != table or p.allow_duplicates:
+                continue
+            if p.refers_to is not None and key_name is not None and p.refers_to != key_name:
+                continue
+            out.append(p.dimension(spark))
+        return out
 
     # -- main --------------------------------------------------------------
 
@@ -184,10 +190,28 @@ class ValidationEngine:
             survivors[name] = df.where(ok) if compiled else df
 
         # ---- key worlds: dup violations + dimensions
-        # named_dims[(table, name)] / any_pk_dims[table] / any_idx_dims[table]
+        # Worlds are confined per join class, like the reference
+        # (fk_check.py:296-327 filters contexts on joinClass before
+        # by_name registration): FKs resolve among the target's PRIMARY
+        # KEYS ("pk"), JKs among its INDEXES ("idx").
+        # named_dims[(table, kclass, name)] → dim DataFrame
+        # named_keys[(table, kclass, name)] → KeySpec (limit_scope)
+        # any_dims[(table, kclass)] → list of dims
+        # pool_scope[(table, kclass)] → limit_scope of the class's
+        #   FIRST declared key (⇔ PKKeys.limit_scope, set from the
+        #   first pkDef with values, fk_check.py:309-317 — declaration
+        #   order stands in for the reference's dict order).
         named_dims: Dict[tuple, DataFrame] = {}
-        any_pk_dims: Dict[str, List[DataFrame]] = {}
-        any_idx_dims: Dict[str, List[DataFrame]] = {}
+        named_keys: Dict[tuple, object] = {}
+        any_dims: Dict[tuple, List[DataFrame]] = {}
+        pool_scope: Dict[tuple, bool] = {}
+
+        def _register(table, kclass, ks, dim):
+            if ks.name is not None:
+                named_dims[(table, kclass, ks.name)] = dim
+                named_keys[(table, kclass, ks.name)] = ks
+            any_dims.setdefault((table, kclass), []).append(dim)
+            pool_scope.setdefault((table, kclass), ks.limit_scope)
 
         for name, df in survivors.items():
             spec = self.specs[name]
@@ -199,7 +223,6 @@ class ValidationEngine:
                         strategy=self.config.dedup_strategy,
                     )
                 )
-            shadow = self._provider_shadow(spark, name)
             for ks in spec.primary_keys:
                 kv.append(
                     uniqueness.dup_violations(
@@ -209,7 +232,7 @@ class ValidationEngine:
                 )
                 # non-shadow provider keys count as pre-recorded → any
                 # surviving row matching one is a duplicate
-                for pdim in shadow:
+                for pdim in self._provider_shadow(spark, name, ks.name):
                     keyed = uniqueness.keyed(df, spec, ks)
                     kv.append(
                         keyed.join(F.broadcast(pdim), "__key", "left_semi").select(
@@ -223,15 +246,11 @@ class ValidationEngine:
                 dim = uniqueness.key_dimension(df, spec, ks)
                 pdims = self._provider_dims(spark, name, ks.name)
                 dim = referential.union_dims([dim, *pdims])
-                if ks.name is not None:
-                    named_dims[(name, ks.name)] = dim
-                any_pk_dims.setdefault(name, []).append(dim)
+                _register(name, "pk", ks, dim)
             for ks in spec.indexes:
                 # index: duplicates allowed, no violations (A3)
                 dim = uniqueness.key_dimension(df, spec, ks)
-                if ks.name is not None:
-                    named_dims[(name, ks.name)] = dim
-                any_idx_dims.setdefault(name, []).append(dim)
+                _register(name, "idx", ks, dim)
             if kv:
                 key_viol[name] = reduce(lambda a, b: a.unionByName(b), kv)
 
@@ -245,18 +264,16 @@ class ValidationEngine:
                 pdims = self._provider_dims(spark, spec.name, ks.name)
                 if pdims:
                     dim = referential.union_dims(pdims)
-                    if ks.name is not None:
-                        named_dims[(spec.name, ks.name)] = dim
-                    any_pk_dims.setdefault(spec.name, []).append(dim)
+                    _register(spec.name, "pk", ks, dim)
 
-        # ---- pass 2: referential anti-joins
+        # ---- pass 2: referential joins
         for name, df in survivors.items():
             spec = self.specs[name]
             rv: List[DataFrame] = []
             for kind, fks in (("fk", spec.foreign_keys), ("jk", spec.join_keys)):
                 for fk in fks:
-                    dim = self._resolve_dim(
-                        fk, kind, named_dims, any_pk_dims, any_idx_dims
+                    dim, pool_dim, scoped = self._resolve_dim(
+                        fk, kind, named_dims, named_keys, any_dims, pool_scope
                     )
                     is_provider_only = fk.ref_table not in survivors
                     rv.append(
@@ -271,6 +288,8 @@ class ValidationEngine:
                                 and is_provider_only
                                 and dim is not None
                             ),
+                            probe_scoped=scoped,
+                            pool_dim=pool_dim,
                         )
                     )
             if rv:
@@ -285,27 +304,32 @@ class ValidationEngine:
             pass1_ok_col=pass1_cols,
         )
 
-    def _resolve_dim(self, fk, kind, named_dims, any_pk_dims, any_idx_dims):
-        """Dimension selection (J2/J3 world lookup):
+    def _resolve_dim(self, fk, kind, named_dims, named_keys, any_dims, pool_scope):
+        """Dimension selection (J2/J3 world lookup) →
+        ``(dim, pool_dim, probe_scoped)``:
 
-        - refers_to → the named dim; if the name was never recorded the
-          dim is an *empty-but-present* world only when the target
-          declares it; a totally unknown name → None is wrong (the
-          reference emits per-row stale "key not found", J4) → we
-          return an empty dim so the anti-join emits stale for all.
+        - refers_to → the named dim of the matching join class; an
+          unknown/undeclared name probes an *empty* world (per-row
+          stale "key not found", fk_check.py:349-389) while the class
+          pool still decides stale vs dangling at runtime.
         - unnamed FK → union of ALL the target's PK dims; unnamed JK →
-          union of ALL the target's index dims (join_check.py binds
-          IndexKey).  No worlds at all → None → dangling.
+          union of ALL its index dims (join_check.py binds IndexKey).
+        - probe_scoped = the RESOLVED key's limit_scope (named:
+          uDef.limit_scope, fk_check.py:390-398; unnamed: the pool's
+          first key, :309-317).
+        - (None, None, False) → no worlds declared/fed at all →
+          statically dangling.
         """
+        kclass = "pk" if kind == "fk" else "idx"
+        pool = any_dims.get((fk.ref_table, kclass), [])
+        pool_dim = referential.union_dims(pool)
         if fk.refers_to is not None:
-            dim = named_dims.get((fk.ref_table, fk.refers_to))
+            dim = named_dims.get((fk.ref_table, kclass, fk.refers_to))
             if dim is not None:
-                return dim
-            # named key not recorded anywhere → empty world → all stale
-            spark = SparkSession.getActiveSession()
-            return spark.createDataFrame([], "__key string")
-        pool = any_pk_dims if kind == "fk" else any_idx_dims
-        dims = pool.get(fk.ref_table, [])
-        if not dims:
-            return None
-        return referential.union_dims(dims)
+                ks = named_keys[(fk.ref_table, kclass, fk.refers_to)]
+                return dim, pool_dim, ks.limit_scope
+            # named key not recorded anywhere → dim=None with a
+            # non-None pool probes an empty world → stale for all
+            # (unless the whole pool is runtime-empty too → dangling)
+            return None, pool_dim, False
+        return pool_dim, pool_dim, pool_scope.get((fk.ref_table, kclass), False)

@@ -37,16 +37,27 @@ MANIFEST_SCHEMA = (
 class PartitionManifest:
     path: str
 
-    def _exists(self) -> bool:
-        return os.path.exists(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
+    def _files(self) -> list:
+        if not os.path.exists(self.path):
+            return []
+        return sorted(
+            f"{self.path}/{f}"
+            for f in os.listdir(self.path)
+            if f.endswith(".parquet")
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """Full lineage: every recorded (partition, run) attempt."""
-        if not self._exists():
+        """Full lineage: every recorded (partition, run) attempt.
+
+        The read pins the EXPLICIT file list (like KeyLedger.dim): a
+        directory-path parquet relation re-lists on re-execution, so a
+        plan built before ``record`` appends could otherwise see the
+        append's own files on recomputation (filter_pending → metrics →
+        record reads this very directory in its lineage)."""
+        files = self._files()
+        if not files:
             return spark.createDataFrame([], MANIFEST_SCHEMA)
-        return spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+        return spark.read.schema(MANIFEST_SCHEMA).parquet(*files)
 
     def completed(self, spark: SparkSession) -> DataFrame:
         """Latest-wins set of partitions whose latest record is 'ok'."""

@@ -1,0 +1,71 @@
+"""Subprocess runner for the reference validator.
+
+The reference keeps id()-keyed registries that survive across
+ExtensibleValidator instances within one process (key worlds observed
+leaking between runs — e.g. a limit_scope flag from one run's named key
+bleeding into the next run's same-named key, and FK locations
+double-registering).  Differential tests therefore execute each
+reference run in a FRESH process: stdin takes one JSON object
+``{"schemas": [...], "docs": [[name, doc], ...], "config": {...},
+"warm_up": bool}``, stdout emits ``{file: sorted error reasons}``.
+"""
+
+import json
+import sys
+import tempfile
+import types
+import urllib.parse
+
+
+def _install_shims():
+    fake = types.ModuleType("ijson")
+    fake.items = lambda *a, **k: iter(())
+    fake.common = types.SimpleNamespace(IncompleteJSONError=ValueError)
+    sys.modules["ijson"] = fake
+    ut = types.ModuleType("uritools")
+    ut.uridefrag = lambda u: tuple(urllib.parse.urldefrag(u))
+    ut.isabsuri = lambda u: bool(urllib.parse.urlsplit(u).scheme)
+    ut.urijoin = urllib.parse.urljoin
+    sys.modules["uritools"] = ut
+    xdg = types.ModuleType("xdg")
+    bd = types.ModuleType("xdg.BaseDirectory")
+    bd.save_cache_path = lambda *a: tempfile.mkdtemp(prefix="xdgcache")
+    xdg.BaseDirectory = bd
+    sys.modules["xdg"] = xdg
+    sys.modules["xdg.BaseDirectory"] = bd
+
+
+def main() -> None:
+    _install_shims()
+    sys.path.insert(0, "/root/reference")
+    from extended_json_schema_validator.extensible_validator import (
+        ExtensibleValidator,
+    )
+
+    payload = json.load(sys.stdin)
+    schemas = payload["schemas"]
+    docs = payload["docs"]
+    config = payload.get("config") or {}
+    warm_up = payload.get("warm_up", False)
+
+    d = tempfile.mkdtemp(prefix="schemas")
+    for i, s in enumerate(schemas):
+        with open(f"{d}/s{i}.json", "w") as fh:
+            json.dump(s, fh)
+    ev = ExtensibleValidator(config=config)
+    n = ev.loadJSONSchemas(d)
+    assert n == len(schemas), f"reference loaded {n}/{len(schemas)} schemas"
+    if warm_up:
+        ev.warmUpCaches()
+    entries = [{"file": name, "json": doc, "errors": []} for name, doc in docs]
+    out = ev.jsonValidate(*entries)
+    agg: dict = {}
+    for e in out:
+        agg.setdefault(e["file"], []).extend(
+            err["reason"] or "schema_error" for err in e["errors"]
+        )
+    json.dump({k: sorted(v) for k, v in agg.items()}, sys.stdout)
+
+
+if __name__ == "__main__":
+    main()

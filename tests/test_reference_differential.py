@@ -48,39 +48,43 @@ def _install_shims():
 
 
 @pytest.fixture(scope="module")
-def reference(tmp_path_factory):
-    _install_shims()
-    sys.path.insert(0, "/root/reference")
-    from extended_json_schema_validator.extensible_validator import (
-        ExtensibleValidator,
-    )
+def reference():
+    """Run the reference validator in a FRESH subprocess per call (see
+    tests/ref_runner.py — the reference leaks key-world state across
+    ExtensibleValidator instances within one process, so in-process
+    reuse makes results order-dependent).
 
+    schemas: list of schema dicts; docs: list of (name, dict).
+    → {file: sorted list of error reasons}
+    warm_up ⇔ the CLI's --warm-up: the inline provider only takes
+    effect after an eager warmUpCaches (pk_check.py's inline path
+    sets gotIdsSet but doPopulate only becomes non-None via
+    cleanup() after a prior warm-up — lazy mode silently skips
+    provider population)."""
     import json
+    import os
+    import subprocess
+
+    runner = os.path.join(os.path.dirname(__file__), "ref_runner.py")
 
     def run(schemas: list, docs: list, config: dict = {}, warm_up: bool = False):
-        """schemas: list of schema dicts; docs: list of (name, dict).
-        → {file: sorted list of error reasons}
-        warm_up ⇔ the CLI's --warm-up: the inline provider only takes
-        effect after an eager warmUpCaches (pk_check.py's inline path
-        sets gotIdsSet but doPopulate only becomes non-None via
-        cleanup() after a prior warm-up — lazy mode silently skips
-        provider population)."""
-        d = tmp_path_factory.mktemp("schemas")
-        for i, s in enumerate(schemas):
-            (d / f"s{i}.json").write_text(json.dumps(s))
-        ev = ExtensibleValidator(config=config)
-        n = ev.loadJSONSchemas(str(d))
-        assert n == len(schemas), "reference failed to load schemas"
-        if warm_up:
-            ev.warmUpCaches()
-        entries = [{"file": name, "json": doc, "errors": []} for name, doc in docs]
-        out = ev.jsonValidate(*entries)
-        agg: dict = {}
-        for e in out:
-            agg.setdefault(e["file"], []).extend(
-                err["reason"] or "schema_error" for err in e["errors"]
-            )
-        return {k: sorted(v) for k, v in agg.items()}
+        payload = json.dumps(
+            {
+                "schemas": schemas,
+                "docs": [[n, d] for n, d in docs],
+                "config": config,
+                "warm_up": warm_up,
+            }
+        )
+        proc = subprocess.run(
+            [sys.executable, runner],
+            input=payload,
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert proc.returncode == 0, f"reference runner failed: {proc.stderr[-2000:]}"
+        return json.loads(proc.stdout)
 
     return run
 
@@ -505,3 +509,157 @@ def test_diff_int_str_key_distinctness(spark, reference):
     got2 = engine_reasons(spark, [dspec, fspec2], {"idim": ddf, "ifact": f2df}, ["f2"])
     assert ref["f1"] == got1["f1"] == []
     assert ref["f2"] == got2["f2"] == ["stale_fk"]
+
+
+def test_diff_fk_to_scoped_key(spark, reference):
+    """refers_to → limit_scope key: the reference scopes BOTH sides —
+    stored keys carry the dim document's file (index_check.py:346-349)
+    and the probe prepends the FK document's file (fk_check.py:405-411)
+    — so a cross-file FK to a same-valued key is stale."""
+    dim_schema = {
+        "$id": "diff://scdim/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "properties": {
+            "a": {
+                "type": "string",
+                "primary_key": {"name": "pk", "members": True,
+                                "limit_scope": True},
+            }
+        },
+    }
+    fact_schema = {
+        "$id": "diff://scfact/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "foreign_keys": [
+            {"schema_id": "diff://scdim/1.0", "members": ["ra"],
+             "refers_to": "pk"}
+        ],
+        "properties": {"ra": {"type": "string"}},
+    }
+    docs = [
+        ("fileA", {"@schema": "diff://scdim/1.0", "a": "uno"}),
+        ("fileA", {"@schema": "diff://scfact/1.0", "ra": "uno"}),  # same file: ok
+        ("fileB", {"@schema": "diff://scfact/1.0", "ra": "uno"}),  # cross: stale
+    ]
+    ref = reference([dim_schema, fact_schema], docs)
+
+    dspec = TableSpec(
+        name="scdim", row_id="rid", scope_col="part",
+        primary_keys=[KeySpec(("a",), name="pk", limit_scope=True)],
+    )
+    fspec = TableSpec(
+        name="scfact", row_id="rid", scope_col="part",
+        foreign_keys=[ForeignKeySpec(("ra",), ref_table="scdim", refers_to="pk")],
+    )
+    ddf = spark.createDataFrame(
+        [("fileA", "d1", "uno")], "part string, rid string, a string"
+    )
+    fdf = spark.createDataFrame(
+        [("fileA", "f1", "uno"), ("fileB", "f2", "uno")],
+        "part string, rid string, ra string",
+    )
+    res = ValidationEngine([dspec, fspec]).validate({"scdim": ddf, "scfact": fdf})
+    got = {"fileA": [], "fileB": []}
+    scope_of = {"d1": "fileA", "f1": "fileA", "f2": "fileB"}
+    for r in res.violations.collect():
+        got[scope_of[r.row_id]].append(r.reason)
+    assert ref == got == {"fileA": [], "fileB": ["stale_fk"]}
+
+
+def test_diff_runtime_empty_target_is_dangling(spark, reference):
+    """A target whose declared key worlds recorded ZERO values (every
+    dim doc revoked by pass 1) is DANGLING, not stale: the reference
+    only registers PK contexts with len(values)>0 (fk_check.py:305-317),
+    so the FK cluster falls into the no-documents branch (:453-476)."""
+    dim_schema = {
+        "$id": "diff://edim/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "properties": {
+            "local_id": {"type": "string", "primary_key": True},
+            "weight": {"type": "integer", "minimum": 0},
+        },
+        "required": ["local_id", "weight"],
+    }
+    fact_schema = {
+        "$id": "diff://efact/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "foreign_keys": [{"schema_id": "diff://edim/1.0", "members": ["ref_id"]}],
+        "properties": {"ref_id": {"type": "string"}},
+    }
+    docs = [
+        # the ONLY dim doc fails minimum → revoked → world is empty
+        ("d1", {"@schema": "diff://edim/1.0", "local_id": "uno", "weight": -1}),
+        ("f1", {"@schema": "diff://efact/1.0", "ref_id": "uno"}),
+    ]
+    ref = reference([dim_schema, fact_schema], docs)
+
+    dspec = TableSpec(
+        name="edim", row_id="rid",
+        checks=[ColumnCheck(column="weight", minimum=0)],
+        primary_keys=[KeySpec(("local_id",))],
+    )
+    fspec = TableSpec(
+        name="efact", row_id="rid",
+        foreign_keys=[ForeignKeySpec(("ref_id",), ref_table="edim")],
+    )
+    ddf = spark.createDataFrame([("d1", "uno", -1)],
+                                "rid string, local_id string, weight long")
+    fdf = spark.createDataFrame([("f1", "uno")], "rid string, ref_id string")
+    got = engine_reasons(spark, [dspec, fspec], {"edim": ddf, "efact": fdf},
+                         ["d1", "f1"])
+    assert ref == got == {"d1": ["schema_error"], "f1": ["dangling_fk"]}
+
+
+def test_diff_named_worlds_confined_per_class(spark, reference):
+    """Named key worlds are per join class (fk_check.py:296-327 filters
+    on joinClass before by_name registration): a join_keys refers_to
+    naming a PRIMARY KEY resolves nothing among INDEX worlds → stale
+    "key not found" (while the index world keeps the context alive)."""
+    dim_schema = {
+        "$id": "diff://ccdim/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "properties": {
+            "a": {"type": "string",
+                  "primary_key": {"name": "k1", "members": True}},
+            "z": {"type": "string",
+                  "index": {"name": "k2", "members": True}},
+        },
+    }
+    fact_schema = {
+        "$id": "diff://ccfact/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "join_keys": [
+            {"schema_id": "diff://ccdim/1.0", "members": ["ra"],
+             "refers_to": "k1"}
+        ],
+        "properties": {"ra": {"type": "string"}},
+    }
+    docs = [
+        ("d1", {"@schema": "diff://ccdim/1.0", "a": "uno", "z": "uno"}),
+        # ra=uno IS in both worlds by value — but refers_to k1 must not
+        # resolve among index worlds, so the probe misses
+        ("f1", {"@schema": "diff://ccfact/1.0", "ra": "uno"}),
+    ]
+    ref = reference([dim_schema, fact_schema], docs)
+
+    dspec = TableSpec(
+        name="ccdim", row_id="rid",
+        primary_keys=[KeySpec(("a",), name="k1")],
+        indexes=[KeySpec(("z",), name="k2")],
+    )
+    fspec = TableSpec(
+        name="ccfact", row_id="rid",
+        join_keys=[ForeignKeySpec(("ra",), ref_table="ccdim", refers_to="k1")],
+    )
+    ddf = spark.createDataFrame([("d1", "uno", "uno")],
+                                "rid string, a string, z string")
+    fdf = spark.createDataFrame([("f1", "uno")], "rid string, ra string")
+    got = engine_reasons(spark, [dspec, fspec], {"ccdim": ddf, "ccfact": fdf},
+                         ["d1", "f1"])
+    assert ref == got == {"d1": [], "f1": ["stale_fk"]}
