@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import errors
-from ..keys import key_columns
+from ..keys import key_columns, key_strings, members_fan_out
 from ..spec import ForeignKeySpec, TableSpec
 
 
@@ -58,21 +58,41 @@ def fk_tuples(
     """J1: project (row_id, __key, __observed) for one FK declaration,
     excluding rows with any NULL member (missing-member exclusion —
     the reference records no FKVals for them, fk_check.py:411-424).
+    Array-step members FAN OUT to one probe per cartesian combination
+    (every combination is checked, fk_check.py:425-449).
 
     ``scoped``: the RESOLVED target key has limit_scope, so the probe
     key is prefixed with this row's scope value (⇔ fkVals.where,
     fk_check.py:405-411).  Falls back to row_id when the fact table
     declares no scope_col (each row ⇔ its own source file)."""
     scope = spec.scope_col or spec.row_id
+    rid = F.col(spec.row_id).cast("string").alias("__row_id")
+    if members_fan_out(fk.members, df, spec.canonical_json):
+        karr, oarr = key_strings(
+            fk.members,
+            df,
+            canonical=spec.canonical_json,
+            limit_scope=scoped,
+            scope_col=scope if scoped else None,
+        )
+        pairs = F.zip_with(
+            karr, oarr, lambda k, o: F.struct(k.alias("k"), o.alias("o"))
+        )
+        return df.select(rid, F.explode(pairs).alias("__p")).select(
+            "__row_id",
+            F.col("__p.k").alias("__key"),
+            F.col("__p.o").alias("__observed"),
+        )
     key, obs = key_columns(
         fk.members,
         limit_scope=scoped,
         scope_col=scope if scoped else None,
         df=df,
+        canonical=spec.canonical_json,
     )
     return (
         df.select(
-            F.col(spec.row_id).cast("string").alias("__row_id"),
+            rid,
             key.alias("__key"),
             obs.alias("__observed"),
         )

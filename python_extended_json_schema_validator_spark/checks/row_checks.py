@@ -41,15 +41,58 @@ def _lit(v) -> Column:
     return F.lit(v)
 
 
-def compile_check(check: ColumnCheck) -> List[Tuple[str, str, Column, Column]]:
+# JSON-literal type tests (json_mode): a shredded column holds the
+# compact JSON literal of the value, so the JSON type is decidable from
+# the first character / shape — stays in codegen.
+_NUM_RE = r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+_INT_RE = r"^-?[0-9]+([eE]\+?[0-9]+)?$"
+
+
+def _json_type_pred(c: Column, t: str) -> Column:
+    if t == "string":
+        return c.startswith('"')
+    if t == "integer":
+        return c.rlike(_INT_RE)
+    if t == "number":
+        return c.rlike(_NUM_RE)
+    if t == "boolean":
+        return c.isin("true", "false")
+    if t == "object":
+        return c.startswith("{")
+    if t == "array":
+        return c.startswith("[")
+    if t == "null":
+        return c == F.lit("null")
+    raise SpecError(f"unknown JSON type {t!r}")
+
+
+def _canon_dumps(v) -> str:
+    import json
+
+    return json.dumps(v, sort_keys=True, separators=(",", ":"))
+
+
+def compile_check(
+    check: ColumnCheck, json_mode: bool = False
+) -> List[Tuple[str, str, Column, Column]]:
     """Compile one ColumnCheck into ``(constraint_id, reason,
     ok_predicate, observed)`` tuples, one per active keyword.
 
     JSON-Schema keyword semantics: every keyword except ``required``
     vacuously passes on NULL (a missing property only fails
     ``required`` — jsonschema semantics the reference inherits).
+
+    ``json_mode``: the column holds the canonical JSON literal of the
+    value (shredded document tables, spec.TableSpec.canonical_json) —
+    keywords follow full jsonschema semantics: type from the literal
+    shape, string keywords vacuous on non-strings, numeric keywords
+    vacuous on non-numbers, enum/const compare canonical
+    serializations, and a JSON ``null`` SATISFIES required (presence,
+    not non-nullness).
     """
-    c = F.col(check.column)
+    from ..keys import flat_col
+
+    c = flat_col(check.column) if json_mode else F.col(check.column)
     out: List[Tuple[str, str, Column, Column]] = []
     cid = f"check:{check.column}"
 
@@ -75,49 +118,100 @@ def compile_check(check: ColumnCheck) -> List[Tuple[str, str, Column, Column]]:
             )
         )
 
+    if json_mode:
+        # decoded string value (NULL for non-string literals); string
+        # keywords guard on is_str so non-strings pass vacuously
+        is_str = c.startswith('"')
+        decoded = F.from_json(c, "string")
+        is_num = c.rlike(_NUM_RE)
+        num = c.try_cast("double")
+
+        def _strk(ok: Column) -> Column:
+            return F.when(~is_str, F.lit(True)).otherwise(ok)
+
+        def _numk(ok: Column) -> Column:
+            return F.when(~is_num, F.lit(True)).otherwise(ok)
+
     if check.required:
-        add("required", c.isNotNull())
+        base = c.isNotNull()
+        if check.required_scope is not None:
+            parent = (
+                flat_col(check.required_scope)
+                if json_mode
+                else F.col(check.required_scope)
+            )
+            base = parent.isNull() | base
+        add("required", base)
     if check.dtype is not None:
-        # "type" ⇔ value losslessly castable to the declared Spark type
-        # (try_cast: ANSI mode makes plain cast throw on malformed input)
-        add("type", c.isNull() | c.try_cast(check.dtype).isNotNull())
+        if json_mode:
+            types = (
+                check.dtype if isinstance(check.dtype, tuple) else (check.dtype,)
+            )
+            pred = _json_type_pred(c, types[0])
+            for t in types[1:]:
+                pred = pred | _json_type_pred(c, t)
+            add("type", pred)
+        else:
+            # "type" ⇔ value losslessly castable to the declared Spark
+            # type (try_cast: ANSI cast throws on malformed input)
+            add("type", c.isNull() | c.try_cast(check.dtype).isNotNull())
     if check.enum is not None:
-        add("enum", c.isin(*[F.lit(v) for v in check.enum]))
+        if json_mode:
+            add("enum", c.isin(*[F.lit(_canon_dumps(v)) for v in check.enum]))
+        else:
+            add("enum", c.isin(*[F.lit(v) for v in check.enum]))
     if check.const is not None:
-        add("const", c == _lit(check.const))
+        if json_mode:
+            add("const", c == F.lit(_canon_dumps(check.const)))
+        else:
+            add("const", c == _lit(check.const))
     if check.pattern is not None:
-        add("pattern", c.rlike(check.pattern))
+        if json_mode:
+            add("pattern", _strk(decoded.rlike(check.pattern)))
+        else:
+            add("pattern", c.rlike(check.pattern))
     if check.minimum is not None:
-        add("minimum", c >= _lit(check.minimum))
+        add("minimum", _numk(num >= _lit(check.minimum)) if json_mode
+            else c >= _lit(check.minimum))
     if check.maximum is not None:
-        add("maximum", c <= _lit(check.maximum))
+        add("maximum", _numk(num <= _lit(check.maximum)) if json_mode
+            else c <= _lit(check.maximum))
     if check.exclusive_minimum is not None:
-        add("exclusiveMinimum", c > _lit(check.exclusive_minimum))
+        add("exclusiveMinimum", _numk(num > _lit(check.exclusive_minimum))
+            if json_mode else c > _lit(check.exclusive_minimum))
     if check.exclusive_maximum is not None:
-        add("exclusiveMaximum", c < _lit(check.exclusive_maximum))
+        add("exclusiveMaximum", _numk(num < _lit(check.exclusive_maximum))
+            if json_mode else c < _lit(check.exclusive_maximum))
     if check.min_length is not None:
-        add("minLength", F.length(c) >= _lit(check.min_length))
+        add("minLength", _strk(F.length(decoded) >= _lit(check.min_length))
+            if json_mode else F.length(c) >= _lit(check.min_length))
     if check.max_length is not None:
-        add("maxLength", F.length(c) <= _lit(check.max_length))
+        add("maxLength", _strk(F.length(decoded) <= _lit(check.max_length))
+            if json_mode else F.length(c) <= _lit(check.max_length))
     if check.min_items is not None:
-        add("minItems", F.size(c) >= _lit(check.min_items))
+        add("minItems", F.size(c) >= _lit(check.min_items),
+            F.to_json(c) if json_mode else None)
     if check.max_items is not None:
-        add("maxItems", F.size(c) <= _lit(check.max_items))
+        add("maxItems", F.size(c) <= _lit(check.max_items),
+            F.to_json(c) if json_mode else None)
     if check.format is not None:
         if check.format not in FORMATS:
             raise SpecError(f"unknown format {check.format!r}")
-        add("format", c.rlike(FORMATS[check.format]))
+        if json_mode:
+            add("format", _strk(decoded.rlike(FORMATS[check.format])))
+        else:
+            add("format", c.rlike(FORMATS[check.format]))
     if check.sql_predicate is not None:
         add("sql", F.expr(check.sql_predicate))
     return out
 
 
 def compile_battery(
-    checks: List[ColumnCheck],
+    checks: List[ColumnCheck], json_mode: bool = False
 ) -> List[Tuple[str, str, Column, Column]]:
     out: List[Tuple[str, str, Column, Column]] = []
     for ch in checks:
-        out.extend(compile_check(ch))
+        out.extend(compile_check(ch, json_mode=json_mode))
     return out
 
 

@@ -31,18 +31,48 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import errors
-from ..keys import key_columns
+from ..keys import key_columns, key_strings, members_fan_out
 from ..spec import KeySpec, TableSpec
 
 
-def keyed(df: DataFrame, spec: TableSpec, ks: KeySpec) -> DataFrame:
+def keyed(
+    df: DataFrame,
+    spec: TableSpec,
+    ks: KeySpec,
+    scope_fallback: bool = False,
+) -> DataFrame:
     """Project (row_id, __key, __observed) for one key declaration.
     Rows whose key is NULL (missing-member exclusion, SURVEY.md §1.3
-    item 5) are dropped here — they contribute no key at all."""
-    key, obs = key_columns(ks.members, ks.limit_scope, spec.scope_col, df=df)
+    item 5) are dropped.  Members with array steps / array columns FAN
+    OUT: one output row per cartesian key combination (GenKeyStrings,
+    index_check.py:262-293) — explode drops empty arrays, so a row
+    with any zero-valued member contributes no key, same as the scalar
+    path.  ``scope_fallback``: use row_id as the scope when the table
+    declares no scope_col (dims for scoped keys)."""
+    scope = spec.scope_col or (spec.row_id if scope_fallback else None)
+    rid = F.col(spec.row_id).cast("string").alias("__row_id")
+    if members_fan_out(ks.members, df, spec.canonical_json):
+        karr, oarr = key_strings(
+            ks.members,
+            df,
+            canonical=spec.canonical_json,
+            limit_scope=ks.limit_scope,
+            scope_col=scope if ks.limit_scope else None,
+        )
+        pairs = F.zip_with(
+            karr, oarr, lambda k, o: F.struct(k.alias("k"), o.alias("o"))
+        )
+        return df.select(rid, F.explode(pairs).alias("__p")).select(
+            "__row_id",
+            F.col("__p.k").alias("__key"),
+            F.col("__p.o").alias("__observed"),
+        )
+    key, obs = key_columns(
+        ks.members, ks.limit_scope, scope, df=df, canonical=spec.canonical_json
+    )
     return (
         df.select(
-            F.col(spec.row_id).cast("string").alias("__row_id"),
+            rid,
             key.alias("__key"),
             obs.alias("__observed"),
         )
@@ -137,11 +167,9 @@ def key_dimension(df: DataFrame, spec: TableSpec, ks: KeySpec) -> DataFrame:
     fact-side twin is referential.fk_tuples(scoped=True).  When the
     table has no scope_col, row_id stands in for the reference's
     per-document file name."""
-    scope = spec.scope_col or spec.row_id
-    key, _ = key_columns(
-        ks.members,
-        limit_scope=ks.limit_scope,
-        scope_col=scope if ks.limit_scope else None,
-        df=df,
+    return (
+        keyed(df, spec, ks, scope_fallback=True)
+        .select("__key")
+        .where(F.col("__key").isNotNull())
+        .distinct()
     )
-    return df.select(key.alias("__key")).where(F.col("__key").isNotNull()).distinct()

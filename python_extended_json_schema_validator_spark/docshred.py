@@ -1,0 +1,203 @@
+"""Document shredding: dynamic JSON documents → a flat Spark table of
+canonical JSON literal columns, ready for the engine's json-literal
+mode (spec.TableSpec.canonical_json).
+
+Two column families per CompiledSchema (schemas.py):
+
+- INSTANCE columns (named exactly the path): the canonical JSON
+  literal of the instance at that path — what jsonschema keywords
+  validate.  A path ending in ``[]`` yields the array of element
+  literals (for minItems/maxItems).  Absent → NULL; JSON null →
+  ``null`` (presence and null stay distinct, unlike typed columns).
+- VALUE-LIST columns (named ``<path>#v``): ``array<string>`` of the
+  MaterializeJPath value list (index_check.py:194-244 — dotted steps,
+  one-level array flattening per step, ``[i]`` indexing, silently
+  empty on missing steps).  Key/FK members read these; non-atomic
+  values canonicalize to sorted-key JSON exactly like the reference
+  (:240-242).
+
+Shredding is map-only: the distributed path is mapInPandas over
+(file, json-text) rows — Arrow-batched, no shuffle, linear scans only,
+so it holds at any scale.  The driver-side helper exists for the tiny
+reference test suites.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Iterable, List, Mapping, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .schemas import CompiledSchema
+
+ATOMIC = (int, bytes, str, float, bool, type(None))  # index_check.py:10
+
+_STEP_PAT = re.compile(r"^([^\[]+)\[(0|[1-9][0-9]*)?\]$")  # JStepPat
+
+
+def _canon(v: Any) -> str:
+    """Canonical literal: compact dumps for atomics, sorted-key dumps
+    for objects/arrays (index_check.py:240-242 / GenKeyStrings)."""
+    return json.dumps(v, sort_keys=True, separators=(",", ":"))
+
+
+def materialize_jpath(doc: Any, path: str) -> List[Any]:
+    """Exact MaterializeJPath semantics (index_check.py:194-244):
+    NOTE arrays flatten one level per step even WITHOUT an explicit
+    ``[]`` marker, and ``x[]`` on a non-array appends the scalar —
+    the marker only matters for ``[i]`` indexing."""
+    objectives: List[Any] = [doc]
+    steps = path.split(".") if path not in (".", "") else [None]
+    for step in steps:
+        new: List[Any] = []
+        array_index: Optional[int] = None
+        name = step
+        if step is not None:
+            m = _STEP_PAT.search(step)
+            if m is not None:
+                if m.group(2) is not None:
+                    array_index = int(m.group(2))
+                name = m.group(1)
+        for obj in objectives:
+            if name is not None:
+                if not (isinstance(obj, dict) and name in obj):
+                    continue
+                value = obj[name]
+            else:
+                value = obj
+            if isinstance(value, (list, tuple)):
+                if array_index is not None:
+                    if 0 <= array_index < len(value):
+                        new.append(value[array_index])
+                else:
+                    new.extend(value)
+            else:
+                new.append(value)
+        objectives = new
+    return objectives
+
+
+def instance_at(doc: Any, path: str) -> Tuple[bool, Any]:
+    """(present, value) of the single instance at a dotted/indexed
+    path — NO array flattening (this is what jsonschema keywords see).
+    A ``[]`` step maps over elements (used for element-array columns).
+    """
+    if path in (".", ""):
+        return True, doc
+    node = doc
+    steps = path.split(".")
+    for i, step in enumerate(steps):
+        m = _STEP_PAT.search(step)
+        if m is not None and m.group(2) is None:
+            # elements step: collect element instances of the rest
+            name = m.group(1)
+            if not (isinstance(node, dict) and name in node):
+                return False, None
+            arr = node[name]
+            if not isinstance(arr, list):
+                return False, None
+            rest = ".".join(steps[i + 1:])
+            if not rest:
+                return True, arr
+            out = []
+            for el in arr:
+                ok, v = instance_at(el, rest)
+                if ok:
+                    out.append(v)
+            return True, out
+        if m is not None:
+            name, idx = m.group(1), int(m.group(2))
+            if not (isinstance(node, dict) and name in node):
+                return False, None
+            arr = node[name]
+            if not isinstance(arr, list) or not (0 <= idx < len(arr)):
+                return False, None
+            node = arr[idx]
+        else:
+            if not (isinstance(node, dict) and step in node):
+                return False, None
+            node = node[step]
+    return True, node
+
+
+def shred_record(doc: Any, compiled: CompiledSchema) -> dict:
+    """One document → {column name: literal | [literals] | None}."""
+    out: dict = {}
+    for p in compiled.instance_paths:
+        present, v = instance_at(doc, p)
+        if not present:
+            out[p] = None
+        elif p.endswith("[]"):
+            out[p] = [_canon(x) for x in v] if isinstance(v, list) else None
+        else:
+            out[p] = _canon(v)
+    for p in compiled.value_paths:
+        vals = materialize_jpath(doc, p)
+        out[p + "#v"] = [
+            _canon(v) if isinstance(v, ATOMIC) else json.dumps(v, sort_keys=True)
+            for v in vals
+        ]
+    return out
+
+
+def _shred_schema(compiled: CompiledSchema) -> T.StructType:
+    fields = [T.StructField("__file", T.StringType())]
+    for p in compiled.instance_paths:
+        t = T.ArrayType(T.StringType()) if p.endswith("[]") else T.StringType()
+        fields.append(T.StructField(p, t))
+    for p in compiled.value_paths:
+        fields.append(T.StructField(p + "#v", T.ArrayType(T.StringType())))
+    return T.StructType(fields)
+
+
+def shred_documents(
+    spark: SparkSession,
+    docs: Sequence[Tuple[str, Any]],
+    compiled: CompiledSchema,
+) -> DataFrame:
+    """Driver-side shredder for in-memory documents (the reference
+    test-suite scale).  docs: [(file, parsed document)]."""
+    rows = []
+    for fname, doc in docs:
+        rec = shred_record(doc, compiled)
+        rec["__file"] = fname
+        rows.append(rec)
+    schema = _shred_schema(compiled)
+    return spark.createDataFrame(
+        [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema
+    )
+
+
+def shred_json_strings(
+    df: DataFrame,
+    compiled: CompiledSchema,
+    file_col: str = "file",
+    json_col: str = "json",
+) -> DataFrame:
+    """Distributed shredder: (file, json text) rows → shredded table.
+    mapInPandas (Arrow-batched), map-only — the scale path for
+    validating dynamic JSON documents stored one-per-row."""
+    import pandas as pd
+
+    schema = _shred_schema(compiled)
+    names = [f.name for f in schema.fields]
+
+    def shred_batches(batches: Iterable["pd.DataFrame"]) -> Iterable["pd.DataFrame"]:
+        for pdf in batches:
+            out = {n: [] for n in names}
+            for fname, text in zip(pdf[file_col], pdf[json_col]):
+                try:
+                    doc = json.loads(text)
+                except (json.JSONDecodeError, TypeError):
+                    doc = None
+                rec = shred_record(doc, compiled) if doc is not None else {}
+                out["__file"].append(fname)
+                for n in names:
+                    if n != "__file":
+                        out[n].append(rec.get(n))
+            yield pd.DataFrame(out, columns=names)
+
+    return df.mapInPandas(shred_batches, schema)

@@ -181,7 +181,9 @@ class ValidationEngine:
             spec = self.specs.get(name)
             if spec is None:
                 continue
-            compiled = row_checks.compile_battery(spec.checks)
+            compiled = row_checks.compile_battery(
+                spec.checks, json_mode=spec.canonical_json
+            )
             ok = row_checks.pass1_ok(compiled)
             pass1_cols[name] = ok
             row_viol[name] = row_checks.row_violations(

@@ -34,12 +34,127 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def member_col(member: str) -> Column:
-    """Resolve a dotted member path (``a.b.c`` steps into structs —
-    the column-world analogue of MaterializeJPath's dotted paths,
-    index_check.py:194-244).  Array steps ``a[]``/``a[i]`` are handled
-    by the caller via explode/getItem before the engine runs."""
+import re
+
+_STEP_PAT = re.compile(r"^([^\[]+)\[(0|[1-9][0-9]*)?\]$")  # ⇔ JStepPat, index_check.py:191
+
+
+def flat_col(name: str) -> Column:
+    """Column reference by EXACT name (backtick-quoted so dots and
+    brackets in shredded column names are not parsed as struct/array
+    steps)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def member_col(member: str, df: Optional[DataFrame] = None) -> Column:
+    """Resolve a member path.  An exact column-name match wins (flat
+    shredded columns may contain dots/brackets); otherwise dotted
+    struct steps (``a.b.c`` — the column-world analogue of
+    MaterializeJPath's dotted paths, index_check.py:194-244).  Array
+    steps (``a[]``/``a[i]``) are the multi-valued path — see
+    member_values."""
+    if df is not None and member in df.columns:
+        return flat_col(member)
     return F.col(member)
+
+
+def member_has_fanout(
+    member: str, df: Optional[DataFrame], canonical: bool = False
+) -> bool:
+    """True when the member can yield MULTIPLE values per row: an
+    explicit ``[]`` step, or the resolved column is array-typed.
+    Shredded tables (canonical) store key members as ``<path>#v``
+    value-list arrays — always fan-out (size-1 lists take the atomic
+    fast path at runtime)."""
+    if canonical and df is not None and member + "#v" in df.columns:
+        return True
+    if df is not None and member in df.columns:
+        return isinstance(
+            df.schema[member].dataType, T.ArrayType
+        )
+    if "[]" in member:
+        return True
+    if df is None:
+        return False
+    try:
+        return isinstance(
+            df.select(member_col(member, df)).schema.fields[0].dataType, T.ArrayType
+        )
+    except Exception:
+        return False
+
+
+def member_values(member: str, df: Optional[DataFrame], canonical: bool = False) -> Column:
+    """The member's VALUE LIST as an ``array<string>`` of canonical
+    JSON literals — MaterializeJPath compiled to column algebra
+    (index_check.py:194-244): dotted steps walk structs, ``name[]``
+    flattens every element, ``name[i]`` takes one index, and each
+    array step multiplies the objectives.  A missing step yields the
+    empty array (⇒ no key at all downstream).
+
+    ``canonical``: the column already holds canonical JSON literals
+    (shredded document tables) — no re-encoding; key members resolve
+    to their ``<path>#v`` value-list column when present.
+    """
+    if canonical and df is not None and member + "#v" in df.columns:
+        return F.coalesce(flat_col(member + "#v"), F.array())
+    # exact shredded column: scalar literal or array of literals
+    if df is not None and member in df.columns:
+        c = flat_col(member)
+        if isinstance(df.schema[member].dataType, T.ArrayType):
+            arr = F.coalesce(c, F.array())
+            if not canonical:
+                arr = F.transform(arr, lambda x: _element_literal(x))
+            return arr
+        lit = c if canonical else json_scalar(c, df.schema[member].dataType)
+        return F.when(c.isNull(), F.array()).otherwise(F.array(lit))
+
+    steps = member.split(".")
+    expr: Optional[Column] = None  # scalar navigation (before first [])
+    multi: Optional[Column] = None  # array navigation (after first [])
+
+    def _field(name: str) -> Column:
+        return F.col(name) if expr is None else expr[name]
+
+    for step in steps:
+        m = _STEP_PAT.match(step)
+        if m:
+            name, idx = m.group(1), m.group(2)
+            if multi is None:
+                base = _field(name)  # array-typed field
+                if idx is not None:
+                    expr = base.getItem(int(idx))  # a[i]: still scalar
+                else:
+                    multi, expr = F.coalesce(base, F.array()), None
+            else:
+                if idx is not None:
+                    i = int(idx)
+                    multi = F.transform(multi, lambda x: x[name].getItem(i))
+                else:
+                    multi = F.flatten(
+                        F.transform(
+                            multi, lambda x: F.coalesce(x[name], F.array())
+                        )
+                    )
+        else:
+            if multi is None:
+                expr = _field(step)
+            else:
+                multi = F.transform(multi, lambda x: x[step])
+    if multi is not None:
+        # drop objectives lost to missing struct fields mid-path
+        vals = F.filter(multi, lambda x: x.isNotNull())
+        return F.transform(vals, lambda x: _element_literal(x))
+    dtype = _resolve_dtype(df, member) if df is not None else None
+    lit = json_scalar(expr, dtype)
+    return F.when(expr.isNull(), F.array()).otherwise(F.array(lit))
+
+
+def _element_literal(x: Column) -> Column:
+    """Canonical JSON literal of an array element (generic to_json
+    path — element dtypes are not statically specialized)."""
+    arr = F.to_json(F.array(x))
+    return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
 
 
 # characters whose presence forces the exact (interpreted) JSON
@@ -117,9 +232,77 @@ def _resolve_dtype(df: Optional[DataFrame], member: str) -> Optional[T.DataType]
     if df is None:
         return None
     try:
-        return df.select(member_col(member)).schema.fields[0].dataType
+        return df.select(member_col(member, df)).schema.fields[0].dataType
     except Exception:
         return None
+
+
+def key_strings(
+    members: Sequence[str],
+    df: Optional[DataFrame] = None,
+    canonical: bool = False,
+    limit_scope: bool = False,
+    scope_col: Optional[str] = None,
+) -> tuple[Column, Column]:
+    """FAN-OUT key generation — GenKeyStrings compiled to column
+    algebra (index_check.py:262-293): returns ``(keys, observed)``,
+    both ``array<string>``, one element per cartesian combination of
+    the members' value lists.
+
+    Exact reference semantics:
+    - any member with ZERO values → empty array (no key at all,
+      index_check.py:268-272);
+    - a SINGLE member with exactly ONE atomic value → the raw JSON
+      scalar literal (atomic fast path, :350-359);
+    - otherwise every combination serializes as the compact JSON array
+      ``[v1,v2]`` — including a single member with >1 values (each
+      wraps alone, json.dumps of a 1-list);
+    - observed mirrors the reference's report values: the unquoted raw
+      value for atomic keys, the key string otherwise.
+
+    Callers explode the array (explode drops empty → missing-member
+    exclusion is free).  limit_scope prefixes every key with the scope
+    literal (same ``scope|key`` canonical form as key_columns).
+    """
+    vals = [member_values(m, df, canonical) for m in members]
+    if len(members) == 1:
+        v = vals[0]
+        keys = F.when(
+            F.size(v) == 1, v
+        ).otherwise(F.transform(v, lambda x: F.concat(F.lit("["), x, F.lit("]"))))
+        observed = F.when(
+            F.size(v) == 1,
+            F.transform(v, lambda x: F.regexp_replace(x, '^"|"$', "")),
+        ).otherwise(keys)
+    else:
+        acc = vals[0]
+        for nxt in vals[1:]:
+            acc = F.flatten(
+                F.transform(
+                    acc,
+                    lambda a: F.transform(nxt, lambda b: F.concat(a, F.lit(","), b)),
+                )
+            )
+        keys = F.transform(
+            acc, lambda s: F.concat(F.lit("["), s, F.lit("]"))
+        )
+        observed = keys
+    if limit_scope:
+        if scope_col is None:
+            raise ValueError("limit_scope requires a scope column")
+        scope = json_scalar(
+            member_col(scope_col, df), _resolve_dtype(df, scope_col)
+        )
+        keys = F.transform(keys, lambda k: F.concat(scope, F.lit("|"), k))
+    return keys, observed
+
+
+def members_fan_out(
+    members: Sequence[str], df: Optional[DataFrame], canonical: bool = False
+) -> bool:
+    """True when any member can yield multiple values (→ use
+    key_strings + explode instead of the scalar key_columns path)."""
+    return any(member_has_fanout(m, df, canonical) for m in members)
 
 
 def key_columns(
@@ -127,19 +310,37 @@ def key_columns(
     limit_scope: bool = False,
     scope_col: Optional[str] = None,
     df: Optional[DataFrame] = None,
+    canonical: bool = False,
 ) -> tuple[Column, Column]:
-    """Returns ``(grouping_key, observed)`` for a key declaration.
+    """Returns ``(grouping_key, observed)`` for a key declaration
+    (scalar single-valued members — the fan-out path is key_strings).
 
     ``grouping_key`` includes the scope prefix when ``limit_scope``
     (reference prefixes the file name, index_check.py:346-349);
     ``observed`` never does (reports show the key values only).
     ``df`` (optional) lets the key expressions type-specialize to stay
-    in codegen.
+    in codegen.  ``canonical``: columns already hold canonical JSON
+    literals (shredded document tables) — used as-is, and observed
+    unquotes string literals like the reference's raw-value reports.
     """
-    cols = [member_col(m) for m in members]
-    dtypes = [_resolve_dtype(df, m) for m in members]
-    key = canonical_key(cols, dtypes)
-    obs = observed_value(cols, dtypes)
+    cols = [member_col(m, df) for m in members]
+    if canonical:
+        scalars = cols
+        if len(cols) == 1:
+            key = cols[0]
+            obs = F.regexp_replace(cols[0], '^"|"$', "")
+        else:
+            key = F.concat(F.lit("["), F.concat_ws(",", *scalars), F.lit("]"))
+            obs = key
+        any_null = None
+        for m in cols:
+            any_null = m.isNull() if any_null is None else (any_null | m.isNull())
+        key = F.when(any_null, F.lit(None).cast("string")).otherwise(key)
+        obs = F.when(any_null, F.lit(None).cast("string")).otherwise(obs)
+    else:
+        dtypes = [_resolve_dtype(df, m) for m in members]
+        key = canonical_key(cols, dtypes)
+        obs = observed_value(cols, dtypes)
     if limit_scope:
         if scope_col is None:
             raise ValueError("limit_scope requires a scope column")
@@ -147,7 +348,7 @@ def key_columns(
             key.isNull(), F.lit(None).cast("string")
         ).otherwise(
             F.concat(
-                json_scalar(F.col(scope_col), _resolve_dtype(df, scope_col)),
+                json_scalar(member_col(scope_col, df), _resolve_dtype(df, scope_col)),
                 F.lit("|"),
                 key,
             )

@@ -1,0 +1,556 @@
+"""Real JSON Schema document ingestion → TableSpec compiler.
+
+The reference's primary input is a directory of JSON Schema files
+carrying the extension trigger attributes (``unique`` /
+``primary_key`` / ``index`` / ``foreign_keys`` / ``join_keys``) at
+arbitrary nesting.  This module gives the Spark engine the same entry
+point:
+
+- file loading with JSON → YAML parse fallback
+  (⇔ extensible_validator.py:233-268);
+- draft detection against the acknowledged ``$schema`` set
+  (⇔ PLAIN_VALIDATOR_MAPPER, extend_validator_helpers.py:50-64);
+- ``$id`` extraction, duplicate-id rejection
+  (⇔ extensible_validator.py:306-365);
+- meta-schema-fragment validation of every trigger declaration
+  (⇔ the extended META_SCHEMA check, extensible_validator.py:424-478 —
+  ``unique: 18`` is a schema error, [verified] exit 1);
+- ``$ref`` resolution with transitive closure and cycle guard during
+  traversal (⇔ extensible_validator.py:599-723);
+- schema traversal recording trigger attributes at nested locations
+  with absolute dotted/array paths (⇔ traverseJSONSchema,
+  extend_validator_helpers.py:142-294);
+- standard keywords (type/enum/const/pattern/bounds/lengths/format +
+  object-scoped required) compiled to ColumnChecks in json-literal
+  mode;
+- ``GetNormalizedJSONHash`` parity for report entries
+  (extensible_validator.py:832-839).
+
+The output per schema is a CompiledSchema: a TableSpec (with
+``canonical_json=True``) over the SHREDDED document table produced by
+``docshred.shred`` — one string column of canonical JSON literals per
+referenced path, arrays of literals for paths with ``[]`` steps.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Mapping, Optional, Tuple
+from urllib.parse import urldefrag, urljoin, urlsplit
+
+from .spec import ColumnCheck, ForeignKeySpec, KeySpec, TableSpec
+
+# Acknowledged drafts (⇔ PLAIN_VALIDATOR_MAPPER keys,
+# extend_validator_helpers.py:50-64: every validator jsonschema ships
+# plus the hyper-schema aliases).
+KNOWN_DRAFTS = frozenset(
+    {
+        "http://json-schema.org/draft-03/schema#",
+        "http://json-schema.org/draft-04/schema#",
+        "http://json-schema.org/draft-04/hyper-schema#",
+        "http://json-schema.org/draft-06/schema#",
+        "http://json-schema.org/draft-06/hyper-schema#",
+        "http://json-schema.org/draft-07/schema#",
+        "http://json-schema.org/draft-07/hyper-schema#",
+        "https://json-schema.org/draft/2019-09/schema",
+        "https://json-schema.org/draft/2020-12/schema",
+    }
+)
+
+SCHEMA_KEY_PROBES = ("@schema", "_schema", "$schema")  # extensible_validator.py:113-115
+
+KEY_TRIGGERS = ("unique", "primary_key", "index")
+REF_TRIGGERS = ("foreign_keys", "join_keys")
+
+_CHECK_KEYWORDS = (
+    "type",
+    "enum",
+    "const",
+    "pattern",
+    "minimum",
+    "maximum",
+    "exclusiveMinimum",
+    "exclusiveMaximum",
+    "minLength",
+    "maxLength",
+    "minItems",
+    "maxItems",
+    "format",
+)
+
+_JSON_TYPES = {"string", "integer", "number", "boolean", "object", "array", "null"}
+
+
+def normalized_json_hash(obj: Any) -> str:
+    """SHA1 of the canonical serialization — exact GetNormalizedJSONHash
+    parity (extensible_validator.py:832-839)."""
+    canon = json.dumps(obj, sort_keys=True, indent=None, separators=(",", ":"))
+    return hashlib.sha1(canon.encode("utf-8")).hexdigest()
+
+
+@dataclass
+class SchemaIssue:
+    file: str
+    reason: str  # no_schema | schema_unknown | no_id | dup_id | schema_error | fatal
+    description: str
+
+
+@dataclass
+class CompiledSchema:
+    uri: str
+    file: str
+    schema: Mapping
+    schema_hash: str
+    table_spec: TableSpec
+    # paths needing INSTANCE literal columns (checks; a path ending in
+    # [] is the element-literal array) and paths needing VALUE-LIST
+    # columns (key/FK members, MaterializeJPath semantics, stored as
+    # `<path>#v` array<string> columns by docshred.shred)
+    instance_paths: tuple = ()
+    value_paths: tuple = ()
+
+
+# ---------------------------------------------------------------------------
+# file loading
+# ---------------------------------------------------------------------------
+
+
+def parse_json_or_yaml(path: str) -> Any:
+    """JSON parse with YAML fallback (extensible_validator.py:233-268
+    for schemas, :1014-1053 for documents).  Raises ValueError when
+    neither parses."""
+    with open(path, "r", encoding="utf-8") as fh:
+        text = fh.read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError as jde:
+        try:
+            import yaml  # the reference hard-requires PyYAML; we gate it
+
+            return yaml.safe_load(text)
+        except ImportError:
+            raise ValueError(f"{path}: invalid JSON and PyYAML unavailable: {jde}")
+        except Exception as mye:
+            raise ValueError(f"{path}: neither JSON nor YAML: {jde} / {mye}")
+
+
+def scan_files(root: str, suffixes: Tuple[str, ...] = (".json", ".yaml", ".yml")) -> List[str]:
+    """Recursive scan, dotfiles skipped, sorted for determinism
+    (⇔ the dir walk at extensible_validator.py:203-229 — the reference
+    takes os.listdir order; we sort so survivors are stable)."""
+    if os.path.isfile(root):
+        return [root]
+    out: List[str] = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = sorted(d for d in dirnames if not d.startswith("."))
+        for f in sorted(filenames):
+            if f.startswith("."):
+                continue
+            if any(f.endswith(s) or s[1:] + "." in f for s in suffixes):
+                out.append(os.path.join(dirpath, f))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# trigger grammar validation (meta-schema fragments,
+# index_check.py:91-131 / fk_check.py:104-137)
+# ---------------------------------------------------------------------------
+
+
+def _bad(msg: str) -> str:
+    return msg
+
+
+def _validate_key_decl(decl: Any) -> Optional[str]:
+    if isinstance(decl, bool):
+        return None
+    if isinstance(decl, list):
+        if not decl or not all(isinstance(m, str) and m for m in decl):
+            return _bad("members array must be non-empty strings")
+        if len(set(decl)) != len(decl):
+            return _bad("members must be unique")
+        return None
+    if isinstance(decl, dict):
+        if "members" not in decl:
+            return _bad("object form requires 'members'")
+        m = decl["members"]
+        if not isinstance(m, bool):
+            err = _validate_key_decl(m if isinstance(m, list) else None)
+            if err:
+                return err
+        if "name" in decl and not (isinstance(decl["name"], str) and decl["name"]):
+            return _bad("'name' must be a non-empty string")
+        if "limit_scope" in decl and not isinstance(
+            decl["limit_scope"], (bool, type(None))
+        ):
+            return _bad("'limit_scope' must be boolean")
+        return None
+    return _bad(f"malformed key declaration {decl!r}")
+
+
+def _validate_fk_decl(decl: Any) -> Optional[str]:
+    if not isinstance(decl, list):
+        return _bad("foreign/join keys must be an array")
+    for entry in decl:
+        if not isinstance(entry, dict):
+            return _bad(f"entry must be an object, got {entry!r}")
+        if "members" not in entry:
+            return _bad("entry requires 'members'")
+        m = entry["members"]
+        if (
+            not isinstance(m, list)
+            or not m
+            or not all(isinstance(x, str) and x for x in m)
+            or len(set(m)) != len(m)
+        ):
+            return _bad("members must be a unique non-empty string array")
+        if "schema_id" in entry and not (
+            isinstance(entry["schema_id"], str) and entry["schema_id"]
+        ):
+            return _bad("'schema_id' must be a non-empty string")
+        if "refers_to" in entry and not (
+            isinstance(entry["refers_to"], str) and entry["refers_to"]
+        ):
+            return _bad("'refers_to' must be a non-empty string")
+    return None
+
+
+# ---------------------------------------------------------------------------
+# traversal → TableSpec
+# ---------------------------------------------------------------------------
+
+
+def _join_path(prefix: str, member: str) -> str:
+    return f"{prefix}.{member}" if prefix else member
+
+
+def _pointer_walk(schema: Any, fragment: str) -> Any:
+    node = schema
+    for part in fragment.lstrip("/").split("/"):
+        if part == "":
+            continue
+        part = part.replace("~1", "/").replace("~0", "~")
+        if isinstance(node, list):
+            node = node[int(part)]
+        else:
+            node = node[part]
+    return node
+
+
+class _Compiler:
+    def __init__(self, uri: str, schema: Mapping, cache: Mapping[str, Mapping]):
+        self.uri = uri
+        self.schema = schema
+        self.cache = cache  # uri → schema (the $ref closure universe)
+        self.checks: List[ColumnCheck] = []
+        self.unique: List[KeySpec] = []
+        self.primary_keys: List[KeySpec] = []
+        self.indexes: List[KeySpec] = []
+        self.foreign_keys: List[ForeignKeySpec] = []
+        self.join_keys: List[ForeignKeySpec] = []
+        self.errors: List[str] = []
+        self.instance_paths: set = set()
+        self.value_paths: set = set()
+
+    # -- helpers ------------------------------------------------------------
+
+    def _touch(self, path: str, kind: str = "instance") -> None:
+        if not path:
+            return
+        (self.instance_paths if kind == "instance" else self.value_paths).add(path)
+
+    def _key_members(self, decl: Any, prefix: str) -> Optional[List[str]]:
+        """Absolute member paths for a key declaration at ``prefix``.
+        ``members: true`` (or a bare ``true``) keys the annotated node
+        itself (bootstrap reads poss_members, index_check.py:160-168);
+        a list holds node-relative JSONPaths."""
+        members: Any = decl
+        if isinstance(decl, dict):
+            members = decl["members"]
+        if isinstance(members, bool):
+            if not members:
+                return None
+            if not prefix:
+                self.errors.append("members:true at schema root is not keyable")
+                return None
+            return [prefix]
+        return [_join_path(prefix, m) for m in members]
+
+    def _resolve_ref(self, ref: str, base_uri: str) -> Optional[Tuple[Any, str]]:
+        """→ (target node, its base uri) or None when unresolvable."""
+        target, fragment = urldefrag(urljoin(base_uri, ref))
+        if target in ("", base_uri):
+            root: Any = self.cache.get(base_uri, self.schema)
+            new_base = base_uri
+        else:
+            root = self.cache.get(target)
+            new_base = target
+            if root is None:
+                self.errors.append(f"unresolvable $ref {ref!r}")
+                return None
+        try:
+            return _pointer_walk(root, fragment) if fragment else root, new_base
+        except (KeyError, IndexError, ValueError, TypeError):
+            self.errors.append(f"unresolvable $ref fragment {ref!r}")
+            return None
+
+    # -- keyword compilation --------------------------------------------------
+
+    def _compile_checks(self, node: Mapping, prefix: str) -> None:
+        if "[]" in prefix:
+            # per-element (items) keywords need forall semantics over
+            # the element array — not yet compiled (reference suites
+            # exercise none); parent-level minItems/maxItems cover
+            # array sizes.
+            return
+        kw = {k: node[k] for k in _CHECK_KEYWORDS if k in node}
+        required = node.get("required")
+        if isinstance(required, list):
+            for r in required:
+                if not isinstance(r, str):
+                    continue
+                p = _join_path(prefix, r)
+                self._touch(p)
+                self.checks.append(
+                    ColumnCheck(
+                        column=p,
+                        required=True,
+                        required_scope=prefix or None,
+                    )
+                )
+        if not prefix or not kw:
+            return
+        args: Dict[str, Any] = {"column": prefix}
+        if "type" in kw:
+            t = kw["type"]
+            ts = [t] if isinstance(t, str) else list(t)
+            if all(x in _JSON_TYPES for x in ts):
+                args["dtype"] = ts[0] if len(ts) == 1 else tuple(ts)
+            else:
+                self.errors.append(f"{prefix}: unknown type {t!r}")
+        if "enum" in kw:
+            args["enum"] = tuple(kw["enum"])
+        if "const" in kw:
+            args["const"] = kw["const"]
+        if "pattern" in kw:
+            args["pattern"] = kw["pattern"]
+        # draft-04 boolean exclusiveMinimum/Maximum modify minimum/maximum;
+        # draft-06+ they are standalone numerics
+        emin, emax = kw.get("exclusiveMinimum"), kw.get("exclusiveMaximum")
+        if isinstance(emin, bool):
+            if emin and "minimum" in kw:
+                args["exclusive_minimum"] = kw["minimum"]
+            elif "minimum" in kw:
+                args["minimum"] = kw["minimum"]
+        else:
+            if "minimum" in kw:
+                args["minimum"] = kw["minimum"]
+            if emin is not None:
+                args["exclusive_minimum"] = emin
+        if isinstance(emax, bool):
+            if emax and "maximum" in kw:
+                args["exclusive_maximum"] = kw["maximum"]
+            elif "maximum" in kw:
+                args["maximum"] = kw["maximum"]
+        else:
+            if "maximum" in kw:
+                args["maximum"] = kw["maximum"]
+            if emax is not None:
+                args["exclusive_maximum"] = emax
+        if "minLength" in kw:
+            args["min_length"] = kw["minLength"]
+        if "maxLength" in kw:
+            args["max_length"] = kw["maxLength"]
+        if "format" in kw:
+            from .checks.row_checks import FORMATS
+
+            if kw["format"] in FORMATS:
+                args["format"] = kw["format"]
+            # unknown formats are annotations per spec — ignored
+        if "minItems" in kw or "maxItems" in kw:
+            arr_path = prefix + "[]"
+            self._touch(arr_path)
+            self.checks.append(
+                ColumnCheck(
+                    column=arr_path,
+                    min_items=kw.get("minItems"),
+                    max_items=kw.get("maxItems"),
+                )
+            )
+        if len(args) > 1:
+            self._touch(prefix)
+            self.checks.append(ColumnCheck(**args))
+
+    def _compile_triggers(self, node: Mapping, prefix: str) -> None:
+        for trig in KEY_TRIGGERS:
+            if trig not in node:
+                continue
+            decl = node[trig]
+            err = _validate_key_decl(decl)
+            if err:
+                self.errors.append(f"{trig} at /{prefix}: {err}")
+                continue
+            members = self._key_members(decl, prefix)
+            if members is None:
+                continue
+            for m in members:
+                self._touch(m, "values")
+            ks = KeySpec(
+                members=tuple(members),
+                name=decl.get("name") if isinstance(decl, dict) else None,
+                limit_scope=bool(decl.get("limit_scope", False))
+                if isinstance(decl, dict)
+                else False,
+            )
+            getattr(
+                self, {"unique": "unique", "primary_key": "primary_keys", "index": "indexes"}[trig]
+            ).append(ks)
+        for trig in REF_TRIGGERS:
+            if trig not in node:
+                continue
+            decl = node[trig]
+            err = _validate_fk_decl(decl)
+            if err:
+                self.errors.append(f"{trig} at /{prefix}: {err}")
+                continue
+            for entry in decl:
+                ref = entry.get("schema_id")
+                if not ref:
+                    # missing schema_id → self-reference (fk_check.py:174-175)
+                    abs_ref = self.uri
+                elif urlsplit(self.uri).scheme:
+                    # urijoin only when the referring URI is absolute
+                    # (fk_check.py:176-179); plain ids are used verbatim
+                    abs_ref, _ = urldefrag(urljoin(self.uri, ref))
+                else:
+                    abs_ref = ref
+                members = tuple(_join_path(prefix, m) for m in entry["members"])
+                for m in members:
+                    self._touch(m, "values")
+                fk = ForeignKeySpec(
+                    members=members,
+                    ref_table=abs_ref,
+                    refers_to=entry.get("refers_to"),
+                )
+                (self.foreign_keys if trig == "foreign_keys" else self.join_keys).append(fk)
+
+    # -- walk -----------------------------------------------------------------
+
+    def walk(self, node: Any, prefix: str = "", base_uri: Optional[str] = None,
+             ref_chain: Tuple = ()) -> None:
+        if not isinstance(node, dict):
+            return
+        base_uri = base_uri or self.uri
+        if "$ref" in node:
+            key = (base_uri, node["$ref"], prefix)
+            if key in ref_chain:
+                return  # circular $ref (reference detects and skips, :654-660)
+            resolved = self._resolve_ref(node["$ref"], base_uri)
+            if resolved is not None:
+                target, new_base = resolved
+                self.walk(target, prefix, new_base, ref_chain + (key,))
+            return
+        self._compile_triggers(node, prefix)
+        self._compile_checks(node, prefix)
+        props = node.get("properties")
+        if isinstance(props, dict):
+            for name, child in props.items():
+                self.walk(child, _join_path(prefix, name), base_uri, ref_chain)
+        items = node.get("items")
+        if isinstance(items, dict):
+            self.walk(items, prefix + "[]", base_uri, ref_chain)
+
+
+def compile_schema(
+    uri: str, schema: Mapping, cache: Mapping[str, Mapping], file: str = "(inline)"
+) -> Tuple[Optional[CompiledSchema], List[SchemaIssue]]:
+    comp = _Compiler(uri, schema, cache)
+    comp.walk(schema)
+    issues = [SchemaIssue(file, "schema_error", e) for e in comp.errors]
+    if issues:
+        return None, issues
+    spec = TableSpec(
+        name=uri,
+        row_id="__file",
+        scope_col="__file",
+        checks=comp.checks,
+        unique=comp.unique,
+        primary_keys=comp.primary_keys,
+        indexes=comp.indexes,
+        foreign_keys=comp.foreign_keys,
+        join_keys=comp.join_keys,
+        canonical_json=True,
+    )
+    return (
+        CompiledSchema(
+            uri=uri,
+            file=file,
+            schema=schema,
+            schema_hash=normalized_json_hash(schema),
+            table_spec=spec,
+            instance_paths=tuple(sorted(comp.instance_paths)),
+            value_paths=tuple(sorted(comp.value_paths)),
+        ),
+        issues,
+    )
+
+
+def load_schemas(
+    path_or_schemas,
+) -> Tuple[Dict[str, CompiledSchema], List[SchemaIssue]]:
+    """Load + compile a schema directory (or an in-memory list of
+    ``(file, schema_dict)``) into a registry {uri: CompiledSchema}.
+
+    Mirrors the reference's load pipeline (extensible_validator.py
+    :233-365): parse → draft check → $id check → dup-id check →
+    meta-fragment validation → compile.  Issues carry the reference's
+    reason codes."""
+    raw: List[Tuple[str, Any]] = []
+    issues: List[SchemaIssue] = []
+    if isinstance(path_or_schemas, str):
+        for f in scan_files(path_or_schemas):
+            try:
+                raw.append((f, parse_json_or_yaml(f)))
+            except ValueError as e:
+                issues.append(SchemaIssue(f, "fatal", str(e)))
+    else:
+        raw = list(path_or_schemas)
+
+    registry: Dict[str, CompiledSchema] = {}
+    cache: Dict[str, Mapping] = {}
+    pending: List[Tuple[str, str, Mapping]] = []
+    for f, schema in raw:
+        if not isinstance(schema, dict):
+            issues.append(SchemaIssue(f, "schema_error", "schema is not an object"))
+            continue
+        draft = schema.get("$schema")
+        if draft is None:
+            issues.append(
+                SchemaIssue(f, "no_schema", "JSON Schema attribute '$schema' is missing")
+            )
+            continue
+        if draft not in KNOWN_DRAFTS:
+            issues.append(
+                SchemaIssue(f, "schema_unknown", f"'$schema' id {draft} not acknowledged")
+            )
+            continue
+        uri = schema.get("$id") or schema.get("id")
+        if uri is None:
+            issues.append(SchemaIssue(f, "no_id", "'$id'/'id' is missing"))
+            continue
+        uri, _ = urldefrag(uri)
+        if uri in cache:
+            issues.append(SchemaIssue(f, "dup_id", f"duplicate schema id {uri}"))
+            continue
+        cache[uri] = schema
+        pending.append((f, uri, schema))
+
+    for f, uri, schema in pending:
+        compiled, c_issues = compile_schema(uri, schema, cache, file=f)
+        issues.extend(c_issues)
+        if compiled is not None:
+            registry[uri] = compiled
+    return registry, issues

@@ -105,10 +105,17 @@ class ColumnCheck:
     max_items: Optional[int] = None  # ⇔ "maxItems"
     format: Optional[str] = None  # ⇔ "format" (P5; see row_checks.FORMATS)
     sql_predicate: Optional[str] = None  # escape hatch: custom SQL bool expr
+    # nested "required": vacuous when the PARENT object is absent
+    # (jsonschema semantics — required inside a sub-schema only fires
+    # when the instance reaches that sub-schema).  Holds the parent
+    # path column; NULL parent → check passes.
+    required_scope: Optional[str] = None
 
     def __post_init__(self):
         if self.enum is not None:
             object.__setattr__(self, "enum", tuple(self.enum))
+        if isinstance(self.dtype, (list, tuple)):
+            object.__setattr__(self, "dtype", tuple(self.dtype))
 
 
 @dataclass
@@ -130,6 +137,12 @@ class TableSpec:
     foreign_keys: list = field(default_factory=list)
     join_keys: list = field(default_factory=list)
     scope_col: Optional[str] = None
+    # True for SHREDDED document tables (schemas.py / docshred.py):
+    # columns hold canonical JSON literals (or arrays of them), so key
+    # canonicalization is the identity and row checks compile in
+    # json-literal mode (type tags preserved: int 2 is `2`, str "2" is
+    # `"2"`, null is `null`, absent is SQL NULL).
+    canonical_json: bool = False
 
     def __post_init__(self):
         if not self.name:

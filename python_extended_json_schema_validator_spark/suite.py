@@ -1,0 +1,170 @@
+"""End-to-end runner for reference-style validation suites: a schema
+directory + a document directory, exactly the reference CLI's shape
+(``ejv schemadir docdir``) — the compatibility entry point a user of
+inab/python-extended-json-schema-validator switches to.
+
+Pipeline: load_schemas (schemas.py) → document scan with JSON→YAML
+fallback (extensible_validator.py:1014-1053) → schema dispatch via the
+``@schema``/``_schema``/``$schema`` probe (:113-115, :1130-1139, the
+first probe that matches wins; overridable like --schema_id_path) →
+shred per schema (docshred.py) → ONE ValidationEngine run across all
+schemas (cross-schema FK/JK dims resolve within the run, exactly like
+the reference's shared PK contexts) → per-file reasons + exit code.
+
+Exit codes (⇔ __main__.py:302-471): 0 clean, 1 no schema loaded,
+2 any document validation error.  (The reference resets a schema-load
+exit 3 once documents validate — quirk preserved by simply not gating
+on schema issues when ≥1 schema loaded.)
+
+Inline key providers come from the reference's YAML config
+(``primary_key.inline_provider`` — test-data/fk_with_inline/
+ejv_inline.yaml), mapped to engine InlineProviders; duplicate
+semantics follow ``allow_provider_duplicates`` (pk_check.py:216-240).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import SparkSession
+
+from .docshred import shred_documents
+from .engine import EngineConfig, ValidationEngine
+from .providers import InlineProvider
+from .schemas import (
+    SCHEMA_KEY_PROBES,
+    CompiledSchema,
+    SchemaIssue,
+    load_schemas,
+    parse_json_or_yaml,
+    scan_files,
+)
+
+
+@dataclass
+class SuiteResult:
+    exit_code: int
+    per_file: Dict[str, List[str]]  # file → sorted violation reasons
+    schema_issues: List[SchemaIssue] = field(default_factory=list)
+    registry: Dict[str, CompiledSchema] = field(default_factory=dict)
+    violations: Optional[object] = None  # the collected violation rows
+    unmatched: List[str] = field(default_factory=list)  # files with no schema
+
+
+def scan_documents(doc_dir: str) -> List[Tuple[str, Any, Optional[str]]]:
+    """(file, parsed doc | None, parse error | None), sorted by path —
+    sorting replaces the reference's os.listdir order so duplicate
+    survivors are deterministic (min file wins both here and when the
+    differential harness feeds the reference the same sorted list)."""
+    out = []
+    for f in scan_files(doc_dir):
+        try:
+            out.append((f, parse_json_or_yaml(f), None))
+        except ValueError as e:
+            out.append((f, None, str(e)))
+    return out
+
+
+def dispatch_uri(doc: Any, probes: Sequence[str] = SCHEMA_KEY_PROBES) -> Optional[str]:
+    """First matching schema-id probe (extensible_validator.py:
+    113-115; dotted paths supported like --schema_id_path)."""
+    if not isinstance(doc, dict):
+        return None
+    for probe in probes:
+        node = doc
+        ok = True
+        for step in probe.split("."):
+            if isinstance(node, dict) and step in node:
+                node = node[step]
+            else:
+                ok = False
+                break
+        if ok and isinstance(node, str):
+            return node
+    return None
+
+
+def providers_from_config(config: Optional[Mapping]) -> List[InlineProvider]:
+    """primary_key.inline_provider → InlineProviders (YAML grammar of
+    test-data/fk_with_inline/ejv_inline.yaml; duplicate flag
+    pk_check.py:216-240, default strict)."""
+    if not config:
+        return []
+    pk_cfg = config.get("primary_key") or {}
+    inline = pk_cfg.get("inline_provider") or {}
+    allow = bool(pk_cfg.get("allow_provider_duplicates", False))
+    return [
+        InlineProvider(
+            table=uri,
+            keys=[tuple(k) if isinstance(k, list) else k for k in keys],
+            allow_duplicates=allow,
+        )
+        for uri, keys in inline.items()
+    ]
+
+
+def run_suite(
+    spark: SparkSession,
+    schemas: Union[str, Sequence[Tuple[str, Mapping]]],
+    docs: Union[str, Sequence[Tuple[str, Any]]],
+    config: Optional[Mapping] = None,
+    probes: Sequence[str] = SCHEMA_KEY_PROBES,
+    engine_config: Optional[EngineConfig] = None,
+) -> SuiteResult:
+    """Run one suite.  ``schemas``: directory or [(file, schema dict)];
+    ``docs``: directory or [(file, parsed doc)].  ``config``: the
+    reference's YAML config dict (inline providers etc.), or a path to
+    it."""
+    if isinstance(config, str):
+        config = parse_json_or_yaml(config)
+    registry, issues = load_schemas(schemas)
+
+    if isinstance(docs, str):
+        scanned = scan_documents(docs)
+    else:
+        scanned = [(f, d, None) for f, d in docs]
+
+    per_file: Dict[str, List[str]] = {}
+    unmatched: List[str] = []
+    by_uri: Dict[str, List[Tuple[str, Any]]] = {}
+    for fname, doc, err in scanned:
+        per_file.setdefault(fname, [])
+        if err is not None:
+            # ⇔ "Unable to parse file" reason "fatal"
+            per_file[fname].append("fatal")
+            continue
+        uri = dispatch_uri(doc, probes)
+        if uri is None or uri not in registry:
+            unmatched.append(fname)
+            continue
+        by_uri.setdefault(uri, []).append((fname, doc))
+
+    if not registry:
+        return SuiteResult(
+            exit_code=1, per_file=per_file, schema_issues=issues, unmatched=unmatched
+        )
+
+    tables = {
+        uri: shred_documents(spark, group, registry[uri])
+        for uri, group in by_uri.items()
+    }
+    specs = [cs.table_spec for cs in registry.values()]
+    engine = ValidationEngine(
+        specs, providers=providers_from_config(config), config=engine_config
+    )
+    result = engine.validate(tables)
+    rows = result.violations.collect() if tables else []
+    for r in rows:
+        per_file.setdefault(r.row_id, []).append(r.reason)
+    per_file = {k: sorted(v) for k, v in per_file.items()}
+    any_errors = any(v for v in per_file.values())
+    return SuiteResult(
+        exit_code=2 if any_errors else 0,
+        per_file=per_file,
+        schema_issues=issues,
+        registry=registry,
+        violations=rows,
+        unmatched=unmatched,
+    )
