@@ -600,6 +600,65 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_array_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3 array-step fan-out: a primary key over an ARRAY member
+    keys every element (GenKeyStrings cartesian, reference
+    index_check.py:262-293): >1 values wrap each element alone
+    (``["w"]``), exactly 1 value keys as the raw atomic literal, and
+    an empty/missing array contributes no key.  Pure column algebra
+    (transform/flatten/explode) — no UDFs."""
+    part = _t(spark, sf_dir, "part").withColumn(
+        "name_words", F.split(F.col("p_name"), " ")
+    )
+    spec = TableSpec(
+        name="part", row_id="p_partkey", primary_keys=[KeySpec(("name_words",))]
+    )
+    res = ValidationEngine([spec]).validate({"part": part})
+    return _viol(res)
+
+
+def q_schema_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 JSON Schema ingestion end-to-end AT SCALE: a real JSON
+    Schema document (draft-07, trigger attributes) is compiled by
+    schemas.load_schemas, the documents table is serialized to JSON
+    rows and SHREDDED back by the distributed mapInPandas shredder
+    (docshred.shred_json_strings — Arrow-batched, map-only), and the
+    engine validates the shredded table in json-literal mode: enum /
+    pattern / minimum checks plus a named unique key whose world only
+    sees pass-1 survivors (revocation)."""
+    from python_extended_json_schema_validator_spark.docshred import (
+        shred_json_strings,
+    )
+    from python_extended_json_schema_validator_spark.schemas import load_schemas
+
+    schema = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "ingest://documents/1.0",
+        "type": "object",
+        "required": ["doc_id", "text"],
+        "unique": {"members": ["source", "lang"], "name": "src_lang"},
+        "properties": {
+            "doc_id": {"type": "integer"},
+            "lang": {"type": "string", "enum": ["en", "es", "fr", "de"]},
+            "source": {"type": "string", "pattern": "^src[0-9]$"},
+            "n_chars": {"type": "integer", "minimum": 100},
+            "text": {"type": "string", "minLength": 10},
+        },
+    }
+    registry, issues = load_schemas([("inline.json", schema)])
+    assert not issues, issues
+    cs = registry["ingest://documents/1.0"]
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("file"),
+        F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars")).alias(
+            "json"
+        ),
+    )
+    shredded = shred_json_strings(docs, cs)
+    res = ValidationEngine([cs.table_spec]).validate({cs.uri: shredded})
+    return _viol(res)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -638,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_counts": q_salted_counts,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "key_array_fanout": q_key_array_fanout,
+        "schema_ingest": q_schema_ingest,
         # rows-only (approximate / plumbing — no exact SQL oracle)
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -652,6 +713,61 @@ LI_ID = "CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "key_array_fanout": """
+            WITH w AS (
+              SELECT CAST(p_partkey AS VARCHAR) AS rid,
+                     len(string_split(p_name, ' ')) AS n,
+                     unnest(string_split(p_name, ' ')) AS word
+              FROM part WHERE p_name IS NOT NULL
+            ), k AS (
+              SELECT rid,
+                     CASE WHEN n = 1 THEN '"' || word || '"'
+                          ELSE '["' || word || '"]' END AS key,
+                     CASE WHEN n = 1 THEN word
+                          ELSE '["' || word || '"]' END AS obs
+              FROM w
+            ), r AS (
+              SELECT rid, key, obs,
+                     ROW_NUMBER() OVER (PARTITION BY key ORDER BY rid) AS rn
+              FROM k
+            )
+            SELECT 'pk:name_words' AS constraint_id, 'dup_pk' AS reason,
+                   rid AS row_id, obs AS observed_value
+            FROM r WHERE rn > 1
+        """,
+        "schema_ingest": """
+            WITH survivors AS (
+              SELECT 'doc-' || doc_id AS rid, source, lang
+              FROM documents
+              WHERE lang IN ('en','es','fr','de')
+                AND regexp_matches(source, '^src[0-9]$')
+                AND n_chars >= 100
+            )
+            SELECT 'check:lang:enum' AS constraint_id, 'enum' AS reason,
+                   'doc-' || doc_id AS row_id,
+                   '"' || lang || '"' AS observed_value
+            FROM documents
+            WHERE lang IS NOT NULL AND lang NOT IN ('en','es','fr','de')
+            UNION ALL
+            SELECT 'check:source:pattern', 'pattern', 'doc-' || doc_id,
+                   '"' || source || '"'
+            FROM documents
+            WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')
+            UNION ALL
+            SELECT 'check:n_chars:minimum', 'minimum', 'doc-' || doc_id,
+                   CAST(n_chars AS VARCHAR)
+            FROM documents
+            WHERE n_chars IS NOT NULL AND NOT (n_chars >= 100)
+            UNION ALL
+            SELECT 'unique:src_lang', 'dup_unique', rid,
+                   '["' || source || '","' || lang || '"]'
+            FROM (
+              SELECT rid, source, lang,
+                     ROW_NUMBER() OVER (PARTITION BY source, lang
+                                        ORDER BY rid) AS rn
+              FROM survivors
+            ) WHERE rn > 1
+        """,
         "row_checks": f"""
             SELECT 'check:p_size:minimum' AS constraint_id, 'minimum' AS reason,
                    CAST(p_partkey AS VARCHAR) AS row_id, CAST(p_size AS VARCHAR) AS observed_value

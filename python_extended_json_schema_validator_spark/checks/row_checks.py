@@ -120,9 +120,13 @@ def compile_check(
 
     if json_mode:
         # decoded string value (NULL for non-string literals); string
-        # keywords guard on is_str so non-strings pass vacuously
+        # keywords guard on is_str so non-strings pass vacuously.
+        # Spark 4 from_json needs a container schema → wrap the scalar
+        # literal in a 1-element JSON array and take element 0.
         is_str = c.startswith('"')
-        decoded = F.from_json(c, "string")
+        decoded = F.from_json(
+            F.concat(F.lit("["), c, F.lit("]")), "array<string>"
+        ).getItem(0)
         is_num = c.rlike(_NUM_RE)
         num = c.try_cast("double")
 

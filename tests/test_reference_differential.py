@@ -663,3 +663,105 @@ def test_diff_named_worlds_confined_per_class(spark, reference):
     got = engine_reasons(spark, [dspec, fspec], {"ccdim": ddf, "ccfact": fdf},
                          ["d1", "f1"])
     assert ref == got == {"d1": [], "f1": ["stale_fk"]}
+
+
+def test_diff_array_member_pk_fanout(spark, reference):
+    """Array-valued key members FAN OUT: each element is a key
+    (GenKeyStrings cartesian, index_check.py:262-293).  A single
+    member with >1 values wraps each element alone (["b"]); with
+    exactly one value the raw atomic is the key; an empty array
+    contributes no key at all."""
+    schema = {
+        "$id": "diff://arr/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "primary_key": ["tags"],
+        "properties": {"tags": {"type": "array", "items": {"type": "string"}}},
+    }
+    docs = [
+        ("r1", {"@schema": "diff://arr/1.0", "tags": ["a", "b"]}),
+        ("r2", {"@schema": "diff://arr/1.0", "tags": ["b", "c"]}),  # ["b"] dup
+        ("r3", {"@schema": "diff://arr/1.0", "tags": []}),          # no key
+        ("r4", {"@schema": "diff://arr/1.0", "tags": []}),          # no key
+    ]
+    ref = reference([schema], docs)
+
+    spec = TableSpec(name="t", row_id="rid", primary_keys=[KeySpec(("tags",))])
+    df = spark.createDataFrame(
+        [("r1", ["a", "b"]), ("r2", ["b", "c"]), ("r3", []), ("r4", [])],
+        "rid string, tags array<string>",
+    )
+    got = engine_reasons(spark, [spec], {"t": df}, ["r1", "r2", "r3", "r4"])
+    assert ref == got == {"r1": [], "r2": ["dup_pk"], "r3": [], "r4": []}
+
+
+def test_diff_array_fanout_atomic_vs_wrapped(spark, reference):
+    """The atomic fast path is VALUE-COUNT dependent: a 1-element
+    array keys as the raw atomic, so it collides with a scalar-keyed
+    doc of the same value; a 2-element array keys as wrapped ["v"]
+    elements, which do NOT collide with the raw atomic."""
+    schema = {
+        "$id": "diff://arr2/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "primary_key": ["v"],
+        "properties": {"v": {}},
+    }
+    docs = [
+        ("r1", {"@schema": "diff://arr2/1.0", "v": "x"}),          # atomic "x"
+        ("r2", {"@schema": "diff://arr2/1.0", "v": ["x"]}),        # 1-elem → atomic "x": dup!
+        ("r3", {"@schema": "diff://arr2/1.0", "v": ["x", "y"]}),   # ["x"],["y"]: no dup
+    ]
+    ref = reference([schema], docs)
+    assert ref == {"r1": [], "r2": ["dup_pk"], "r3": []}
+
+    # engine side: same value shapes via a shredded-document run (the
+    # typed-column world cannot hold mixed scalar/array in one column)
+    from python_extended_json_schema_validator_spark.suite import run_suite
+
+    res = run_suite(spark, [("s.json", schema)], [(n, d) for n, d in docs])
+    got = {f: [r for r in v] for f, v in res.per_file.items()}
+    assert got == {"r1": [], "r2": ["dup_pk"], "r3": []}
+
+
+def test_diff_array_fk_fanout(spark, reference):
+    """FK members fan out too: EVERY combination is probed
+    (fk_check.py:425-449) — one bad element makes the row stale."""
+    dim = {
+        "$id": "diff://adim/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "properties": {"k": {"type": "string", "primary_key": True}},
+    }
+    fact = {
+        "$id": "diff://afact/1.0",
+        "$schema": DRAFT,
+        "type": "object",
+        "foreign_keys": [{"schema_id": "diff://adim/1.0", "members": ["refs"]}],
+        "properties": {"refs": {"type": "array", "items": {"type": "string"}}},
+    }
+    docs = [
+        ("d1", {"@schema": "diff://adim/1.0", "k": "a"}),
+        ("d2", {"@schema": "diff://adim/1.0", "k": "b"}),
+        # 2 values → probes ["a"],["b"]... but dim keys are ATOMIC
+        # ("a"), so wrapped probes MISS: the reference flags both!
+        ("f1", {"@schema": "diff://afact/1.0", "refs": ["a", "b"]}),
+        # 1 value → atomic probe "a" → hits
+        ("f2", {"@schema": "diff://afact/1.0", "refs": ["a"]}),
+        ("f3", {"@schema": "diff://afact/1.0", "refs": ["a", "zzz"]}),
+    ]
+    ref = reference([dim, fact], docs)
+
+    dspec = TableSpec(name="adim", row_id="rid", primary_keys=[KeySpec(("k",))])
+    fspec = TableSpec(
+        name="afact", row_id="rid",
+        foreign_keys=[ForeignKeySpec(("refs",), ref_table="adim")],
+    )
+    ddf = spark.createDataFrame([("d1", "a"), ("d2", "b")], "rid string, k string")
+    fdf = spark.createDataFrame(
+        [("f1", ["a", "b"]), ("f2", ["a"]), ("f3", ["a", "zzz"])],
+        "rid string, refs array<string>",
+    )
+    got = engine_reasons(spark, [dspec, fspec], {"adim": ddf, "afact": fdf},
+                         ["d1", "d2", "f1", "f2", "f3"])
+    assert ref == got
