@@ -1105,9 +1105,15 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 5
         """,
         "embed_neardup": """
-            SELECT CAST(vec_id AS BIGINT) AS doc_a,
-                   CAST(vec_id + 100000 AS BIGINT) AS doc_b
-            FROM embeddings WHERE vec_id < 20
+            WITH corpus AS (
+              SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings
+              UNION ALL
+              SELECT CAST(vec_id + 100000 AS BIGINT), embedding
+              FROM embeddings WHERE vec_id < 20
+            )
+            SELECT a.id AS doc_a, b.id AS doc_b
+            FROM corpus a JOIN corpus b ON a.id < b.id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         """,
         "dispatch": """
             SELECT 'dispatch' AS constraint_id, 'no_id' AS reason,
@@ -1188,7 +1194,7 @@ def oracle_sql() -> dict[str, str]:
                    )
                    + """) AS BIGINT) AS hamming
             FROM sh a JOIN sh b
-              ON substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8) AND a.doc < b.doc
+              ON a.doc < b.doc
             WHERE ("""
                    + " + ".join(
                        f"(CASE WHEN substr(a.simhash,{i+1},1) <> substr(b.simhash,{i+1},1) THEN 1 ELSE 0 END)"

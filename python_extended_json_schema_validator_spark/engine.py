@@ -51,9 +51,20 @@ class EngineConfig:
     # scale hazard; Catalyst reuses the scan and AQE broadcasts small
     # dims at runtime, which is the right default.
     broadcast_provider_dims: bool = True
-    # 'window' (per-key sort; simple) or 'agg' (skew-proof two-level
-    # hash aggregation — identical outputs, bounded partition state at
-    # any key skew; see uniqueness.dup_violations)
+    # 'window' (DEFAULT — one shuffle + per-key sort; the north star
+    # prescribes "hash-partitioned dedup windows") or 'agg' (two-level
+    # hash aggregation: bounded partition state at ANY key skew, but
+    # TWO full-width shuffles + a join).  Identical output multisets —
+    # parity-tested in tests/test_dedup_strategies.py.
+    #
+    # MEASURED (tools/skew_bench.py, local[8]): window wins even at
+    # pathological skew within sort capacity — 5M rows / 20% hot key:
+    # window 3.8 s vs agg 8.5 s; 40M rows / 50% hot key (20M-row hot
+    # partition): window 63 s vs agg 100 s.  Switch to 'agg' only when
+    # one key's rows exceed a single task's sort budget (≈ hot-key
+    # rows × key width ≫ executor memory — at 10^12 rows with a
+    # handful of phash values, that's when 'window' would OOM/spill
+    # while 'agg' keeps hash-agg state bounded).
     dedup_strategy: str = "window"
 
 

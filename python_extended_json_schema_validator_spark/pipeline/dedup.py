@@ -209,20 +209,70 @@ def simhash_near_duplicates(
     max_hamming: int = 2,
     positions: int = 16,
 ) -> DataFrame:
-    """Pairs whose SimHash differs in ≤ max_hamming positions.  Scale
-    path: block on the first half of the signature (near-dups almost
-    always agree there), then verify hamming on the full string —
-    avoids the all-pairs join."""
+    """ALL pairs whose SimHash differs in ≤ max_hamming positions —
+    recall 1.0 by the pigeonhole principle: the signature is split into
+    ``max_hamming + 1`` blocks, so any pair within the hamming budget
+    agrees EXACTLY on at least one block; candidates are the union of
+    per-block equi-joins (bucketed, never all-pairs), deduplicated,
+    then hamming-verified on the full signature.
+
+    Scale shape: each block join is a shuffle on an ~(positions /
+    (h+1))-bit key — at 100 TB the block width (via ``positions``)
+    controls bucket sizes; widening the signature sharpens buckets
+    without changing the recall guarantee."""
     sh = simhash(df, id_col, text_col, positions)
-    half = positions // 2
-    blocked = sh.withColumn("block", F.substring("simhash", 1, half))
-    a = blocked.alias("a")
-    b = blocked.alias("b")
+    return simhash_pairs_from_signatures(sh, max_hamming, positions)
+
+
+def simhash_pairs_from_signatures(
+    sh: DataFrame, max_hamming: int = 2, positions: int = 16
+) -> DataFrame:
+    """Pigeonhole-banded pair generation over precomputed (doc,
+    simhash) signatures — see simhash_near_duplicates."""
+    nblocks = max_hamming + 1
+    # spread positions as evenly as possible across blocks
+    base, extra = divmod(positions, nblocks)
+    bounds = []
+    start = 1  # substring is 1-based
+    for bi in range(nblocks):
+        ln = base + (1 if bi < extra else 0)
+        bounds.append((start, ln))
+        start += ln
+
+    frames = [
+        sh.select(
+            "doc",
+            "simhash",
+            F.lit(bi).alias("blk"),
+            F.substring("simhash", s, ln).alias("bkey"),
+        )
+        for bi, (s, ln) in enumerate(bounds)
+    ]
+    blocked = frames[0]
+    for fdf in frames[1:]:
+        blocked = blocked.unionByName(fdf)
+
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()  # a pair can match in several blocks
+    )
     ham = sum(
         (
             F.when(
-                F.substring(F.col("a.simhash"), i + 1, 1)
-                != F.substring(F.col("b.simhash"), i + 1, 1),
+                F.substring(F.col("sh_a"), i + 1, 1)
+                != F.substring(F.col("sh_b"), i + 1, 1),
                 1,
             ).otherwise(0)
             for i in range(positions)
@@ -230,15 +280,7 @@ def simhash_near_duplicates(
         F.lit(0),
     )
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block")) & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .withColumn("hamming", ham)
+        cand.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            "hamming",
-        )
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -76,15 +76,53 @@ def brute_force_topk(
     )
 
 
-def sign_bucket(vec: Column, bits: int = 8) -> Column:
-    """Sign-LSH bucket key: the sign pattern of the first ``bits``
-    components — a cosine LSH for roughly centered embeddings."""
-    return F.concat(
-        *[
-            F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(bits)
-        ]
-    )
+def random_hyperplanes(
+    dim: int, bits: int = 8, tables: int = 4, seed: int = 42
+) -> list:
+    """Seeded Gaussian hyperplanes for cosine LSH: ``tables`` tables of
+    ``bits`` planes each, every plane a ``dim``-vector.  Deterministic
+    (same seed → same planes on driver and in the SQL oracle)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+        for _ in range(tables)
+    ]
+
+
+def hyperplane_bucket(vec: Column, planes: list) -> Column:
+    """One table's bucket key: sign(R·v) per plane, concatenated —
+    the classic random-projection cosine LSH (sign agreement
+    probability = 1 - angle/π).  Pure column algebra: each projection
+    is a zip_with/aggregate dot against a LITERAL plane array, so the
+    whole key stays JVM-side."""
+    signs = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        proj = dot(vec, lit_plane)
+        signs.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*signs)
+
+
+def _multi_table_buckets(
+    df: DataFrame, id_alias: str, vec_col: str, id_col: str, planes: list
+) -> DataFrame:
+    """(id, vec, table, bucket) rows — one row per LSH table
+    (OR-amplification: a pair is a candidate if ANY table agrees)."""
+    frames = [
+        df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(f"{id_alias}_v"),
+            F.lit(t).alias("tbl"),
+            hyperplane_bucket(F.col(vec_col), table_planes).alias("bucket"),
+        )
+        for t, table_planes in enumerate(planes)
+    ]
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
 
 
 def lsh_topk(
@@ -94,24 +132,30 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's sign bucket;
-    exact cosine + ranking within the bucket only.  Recall < 1 by
-    design; the bucketed equi-join replaces the all-pairs scan."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
-    )
-    scored = (
-        q.join(c, "bucket")
+    """Approximate top-k via random-hyperplane LSH with multi-table
+    OR-amplification: candidates share a bucket in ANY of ``tables``
+    seeded sign(R·v) tables; exact cosine + ranking on the candidate
+    set only.  Knobs: more ``bits`` → smaller buckets (less work,
+    lower per-table recall); more ``tables`` → higher recall.  Gaussian
+    planes make bucket sizes data-independent-ish (no hot leading-dim
+    buckets), and the equi-join per table replaces the all-pairs scan."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, bits, tables, seed)
+    q = _multi_table_buckets(queries, "query_id", vec_col, id_col, planes)
+    c = _multi_table_buckets(corpus, "neighbor_id", vec_col, id_col, planes)
+    cand = (
+        q.join(c, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -259,25 +303,37 @@ def cosine_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-dup pairs (cos ≥ threshold), bucketed by sign-LSH
-    (pairs this similar share the sign pattern of the leading dims with
-    overwhelming probability)."""
-    v = df.select(
-        F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("vec"),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
-    )
+    """Embedding near-dup pairs (cos ≥ threshold): random-hyperplane
+    LSH candidates with multi-table OR-amplification, exact cosine
+    verification on candidates only.  At cos ≥ 0.95 (angle ≤ ~18°) a
+    single table of 8 planes already agrees with probability ≈
+    (1-0.1)^8 ≈ 0.43; four tables push candidate recall ≈ 0.9+, and
+    the verification step means precision is exact regardless."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, bits, tables, seed)
+    v = _multi_table_buckets(df, "doc", vec_col, id_col, planes)
     a, b = v.alias("a"), v.alias("b")
-    return (
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+            F.col("a.doc_v").alias("va"),
+            F.col("b.doc_v").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a", "doc_b", cosine(F.col("va"), F.col("vb")).alias("cos")
         )
         .where(F.col("cos") >= threshold)
     )

@@ -1,0 +1,134 @@
+"""Recall / bucket-quality guarantees for the similarity family:
+
+- SimHash pigeonhole banding: recall 1.0 for hamming ≤ max_hamming —
+  including pairs whose differing bits ALL fall inside one block (the
+  failure mode of naive fixed-prefix blocking).
+- Random-hyperplane LSH: near-duplicate queries recover their source
+  vector (recall@1), and Gaussian-plane buckets are not pathologically
+  hot.
+"""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_extended_json_schema_validator_spark.pipeline import dedup, similarity
+
+
+# ---------------------------------------------------------------------------
+# SimHash banding
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_banding_catches_same_block_diffs(spark):
+    """Signatures differing ONLY in the first two positions: a naive
+    first-half block join can never pair them; pigeonhole banding
+    must (they agree exactly on blocks 2 and 3)."""
+    sigs = [
+        ("a", "1100000000000000"),
+        ("b", "0000000000000000"),  # diff bits 1,2 → hamming 2
+        ("c", "1111111111111111"),  # far from both
+    ]
+    sh = spark.createDataFrame(sigs, "doc string, simhash string")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_pairs_from_signatures(sh, max_hamming=2).collect()
+    }
+    assert got == {("a", "b", 2)}
+
+
+def test_simhash_banding_recall_is_total(spark):
+    """Exhaustive: all 4-bit signatures, max_hamming=2 — banded pairs
+    must equal brute-force all-pairs with hamming ≤ 2."""
+    sigs = [(f"d{i:02d}", format(i, "04b")) for i in range(16)]
+    sh = spark.createDataFrame(sigs, "doc string, simhash string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_pairs_from_signatures(
+            sh, max_hamming=2, positions=4
+        ).collect()
+    }
+    want = {
+        (a_id, b_id)
+        for i, (a_id, a_s) in enumerate(sigs)
+        for (b_id, b_s) in sigs[i + 1:]
+        if sum(x != y for x, y in zip(a_s, b_s)) <= 2
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_lsh_neardup_recall_at_1(spark, embeddings):
+    """Perturbed copies (cos ≈ 0.995 to their source) must find the
+    source as top-1 through the multi-table LSH with DEFAULT knobs —
+    the near-duplicate workload LSH exists for."""
+    rng = random.Random(7)
+    base = embeddings.limit(30).collect()
+    noisy = []
+    for r in base:
+        v = [float(x) for x in r.embedding]
+        nrm = math.sqrt(sum(x * x for x in v))
+        noisy.append(
+            (r.vec_id + 100000, [x + rng.gauss(0, 0.05 * nrm / math.sqrt(len(v))) for x in v])
+        )
+    queries = spark.createDataFrame(noisy, "vec_id long, embedding array<double>")
+    corpus = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    got = similarity.lsh_topk(corpus, queries, k=1)
+    hits = (
+        got.where(F.col("rank") == 1)
+        .where(F.col("neighbor_id") == F.col("query_id") - 100000)
+        .count()
+    )
+    assert hits / len(noisy) >= 0.9, f"recall@1 = {hits}/{len(noisy)}"
+
+
+def test_lsh_bucket_sizes_bounded(spark, embeddings):
+    """Gaussian hyperplanes must not produce a hot bucket holding most
+    of the corpus (the failure mode of raw leading-dim sign buckets on
+    correlated embeddings): no (table, bucket) may hold > 40% of rows
+    with 8 planes."""
+    dim = len(embeddings.select("embedding").first()[0])
+    planes = similarity.random_hyperplanes(dim, bits=8, tables=4, seed=42)
+    b = similarity._multi_table_buckets(
+        embeddings, "doc", "embedding", "vec_id", planes
+    )
+    n = embeddings.count()
+    hot = (
+        b.groupBy("tbl", "bucket")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()
+        .mx
+    )
+    assert hot <= 0.4 * n, f"hot bucket {hot}/{n}"
+
+
+def test_lsh_topk_subset_of_brute_force_quality(spark, embeddings):
+    """Approximate top-k cosines can't exceed the exact ones, and with
+    generous knobs (3 bits × 12 tables) recall@5 on even RANDOM
+    vectors (weak neighbors — the hard case) stays usable (≥ 0.5)."""
+    corpus = embeddings
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(corpus, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(
+            corpus, queries, k=5, bits=3, tables=12
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall@5 = {recall}"
