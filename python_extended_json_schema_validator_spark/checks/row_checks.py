@@ -205,6 +205,17 @@ def compile_check(
             add("format", _strk(decoded.rlike(FORMATS[check.format])))
         else:
             add("format", c.rlike(FORMATS[check.format]))
+    if check.allowed_keys is not None:
+        # c is the object's property-name array (`<path>#keys`);
+        # NULL (absent / non-object) passes vacuously via the outer
+        # guard, matching jsonschema (additionalProperties only
+        # applies to objects)
+        allowed = [F.lit(k) for k in check.allowed_keys]
+        add(
+            "additionalProperties",
+            F.forall(c, lambda kk: kk.isin(*allowed)),
+            F.to_json(c),
+        )
     if check.sql_predicate is not None:
         add("sql", F.expr(check.sql_predicate))
     return out

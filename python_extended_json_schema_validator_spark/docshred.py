@@ -140,6 +140,11 @@ def shred_record(doc: Any, compiled: CompiledSchema) -> dict:
             _canon(v) if isinstance(v, ATOMIC) else json.dumps(v, sort_keys=True)
             for v in vals
         ]
+    for p in compiled.props_paths:
+        present, v = (True, doc) if p == "" else instance_at(doc, p)
+        out[p + "#keys"] = (
+            sorted(v.keys()) if present and isinstance(v, dict) else None
+        )
     return out
 
 
@@ -150,6 +155,8 @@ def _shred_schema(compiled: CompiledSchema) -> T.StructType:
         fields.append(T.StructField(p, t))
     for p in compiled.value_paths:
         fields.append(T.StructField(p + "#v", T.ArrayType(T.StringType())))
+    for p in compiled.props_paths:
+        fields.append(T.StructField(p + "#keys", T.ArrayType(T.StringType())))
     return T.StructType(fields)
 
 

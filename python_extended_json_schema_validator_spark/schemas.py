@@ -111,6 +111,9 @@ class CompiledSchema:
     # `<path>#v` array<string> columns by docshred.shred)
     instance_paths: tuple = ()
     value_paths: tuple = ()
+    # object paths (possibly "" = root) whose property-name arrays the
+    # shredder must emit as `<path>#keys` (additionalProperties checks)
+    props_paths: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -254,6 +257,7 @@ class _Compiler:
         self.errors: List[str] = []
         self.instance_paths: set = set()
         self.value_paths: set = set()
+        self.props_paths: set = set()
 
     # -- helpers ------------------------------------------------------------
 
@@ -307,6 +311,20 @@ class _Compiler:
             # array sizes.
             return
         kw = {k: node[k] for k in _CHECK_KEYWORDS if k in node}
+        # additionalProperties: false → the node's actual property
+        # names must all be declared (boolean form only; schema-form
+        # additionalProperties is an annotation we do not compile)
+        if node.get("additionalProperties") is False:
+            allowed = tuple(
+                sorted(node.get("properties", {}))
+                if isinstance(node.get("properties"), dict)
+                else ()
+            )
+            self.props_paths.add(prefix)
+            self.checks.append(
+                ColumnCheck(column=(prefix + "#keys") if prefix else "#keys",
+                            allowed_keys=allowed)
+            )
         required = node.get("required")
         if isinstance(required, list):
             for r in required:
@@ -493,6 +511,7 @@ def compile_schema(
             table_spec=spec,
             instance_paths=tuple(sorted(comp.instance_paths)),
             value_paths=tuple(sorted(comp.value_paths)),
+            props_paths=tuple(sorted(comp.props_paths)),
         ),
         issues,
     )

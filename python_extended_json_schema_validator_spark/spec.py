@@ -110,6 +110,10 @@ class ColumnCheck:
     # when the instance reaches that sub-schema).  Holds the parent
     # path column; NULL parent → check passes.
     required_scope: Optional[str] = None
+    # "additionalProperties": false — the column holds the object's
+    # actual property-name array (shredded `<path>#keys`); every name
+    # must be in this allowed set.
+    allowed_keys: Optional[tuple] = None
 
     def __post_init__(self):
         if self.enum is not None:

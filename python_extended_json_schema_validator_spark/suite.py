@@ -51,6 +51,58 @@ class SuiteResult:
     registry: Dict[str, CompiledSchema] = field(default_factory=dict)
     violations: Optional[object] = None  # the collected violation rows
     unmatched: List[str] = field(default_factory=list)  # files with no schema
+    doc_schema: Dict[str, str] = field(default_factory=dict)  # file → schema uri
+
+    def report(self, quiet: bool = False, error_report: bool = False) -> list:
+        """Reference-shaped JSON report (⇔ __main__.py:311-338 +
+        ParsedContentEntry): leading entries one per loaded schema
+        ``{file, uri, id_key, schema_hash, errors[, schema]}``
+        (``quiet`` drops the schema body, like --quiet-report), then
+        one entry per document ``{file, schema_id, schema_hash,
+        errors: [{reason, description, path}]}``; ``error_report``
+        keeps only erroring entries (--error-report)."""
+        out: list = []
+        for uri in sorted(self.registry):
+            cs = self.registry[uri]
+            entry = {
+                "file": cs.file,
+                "uri": uri,
+                "id_key": "$id",
+                "schema_hash": cs.schema_hash,
+                "errors": [],
+            }
+            if not quiet:
+                entry["schema"] = cs.schema
+            out.append(entry)
+        by_file: Dict[str, list] = {}
+        for r in self.violations or []:
+            by_file.setdefault(r.row_id, []).append(
+                {
+                    "reason": r.reason,
+                    "description": f"{r.constraint_id}: {r.observed_value!r}",
+                    "path": r.path if "path" in r.__fields__ else None,
+                }
+            )
+        for fname in sorted(self.per_file):
+            errs = by_file.get(fname, [])
+            if fname in self.per_file and "fatal" in self.per_file[fname]:
+                errs = [
+                    {"reason": "fatal", "description": "Unable to parse file",
+                     "path": None}
+                ] + errs
+            if error_report and not errs:
+                continue
+            uri = self.doc_schema.get(fname)
+            cs = self.registry.get(uri) if uri else None
+            out.append(
+                {
+                    "file": fname,
+                    "schema_id": uri,
+                    "schema_hash": cs.schema_hash if cs else None,
+                    "errors": errs,
+                }
+            )
+        return out
 
 
 def scan_documents(doc_dir: str) -> List[Tuple[str, Any, Optional[str]]]:
@@ -112,11 +164,26 @@ def run_suite(
     config: Optional[Mapping] = None,
     probes: Sequence[str] = SCHEMA_KEY_PROBES,
     engine_config: Optional[EngineConfig] = None,
+    guess_unmatched: Union[bool, Sequence[str]] = False,
 ) -> SuiteResult:
     """Run one suite.  ``schemas``: directory or [(file, schema dict)];
     ``docs``: directory or [(file, parsed doc)].  ``config``: the
     reference's YAML config dict (inline providers etc.), or a path to
-    it."""
+    it.
+
+    ``guess_unmatched`` (⇔ the CLI --guess-schema,
+    extensible_validator.py:1229-1340): documents with no recognizable
+    schema id are tried against every loaded schema IN LOAD ORDER
+    (optionally restricted to a given uri list); the first schema whose
+    compiled structural battery (type/enum/bounds/required/
+    additionalProperties/...) fully passes claims the document — its
+    keys then register in that schema's worlds and its FKs are checked,
+    exactly as if dispatched (failed tries leave no key residue, the
+    declarative form of the reference's forget()).  Known divergence:
+    the reference also rejects a guess when the doc's KEYS duplicate
+    already-registered values mid-pass (order-dependent, row-at-a-time
+    state); here duplicate keys among guessed docs surface as normal
+    dup_* violations instead."""
     if isinstance(config, str):
         config = parse_json_or_yaml(config)
     registry, issues = load_schemas(schemas)
@@ -128,6 +195,7 @@ def run_suite(
 
     per_file: Dict[str, List[str]] = {}
     unmatched: List[str] = []
+    doc_schema: Dict[str, str] = {}
     by_uri: Dict[str, List[Tuple[str, Any]]] = {}
     for fname, doc, err in scanned:
         per_file.setdefault(fname, [])
@@ -139,12 +207,48 @@ def run_suite(
         if uri is None or uri not in registry:
             unmatched.append(fname)
             continue
+        doc_schema[fname] = uri
         by_uri.setdefault(uri, []).append((fname, doc))
 
     if not registry:
         return SuiteResult(
             exit_code=1, per_file=per_file, schema_issues=issues, unmatched=unmatched
         )
+
+    if guess_unmatched and unmatched:
+        parsed = {f: d for f, d, e in scanned if e is None}
+        pending = [(f, parsed[f]) for f in unmatched if f in parsed]
+        candidates = [
+            uri
+            for uri in registry
+            if not isinstance(guess_unmatched, (list, tuple))
+            or uri in guess_unmatched
+        ]
+        from .checks import row_checks
+
+        for uri in candidates:
+            if not pending:
+                break
+            cs = registry[uri]
+            shredded = shred_documents(spark, pending, cs)
+            battery = row_checks.compile_battery(
+                cs.table_spec.checks, json_mode=True
+            )
+            ok = row_checks.pass1_ok(battery)
+            matched = {
+                r["__file"] for r in shredded.where(ok).select("__file").collect()
+            }
+            if matched:
+                claimed = [(f, d) for f, d in pending if f in matched]
+                by_uri.setdefault(uri, []).extend(claimed)
+                for f, _ in claimed:
+                    doc_schema[f] = uri
+                pending = [(f, d) for f, d in pending if f not in matched]
+        unmatched = [f for f in unmatched if f not in doc_schema]
+        for f, _ in pending:
+            # failed every candidate (⇔ cumulative schema errors,
+            # extensible_validator.py:1310-1340)
+            per_file[f].append("schema_error")
 
     tables = {
         uri: shred_documents(spark, group, registry[uri])
@@ -167,4 +271,5 @@ def run_suite(
         registry=registry,
         violations=rows,
         unmatched=unmatched,
+        doc_schema=doc_schema,
     )

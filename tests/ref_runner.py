@@ -58,13 +58,33 @@ def main() -> None:
     if warm_up:
         ev.warmUpCaches()
     entries = [{"file": name, "json": doc, "errors": []} for name, doc in docs]
-    out = ev.jsonValidate(*entries)
+    out = ev.jsonValidate(*entries, guess_unmatched=payload.get("guess", False))
     agg: dict = {}
     for e in out:
         agg.setdefault(e["file"], []).extend(
             err["reason"] or "schema_error" for err in e["errors"]
         )
-    json.dump({k: sorted(v) for k, v in agg.items()}, sys.stdout)
+    result: dict = {k: sorted(v) for k, v in agg.items()}
+    if payload.get("report"):
+        # report-shaped extras (⇔ __main__.py:311-338 schema entries +
+        # ParsedContentEntry fields): per-schema uri/hash, per-doc
+        # schema binding
+        result = {
+            "per_file": result,
+            "schemas": [
+                {"uri": uri, "schema_hash": s["schema_hash"]}
+                for uri, s in sorted(ev.getValidSchemas().items())
+            ],
+            "docs": [
+                {
+                    "file": e["file"],
+                    "schema_id": e.get("schema_id"),
+                    "schema_hash": e.get("schema_hash"),
+                }
+                for e in out
+            ],
+        }
+    json.dump(result, sys.stdout)
 
 
 if __name__ == "__main__":

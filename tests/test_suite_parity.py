@@ -193,3 +193,140 @@ def test_unparseable_document_is_fatal(tmp_path, spark):
     res = run_suite(spark, schemas, str(tmp_path))
     assert res.exit_code == 2
     assert list(res.per_file.values()) == [["fatal"]]
+
+
+def reference_report(schema_files, docs, config=None, warm_up=False):
+    payload = json.dumps(
+        {
+            "schemas": [parse_json_or_yaml(f) for f in schema_files],
+            "docs": [[n, d] for n, d in docs],
+            "config": config or {},
+            "warm_up": warm_up,
+            "report": True,
+        }
+    )
+    proc = subprocess.run(
+        [sys.executable, RUNNER], input=payload, capture_output=True,
+        text=True, timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout)
+
+
+def test_report_parity_schema_entries_and_bindings(spark):
+    """Report shape parity on fk_to_named_pk: per-schema entries carry
+    the SAME normalized schema_hash as the reference
+    (GetNormalizedJSONHash), and per-doc entries bind the same
+    schema_id + schema_hash."""
+    suite = "fk_to_named_pk"
+    sfiles = scan_files(f"{BASE}/{suite}/schemas")
+    docs = [
+        (os.path.basename(f), d)
+        for f, d, err in scan_documents(f"{BASE}/{suite}/bad_validation")
+        if err is None
+    ]
+    ref = reference_report(sfiles, docs)
+
+    schemas = [(f, parse_json_or_yaml(f)) for f in sfiles]
+    res = run_suite(spark, schemas, docs)
+    rep = res.report(quiet=True)
+
+    got_schemas = sorted(
+        (e["uri"], e["schema_hash"]) for e in rep if "uri" in e
+    )
+    want_schemas = sorted((e["uri"], e["schema_hash"]) for e in ref["schemas"])
+    assert got_schemas == want_schemas
+
+    got_docs = {
+        e["file"]: (e["schema_id"], e["schema_hash"]) for e in rep if "schema_id" in e
+    }
+    want_docs = {
+        e["file"]: (e["schema_id"], e["schema_hash"]) for e in ref["docs"]
+    }
+    assert got_docs == want_docs
+
+    # quiet report carries no schema bodies; non-quiet does
+    assert all("schema" not in e for e in rep if "uri" in e)
+    full = res.report(quiet=False)
+    assert any("schema" in e for e in full if "uri" in e)
+
+    # error_report keeps only erroring doc entries
+    err_rep = res.report(error_report=True)
+    doc_entries = [e for e in err_rep if "schema_id" in e]
+    assert doc_entries and all(e["errors"] for e in doc_entries)
+
+
+def test_guess_mode_parity(spark):
+    """Full guess mode (--guess-schema): docs WITHOUT a schema id are
+    assigned by brute-force validation against every loaded schema;
+    guessed docs register keys and participate in FK checks exactly as
+    dispatched docs (failed tries leave no key residue).  Compared
+    against the reference running guess_unmatched=True on the same
+    docs: identical assignments and reasons."""
+    dim_schema = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "guess://dim/1.0",
+        "type": "object",
+        "properties": {"local_id": {"type": "string", "primary_key": True},
+                       "weight": {"type": "integer"}},
+        "required": ["local_id"],
+        "additionalProperties": False,
+    }
+    fact_schema = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "guess://fact/1.0",
+        "type": "object",
+        "properties": {"ref_id": {"type": "string"}},
+        "foreign_keys": [{"schema_id": "guess://dim/1.0", "members": ["ref_id"]}],
+        "required": ["ref_id"],
+        "additionalProperties": False,
+    }
+    docs = [
+        ("d1", {"local_id": "uno", "weight": 1}),
+        ("d2", {"local_id": "dos", "weight": 2}),
+        ("f1", {"ref_id": "uno"}),
+        ("f2", {"ref_id": "nope"}),     # guessed as fact, stale FK
+        ("x1", {"mystery": True}),      # matches neither schema
+    ]
+
+    payload = json.dumps(
+        {
+            "schemas": [dim_schema, fact_schema],
+            "docs": [[n, d] for n, d in docs],
+            "config": {},
+            "warm_up": False,
+            "guess": True,
+            "report": True,
+        }
+    )
+    proc = subprocess.run(
+        [sys.executable, RUNNER], input=payload, capture_output=True,
+        text=True, timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    ref = json.loads(proc.stdout)
+
+    res = run_suite(
+        spark,
+        [("dim.json", dim_schema), ("fact.json", fact_schema)],
+        docs,
+        guess_unmatched=True,
+    )
+    # identical schema assignments
+    ref_assign = {e["file"]: e["schema_id"] for e in ref["docs"]}
+    assert res.doc_schema == {
+        f: u for f, u in ref_assign.items() if u is not None
+    }
+    assert res.doc_schema == {
+        "d1": "guess://dim/1.0", "d2": "guess://dim/1.0",
+        "f1": "guess://fact/1.0", "f2": "guess://fact/1.0",
+    }
+    # identical reasons (normalize keyword reasons to schema_error)
+    got = normalize(res.per_file)
+    want = normalize(ref["per_file"])
+    # the reference reports one error per failed (schema, keyword) for
+    # the unguessable doc; collapse both sides to set-of-reasons there
+    got = {f: sorted(set(v)) if f == "x1" else v for f, v in got.items()}
+    want = {f: sorted(set(v)) if f == "x1" else v for f, v in want.items()}
+    assert got == want
+    assert res.exit_code == 2
