@@ -20,9 +20,9 @@ from __future__ import annotations
 
 import os
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import reduce
-from typing import Optional
+from typing import List, Optional, Protocol
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,18 +33,59 @@ MANIFEST_SCHEMA = (
 )
 
 
+class SnapshotFS(Protocol):
+    """Filesystem seam for the manifest/ledger: the ONLY operation the
+    resume machinery needs is a point-in-time LIST of data files under
+    a directory.  POSIX gets os.listdir; an object store / Hadoop FS
+    implementation lists via the Hadoop FileSystem API (or reads an
+    Iceberg snapshot's file list) — appends that land after the call
+    are invisible to plans pinned on the returned list, which is the
+    property resume correctness rests on."""
+
+    def list_files(self, path: str, suffix: str = ".parquet") -> List[str]: ...
+
+
+class LocalFS:
+    """POSIX listing (the in-sandbox default)."""
+
+    def list_files(self, path: str, suffix: str = ".parquet") -> List[str]:
+        if not os.path.exists(path):
+            return []
+        return sorted(
+            f"{path}/{f}" for f in os.listdir(path) if f.endswith(suffix)
+        )
+
+
+class HadoopFS:
+    """Hadoop FileSystem listing through the running JVM — works for
+    hdfs://, s3a://, gs:// etc. with no extra Python deps (the
+    SparkContext already holds the configured Hadoop conf)."""
+
+    def __init__(self, spark: SparkSession):
+        self._jvm = spark.sparkContext._jvm
+        self._conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def list_files(self, path: str, suffix: str = ".parquet") -> List[str]:
+        Path = self._jvm.org.apache.hadoop.fs.Path
+        p = Path(path)
+        fs = p.getFileSystem(self._conf)
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().toString()
+            if name.endswith(suffix):
+                out.append(name)
+        return sorted(out)
+
+
 @dataclass
 class PartitionManifest:
     path: str
+    fs: SnapshotFS = field(default_factory=LocalFS)
 
     def _files(self) -> list:
-        if not os.path.exists(self.path):
-            return []
-        return sorted(
-            f"{self.path}/{f}"
-            for f in os.listdir(self.path)
-            if f.endswith(".parquet")
-        )
+        return self.fs.list_files(self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Full lineage: every recorded (partition, run) attempt.
@@ -120,6 +161,7 @@ class KeyLedger:
     keys are then appended."""
 
     root: str
+    fs: SnapshotFS = field(default_factory=LocalFS)
 
     def _path(self, table: str, label: str) -> str:
         safe = label.replace("/", "_").replace(",", "+")
@@ -127,15 +169,13 @@ class KeyLedger:
 
     def dim(self, spark: SparkSession, table: str, label: str):
         p = self._path(table, label)
-        if not os.path.exists(p):
-            return None
-        # pin the EXPLICIT file list: parquet relations re-list their
-        # directory on re-execution, so a directory-path read could see
-        # files appended after this dim was taken (the increment would
-        # collide with itself on any plan recomputation)
-        files = sorted(
-            f"{p}/{f}" for f in os.listdir(p) if f.endswith(".parquet")
-        )
+        # pin the EXPLICIT file list (via the SnapshotFS seam — POSIX
+        # here, Hadoop FS / Iceberg snapshot on a cluster): parquet
+        # relations re-list their directory on re-execution, so a
+        # directory-path read could see files appended after this dim
+        # was taken (the increment would collide with itself on any
+        # plan recomputation)
+        files = self.fs.list_files(p)
         if not files:
             return None
         return spark.read.schema("__key string").parquet(*files).distinct()

@@ -53,6 +53,59 @@ class InlineProvider:
         return spark.createDataFrame([(k,) for k in canon], "__key string")
 
 
+def fetch_remote_provider(
+    table: str,
+    url_bases,
+    accept: str,
+    refers_to: Optional[str] = None,
+    allow_duplicates: bool = True,
+    opener=None,
+) -> InlineProvider:
+    """Drop-in for the reference's REMOTE key provider config
+    (pk_check.py:157-204): for each base URL, GET
+    ``urljoin(base, <last path segment of the schema URI> + "/")``
+    with the given Accept header and parse the body as a
+    newline-separated key list (blank lines dropped); failures are
+    logged-and-skipped like the reference.  The (small) fetched list
+    becomes an InlineProvider — the driver does ONE HTTP GET, never
+    the executors.
+
+    ``opener``: injectable ``url -> (status, text)`` for tests; the
+    default uses urllib with the Accept header.
+    """
+    import logging
+    from urllib.parse import urljoin, urlparse
+    from urllib.request import Request, urlopen
+
+    log = logging.getLogger(__name__)
+
+    def _default_opener(url: str):
+        req = Request(url, headers={"Accept": accept})
+        with urlopen(req) as f:  # pragma: no cover - network path
+            return f.getcode(), str(f.read(), "utf-8")
+
+    opener = opener or _default_opener
+    if isinstance(url_bases, str):
+        url_bases = [url_bases]
+    keys: List = []
+    rel = urlparse(table).path.split("/")[-1]
+    for base in url_bases:
+        url = urljoin(base, rel + "/")
+        try:
+            code, body = opener(url)
+        except Exception as e:
+            log.error("Unable to fetch remote keys from %s: %s", url, e)
+            continue
+        if code != 200:
+            log.error("Unable to fetch remote keys from %s [%s]", url, code)
+            continue
+        keys.extend(line for line in body.split("\n") if line != "")
+    return InlineProvider(
+        table=table, keys=keys, refers_to=refers_to,
+        allow_duplicates=allow_duplicates,
+    )
+
+
 @dataclass
 class TableProvider:
     """External dimension table provider (⇔ the remote HTTP provider,

@@ -138,16 +138,24 @@ def dispatch_uri(doc: Any, probes: Sequence[str] = SCHEMA_KEY_PROBES) -> Optiona
     return None
 
 
-def providers_from_config(config: Optional[Mapping]) -> List[InlineProvider]:
+def providers_from_config(
+    config: Optional[Mapping],
+    schema_uris: Sequence[str] = (),
+    opener=None,
+) -> List[InlineProvider]:
     """primary_key.inline_provider → InlineProviders (YAML grammar of
     test-data/fk_with_inline/ejv_inline.yaml; duplicate flag
-    pk_check.py:216-240, default strict)."""
+    pk_check.py:216-240, default strict).  When the config carries the
+    REMOTE grammar (``provider`` URL(s) + ``accept`` header,
+    pk_check.py:156-204), each loaded schema URI (except the
+    ``schema_prefix`` one) gets its key list fetched once on the
+    driver via providers.fetch_remote_provider."""
     if not config:
         return []
     pk_cfg = config.get("primary_key") or {}
     inline = pk_cfg.get("inline_provider") or {}
     allow = bool(pk_cfg.get("allow_provider_duplicates", False))
-    return [
+    out = [
         InlineProvider(
             table=uri,
             keys=[tuple(k) if isinstance(k, list) else k for k in keys],
@@ -155,6 +163,21 @@ def providers_from_config(config: Optional[Mapping]) -> List[InlineProvider]:
         )
         for uri, keys in inline.items()
     ]
+    accept = pk_cfg.get("accept")
+    url_bases = pk_cfg.get("provider")
+    if accept is not None and url_bases:
+        from .providers import fetch_remote_provider
+
+        prefix = pk_cfg.get("schema_prefix")
+        for uri in schema_uris:
+            if prefix == uri:
+                continue
+            prov = fetch_remote_provider(
+                uri, url_bases, accept, allow_duplicates=allow, opener=opener
+            )
+            if prov.keys:
+                out.append(prov)
+    return out
 
 
 def run_suite(
@@ -256,7 +279,7 @@ def run_suite(
     }
     specs = [cs.table_spec for cs in registry.values()]
     engine = ValidationEngine(
-        specs, providers=providers_from_config(config), config=engine_config
+        specs, providers=providers_from_config(config, schema_uris=list(registry)), config=engine_config
     )
     result = engine.validate(tables)
     rows = result.violations.collect() if tables else []

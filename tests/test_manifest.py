@@ -1,6 +1,7 @@
 """Resume manifest: completed-partition filtering, lineage append,
 idempotent re-runs, failure retry."""
 
+import os
 import tempfile
 
 import pytest
@@ -127,3 +128,75 @@ def test_partition_metrics_counts(spark):
     assert total_viol <= sum(r.n_violations for r in rows) <= total_viol + 4
     for r in rows:
         assert r.n_failed <= r.n_violations
+
+
+def test_manifest_fs_seam_fake_object_store(spark, tmp_path):
+    """The manifest works against an abstract SnapshotFS: a fake
+    object store that serves a FROZEN listing proves resume plans pin
+    to the snapshot (appends after the listing are invisible)."""
+    from python_extended_json_schema_validator_spark.manifest import (
+        LocalFS, PartitionManifest,
+    )
+
+    path = str(tmp_path / "m")
+
+    class FrozenFS:
+        """Serves the listing captured at freeze() time."""
+
+        def __init__(self):
+            self.frozen = None
+
+        def freeze(self):
+            self.frozen = LocalFS().list_files(path)
+
+        def list_files(self, p, suffix=".parquet"):
+            assert p == path
+            return self.frozen if self.frozen is not None else []
+
+    fs = FrozenFS()
+    m = PartitionManifest(path, fs=fs)
+    metrics = spark.createDataFrame(
+        [("p0", 10, 0, 0)], "partition string, n_rows long, n_failed long, n_violations long"
+    )
+    m.record(metrics)
+    fs.freeze()
+    assert m.completed(spark).count() == 1
+
+    # append AFTER the freeze: the pinned read must not see it
+    m2 = PartitionManifest(path)  # unfrozen writer
+    m2.record(
+        spark.createDataFrame(
+            [("p1", 5, 0, 0)],
+            "partition string, n_rows long, n_failed long, n_violations long",
+        )
+    )
+    assert m.completed(spark).count() == 1  # still the snapshot
+    assert m2.completed(spark).count() == 2
+
+
+def test_hadoop_fs_listing_matches_local(spark, tmp_path):
+    """HadoopFS through the session JVM lists the same files as POSIX
+    for a file:// path — the cluster seam works without cluster."""
+    from python_extended_json_schema_validator_spark.manifest import (
+        HadoopFS, LocalFS, PartitionManifest,
+    )
+
+    path = str(tmp_path / "hm")
+    m = PartitionManifest(path)
+    m.record(
+        spark.createDataFrame(
+            [("p0", 1, 0, 0)],
+            "partition string, n_rows long, n_failed long, n_violations long",
+        )
+    )
+    local = LocalFS().list_files(path)
+    hadoop = [
+        f.replace("file:", "").replace("//", "/", 1) if f.startswith("file:") else f
+        for f in HadoopFS(spark).list_files(path)
+    ]
+    assert local and [os.path.basename(f) for f in hadoop] == [
+        os.path.basename(f) for f in local
+    ]
+
+    hm = PartitionManifest(path, fs=HadoopFS(spark))
+    assert hm.completed(spark).count() == 1

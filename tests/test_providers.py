@@ -110,3 +110,62 @@ def test_canonical_key_py():
     assert canonical_key_py("uno") == '"uno"'
     assert canonical_key_py(2) == "2"
     assert canonical_key_py(("solo",)) == '"solo"'
+
+
+def test_fetch_remote_provider_protocol(spark):
+    """Remote provider drop-in (pk_check.py:157-204): GET
+    urljoin(base, last-path-segment + '/') with the Accept header,
+    newline-split key list, blank lines dropped, failed bases skipped."""
+    from python_extended_json_schema_validator_spark.providers import (
+        fetch_remote_provider,
+    )
+
+    seen = []
+
+    def opener(url):
+        seen.append(url)
+        if "bad" in url:
+            raise OSError("connection refused")
+        return 200, "uno\ndos\n\ntres\n"
+
+    prov = fetch_remote_provider(
+        "http://example.org/schemas/sample/1.0",
+        ["http://keys-bad.example/", "http://keys.example/v1/"],
+        accept="text/plain",
+        allow_duplicates=False,
+        opener=opener,
+    )
+    assert seen == [
+        "http://keys-bad.example/1.0/",
+        "http://keys.example/v1/1.0/",
+    ]
+    assert prov.keys == ["uno", "dos", "tres"]
+    assert not prov.allow_duplicates
+    dim = {r["__key"] for r in prov.dimension(spark).collect()}
+    assert dim == {'"uno"', '"dos"', '"tres"'}
+
+
+def test_remote_provider_via_suite_config(spark):
+    """The reference's remote-provider YAML grammar drives run_suite:
+    fetched keys feed the FK dimension of a documentless dim schema."""
+    from python_extended_json_schema_validator_spark.suite import (
+        providers_from_config,
+    )
+
+    cfg = {
+        "primary_key": {
+            "accept": "text/plain",
+            "provider": "http://keys.example/base/",
+            "schema_prefix": "remote://fact/1.0",
+        }
+    }
+
+    def opener(url):
+        assert url == "http://keys.example/base/1.0/"
+        return 200, "uno\ndos\n"
+
+    provs = providers_from_config(
+        cfg, schema_uris=["remote://dim/1.0", "remote://fact/1.0"], opener=opener
+    )
+    assert len(provs) == 1 and provs[0].table == "remote://dim/1.0"
+    assert provs[0].keys == ["uno", "dos"]
