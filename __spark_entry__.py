@@ -528,12 +528,80 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN top-k (approximate by design — recall<1
-    vs brute force, so no exact oracle)."""
+    """Random-hyperplane LSH ANN top-k.  The pipeline is DETERMINISTIC
+    (seeded Gaussian planes, fixed tie-breaks), so unlike most ANN
+    this approximate index has an EXACT oracle: the same plane
+    literals are embedded into the DuckDB SQL (see oracle_sql), which
+    replicates bucket assignment, multi-table candidate union, and
+    cosine ranking bit-for-bit on doubles."""
     from python_extended_json_schema_validator_spark.pipeline import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.where(F.col("vec_id") < 20), k=5, bits=8)
+    out = similarity.lsh_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=5, bits=8, tables=4, seed=42
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB replication of q_ann_lsh: same seeded planes, same
+    bucket/candidate/ranking pipeline, double arithmetic throughout."""
+    from python_extended_json_schema_validator_spark.pipeline.similarity import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(64, bits=8, tables=4, seed=42)
+
+    def bucket_expr(planes_t) -> str:
+        cases = [
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+            + ",".join(repr(x) for x in plane)
+            + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+            for plane in planes_t
+        ]
+        return " || ".join(cases)
+
+    def banded(src: str, idc: str) -> str:
+        return "\n              UNION ALL\n".join(
+            f"              SELECT {idc}, embedding, {t} AS tbl, "
+            f"{bucket_expr(pt)} AS bucket FROM {src}"
+            for t, pt in enumerate(planes)
+        )
+
+    return f"""
+        WITH q AS (
+          SELECT CAST(vec_id AS BIGINT) AS query_id, embedding
+          FROM embeddings WHERE vec_id < 20
+        ), c AS (
+          SELECT CAST(vec_id AS BIGINT) AS neighbor_id, embedding
+          FROM embeddings
+        ), qb AS (
+{banded("q", "query_id")}
+        ), cb AS (
+{banded("c", "neighbor_id")}
+        ), cand AS (
+          SELECT DISTINCT qb.query_id, cb.neighbor_id,
+                 qb.embedding AS qe, cb.embedding AS ce
+          FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+          WHERE qb.query_id <> cb.neighbor_id
+        ), scored AS (
+          SELECT query_id, neighbor_id,
+                 list_dot_product(qe::DOUBLE[], ce::DOUBLE[])
+                 / (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+                    * sqrt(list_dot_product(ce::DOUBLE[], ce::DOUBLE[]))) AS cos
+          FROM cand
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,8 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "key_array_fanout": q_key_array_fanout,
         "schema_ingest": q_schema_ingest,
-        # rows-only (approximate / plumbing — no exact SQL oracle)
         "ann_lsh": q_ann_lsh,
+        # rows-only (approximate / plumbing — no exact SQL oracle)
         "ann_ivf": q_ann_ivf,
         "tdigest_quantiles": q_tdigest_quantiles,
         "audio_features": q_audio_features,
@@ -713,6 +781,7 @@ LI_ID = "CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_lsh": _ann_lsh_oracle(),
         "key_array_fanout": """
             WITH w AS (
               SELECT CAST(p_partkey AS VARCHAR) AS rid,
