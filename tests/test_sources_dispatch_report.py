@@ -123,3 +123,27 @@ def test_json_report_and_exit_codes(spark):
     assert report_mod.exit_code(0, 5, report_mode=True) == 0
     assert report_mod.exit_code(2, 5) == 3
     assert report_mod.exit_code(0, 0, schemas_loaded=False) == 1
+
+
+def test_dot_from_registry_renders_ports_and_edges():
+    from python_extended_json_schema_validator_spark.graph import dot_from_registry
+    from python_extended_json_schema_validator_spark.schemas import (
+        load_schemas, parse_json_or_yaml, scan_files,
+    )
+
+    files = scan_files("/root/reference/test-data/fk_to_named_pk/schemas")
+    registry, issues = load_schemas(
+        [(f, parse_json_or_yaml(f)) for f in files]
+    )
+    assert not issues
+    dot = dot_from_registry(registry, title="fk_to_named_pk")
+    assert dot.startswith("digraph")
+    # schema header with $id subscript
+    assert "named_pk_example/1.0" in dot
+    # nested key member row present with its named-PK badge
+    assert "ejemplo.local_id_2" in dot and "PK 2pk" in dot
+    # FK edge lands on the referenced key's member port
+    assert (
+        "p_fk_to_named_pk_1_0:p_something_ref_local_id -> "
+        "p_named_pk_example_1_0:p_local_id" in dot
+    )
