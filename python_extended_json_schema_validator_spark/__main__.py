@@ -1,0 +1,145 @@
+"""CLI — the reference validator's command shape on Spark
+(⇔ ``python -m extended_json_schema_validator jsonSchemaDir json_files...``,
+reference __main__.py:100-471).  A user of the reference switches by
+changing the module name:
+
+    python -m python_extended_json_schema_validator_spark \\
+        schemas/ docs_dir_or_files... \\
+        [-C config.yaml] [--report out.json] [--error-report]
+        [--quiet-report] [--guess-schema] [--use-schemas URI ...]
+        [--iter-arrays] [--schema_id_path PATH] [--dot-report out.dot T]
+        [--master local[N]]
+
+Exit codes match the reference: 0 clean, 1 no schema loaded, 2 any
+document validation error (__main__.py:302-471).  With only a schema
+dir given, schemas are loaded + report written and the exit code is
+3 on schema-load failures (schema-validation-only mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python_extended_json_schema_validator_spark",
+        description="PySpark-native extended-JSON-Schema validation",
+    )
+    ap.add_argument("jsonSchemaDir", help="directory (or file) of JSON Schemas")
+    ap.add_argument("json_files", nargs="*", help="document dirs/files to validate")
+    ap.add_argument("-C", "--config", help="YAML/JSON config (key providers etc.)")
+    ap.add_argument("--report", help="write the JSON report here")
+    ap.add_argument("--error-report", action="store_true",
+                    help="report only entries with errors")
+    ap.add_argument("--quiet-report", action="store_true",
+                    help="omit schema bodies from report entries")
+    ap.add_argument("--guess-schema", action="store_true",
+                    help="brute-force schemas for docs with no schema id")
+    ap.add_argument("--use-schemas", nargs="+", default=None,
+                    help="restrict --guess-schema to these URIs")
+    ap.add_argument("--iter-arrays", action="store_true",
+                    help="shred array inputs, one element per entry")
+    ap.add_argument("--schema_id_path", default=None,
+                    help="dotted path of the schema id inside each doc")
+    ap.add_argument("--dot-report", nargs=2, metavar=("FILE", "TITLE"),
+                    help="write a DOT graph of the loaded schemas")
+    ap.add_argument("--master", default="local[*]")
+    args = ap.parse_args(argv)
+
+    from .schemas import SCHEMA_KEY_PROBES, load_schemas, parse_json_or_yaml
+    from .suite import run_suite, scan_documents
+
+    probes = (
+        (args.schema_id_path,) if args.schema_id_path else SCHEMA_KEY_PROBES
+    )
+    config = parse_json_or_yaml(args.config) if args.config else None
+
+    if not args.json_files:
+        # schema-validation-only mode (⇔ exit 3 on load failures)
+        registry, issues = load_schemas(args.jsonSchemaDir)
+        for i in issues:
+            print(f"{i.file}: {i.reason}: {i.description}", file=sys.stderr)
+        if args.dot_report and registry:
+            from .graph import dot_from_registry
+
+            with open(args.dot_report[0], "w") as fh:
+                fh.write(dot_from_registry(registry, title=args.dot_report[1]))
+        if args.report:
+            entries = [
+                {
+                    "file": cs.file,
+                    "uri": uri,
+                    "schema_hash": cs.schema_hash,
+                    "errors": [],
+                    **({} if args.quiet_report else {"schema": cs.schema}),
+                }
+                for uri, cs in sorted(registry.items())
+            ]
+            with open(args.report, "w") as fh:
+                json.dump(entries, fh, indent=4, sort_keys=True)
+        if not registry:
+            return 1
+        return 3 if issues else 0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("extended-json-schema-validator")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = []
+    for path in args.json_files:
+        docs.extend(scan_documents(path, iterate_over_arrays=args.iter_arrays))
+    res = run_suite(
+        spark,
+        args.jsonSchemaDir,
+        [(f, d) for f, d, e in docs if e is None],
+        config=config,
+        probes=probes,
+        guess_unmatched=(args.use_schemas or args.guess_schema),
+    )
+    for f, _, e in docs:
+        if e is not None:
+            res.per_file.setdefault(f, []).append("fatal")
+
+    if args.dot_report and res.registry:
+        from .graph import dot_from_registry
+
+        with open(args.dot_report[0], "w") as fh:
+            fh.write(dot_from_registry(res.registry, title=args.dot_report[1]))
+
+    if args.report:
+        with open(args.report, "w") as fh:
+            json.dump(
+                res.report(
+                    quiet=args.quiet_report, error_report=args.error_report
+                ),
+                fh,
+                indent=4,
+                sort_keys=True,
+                default=str,
+            )
+
+    for i in res.schema_issues:
+        print(f"{i.file}: {i.reason}: {i.description}", file=sys.stderr)
+    n_bad = sum(1 for v in res.per_file.values() if v)
+    print(
+        f"{len(res.per_file)} documents, {n_bad} with errors, "
+        f"{len(res.registry)} schemas",
+        file=sys.stderr,
+    )
+    if any("fatal" in v for v in res.per_file.values()):
+        return 2
+    return res.exit_code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -105,17 +105,28 @@ class SuiteResult:
         return out
 
 
-def scan_documents(doc_dir: str) -> List[Tuple[str, Any, Optional[str]]]:
+def scan_documents(
+    doc_dir: str, iterate_over_arrays: bool = False
+) -> List[Tuple[str, Any, Optional[str]]]:
     """(file, parsed doc | None, parse error | None), sorted by path —
     sorting replaces the reference's os.listdir order so duplicate
     survivors are deterministic (min file wins both here and when the
-    differential harness feeds the reference the same sorted list)."""
+    differential harness feeds the reference the same sorted list).
+
+    ``iterate_over_arrays`` (⇔ --iter-arrays): a file holding a JSON
+    array yields one entry per element named ``file [i]``
+    (extensible_validator.py:976-1013)."""
     out = []
     for f in scan_files(doc_dir):
         try:
-            out.append((f, parse_json_or_yaml(f), None))
+            doc = parse_json_or_yaml(f)
         except ValueError as e:
             out.append((f, None, str(e)))
+            continue
+        if iterate_over_arrays and isinstance(doc, list):
+            out.extend((f"{f} [{i}]", elem, None) for i, elem in enumerate(doc))
+        else:
+            out.append((f, doc, None))
     return out
 
 
@@ -188,6 +199,7 @@ def run_suite(
     probes: Sequence[str] = SCHEMA_KEY_PROBES,
     engine_config: Optional[EngineConfig] = None,
     guess_unmatched: Union[bool, Sequence[str]] = False,
+    iterate_over_arrays: bool = False,
 ) -> SuiteResult:
     """Run one suite.  ``schemas``: directory or [(file, schema dict)];
     ``docs``: directory or [(file, parsed doc)].  ``config``: the
@@ -212,9 +224,19 @@ def run_suite(
     registry, issues = load_schemas(schemas)
 
     if isinstance(docs, str):
-        scanned = scan_documents(docs)
+        scanned = scan_documents(docs, iterate_over_arrays=iterate_over_arrays)
     else:
         scanned = [(f, d, None) for f, d in docs]
+        if iterate_over_arrays:
+            expanded = []
+            for f, d, e in scanned:
+                if isinstance(d, list):
+                    expanded.extend(
+                        (f"{f} [{i}]", el, None) for i, el in enumerate(d)
+                    )
+                else:
+                    expanded.append((f, d, e))
+            scanned = expanded
 
     per_file: Dict[str, List[str]] = {}
     unmatched: List[str] = []

@@ -330,3 +330,59 @@ def test_guess_mode_parity(spark):
     want = {f: sorted(set(v)) if f == "x1" else v for f, v in want.items()}
     assert got == want
     assert res.exit_code == 2
+
+
+def test_cli_exit_codes_and_report(spark, tmp_path):
+    """The module CLI (⇔ the reference's `ejv schemadir docs...`):
+    exit 2 on violations with a reference-shaped report, exit 0 on the
+    good dir, exit 1 with no usable schema."""
+    from python_extended_json_schema_validator_spark.__main__ import main
+
+    rep = str(tmp_path / "rep.json")
+    rc = main([
+        f"{BASE}/fk_simple_example/schemas",
+        f"{BASE}/fk_simple_example/bad_validation",
+        "--report", rep, "--quiet-report",
+    ])
+    assert rc == 2
+    entries = json.load(open(rep))
+    bad = sorted(
+        os.path.basename(e["file"]) for e in entries if e.get("errors")
+    )
+    assert bad == [
+        "ref_dos_bad_2.json", "ref_siete.json", "trestres.json", "uno.json"
+    ]
+    # schema entries lead with hashes
+    assert sum(1 for e in entries if "uri" in e) == 2
+
+    rc = main([
+        f"{BASE}/fk_simple_example/schemas",
+        f"{BASE}/fk_simple_example/good_validation",
+    ])
+    assert rc == 0
+
+    empty = tmp_path / "noschemas"
+    empty.mkdir()
+    rc = main([str(empty), f"{BASE}/fk_simple_example/good_validation"])
+    assert rc == 1
+
+
+def test_iter_arrays_suite(spark, tmp_path):
+    """--iter-arrays: an array file shreds into `file [i]` entries;
+    duplicate keys ACROSS elements of one file flag normally."""
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "arr.json").write_text(json.dumps([
+        {"@schema": "compound_pk_example/1.0", "local_id": "a", "other_id": "x"},
+        {"@schema": "compound_pk_example/1.0", "local_id": "b", "other_id": "y"},
+        {"@schema": "compound_pk_example/1.0", "local_id": "a", "other_id": "x"},
+    ]))
+    schemas = [(
+        "s.json",
+        parse_json_or_yaml(f"{BASE}/compound_pk/compound_pk_schema.json"),
+    )]
+    res = run_suite(spark, schemas, str(d), iterate_over_arrays=True)
+    assert res.exit_code == 2
+    flagged = {os.path.basename(f): v for f, v in res.per_file.items() if v}
+    assert list(flagged.values()) == [["dup_pk"]]
+    assert list(flagged)[0].endswith("arr.json [2]")
