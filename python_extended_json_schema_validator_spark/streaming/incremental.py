@@ -64,6 +64,60 @@ def dup_flags_stream(
     return out.dropDuplicates([key_col]).withColumn("__is_first", F.lit(True))
 
 
+def stateful_dup_violations(
+    stream_df: DataFrame,
+    key_col: str,
+    row_id: str,
+    timeout: str = "NoTimeout",
+):
+    """Cross-batch duplicate VIOLATIONS as a custom stateful streaming
+    operator (``applyInPandasWithState`` — the engine's answer to
+    "uniqueness needs state" that actually EMITS the violation rows,
+    where dropDuplicates can only pass survivors through).
+
+    Per key group, state holds the survivor row_id (first seen, min
+    row_id within its arriving batch for determinism — matching the
+    batch engine's min-row_id survivor when all rows arrive in one
+    batch).  Every later row yields ``(key, row_id, survivor)``.
+    State size: ONE short string per distinct key — the streaming twin
+    of the batch key world, bounded the same way (distinct keys), with
+    an optional processing-time timeout to forget idle keys on
+    unbounded streams.
+
+    timeout: "NoTimeout" or "ProcessingTimeTimeout" (caller sets TTL
+    via state.setTimeoutDuration in a subclass if needed).
+    """
+    import pandas as pd
+
+    def flag_dups(key, pdfs, state):
+        survivor = state.get[0] if state.exists else None
+        dups = []
+        for pdf in pdfs:
+            for rid in sorted(pdf[row_id].astype(str)):
+                if survivor is None:
+                    survivor = rid
+                elif rid != survivor:
+                    dups.append((key[0], rid, survivor))
+        state.update((survivor,))
+        if dups:
+            yield pd.DataFrame(dups, columns=["key", "row_id", "survivor"])
+
+    return (
+        stream_df.select(
+            F.col(key_col).cast("string").alias("__k"),
+            F.col(row_id).cast("string").alias(row_id),
+        )
+        .groupBy("__k")
+        .applyInPandasWithState(
+            flag_dups,
+            outputStructType="key string, row_id string, survivor string",
+            stateStructType="survivor string",
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
+
+
 def validate_stream_foreach_batch(
     stream_df: DataFrame,
     spec: TableSpec,

@@ -67,3 +67,47 @@ def test_streaming_dedup_state(spark):
         rows = spark.sql("select * from surv").collect()
         assert len(rows) == 2  # one survivor per key
         assert {r.k for r in rows} == {"k1", "k2"}
+
+
+def test_stateful_dup_violations_across_batches(spark, tmp_path):
+    """applyInPandasWithState cross-batch uniqueness: the survivor is
+    remembered in state between micro-batches; duplicates in LATER
+    batches are flagged against the batch-1 survivor."""
+    from python_extended_json_schema_validator_spark.streaming.incremental import (
+        stateful_dup_violations,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    # batch 1: k1 first seen (r1 survivor, r2 dup); batch 2: k1 again
+    spark.createDataFrame(
+        [("k1", "r1"), ("k1", "r2"), ("k2", "r3")], "k string, rid string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [("k1", "r9"), ("k2", "r3x")], "k string, rid string"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("k string, rid string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = stateful_dup_violations(stream, "k", "rid")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dupstate")
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.key, r.row_id, r.survivor)
+        for r in spark.sql("select * from dupstate").collect()
+    }
+    assert ("k1", "r2", "r1") in rows          # within-batch dup
+    assert ("k1", "r9", "r1") in rows          # CROSS-batch dup vs state
+    assert ("k2", "r3x", "r3") in rows
+    assert not any(r[1] in ("r1", "r3") for r in rows)  # survivors clean
