@@ -123,3 +123,30 @@ def test_fk_dim_scan_prunes_to_key_columns(spark):
         # dim side must scan only `code` — name/val pruned
         assert "name" not in rs
         assert "val:" not in rs
+
+
+def test_array_fanout_prunes_and_stays_jvm_side(spark):
+    """key_array_fanout: the fan-out key path must stay pure column
+    algebra (no Python in the plan) and prune the scan to the key
+    member + row id."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_key_array_fanout(spark, "/root/testdata/sf0.001")
+    plan = final_plan(df)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    rs = read_schemas(plan)
+    assert "p_name" in rs and "p_partkey" in rs
+    assert "p_retailprice" not in rs and "p_comment" not in rs
+    assert "Generate" in plan  # the explode of the cartesian key array
+
+
+def test_schema_ingest_shred_is_single_arrow_stage(spark):
+    """schema_ingest: shredding is ONE mapInPandas (Arrow) over a
+    pruned (file, json) projection; the only Python in the plan is
+    that shredder — checks/keys run as JVM expressions above it."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_schema_ingest(spark, "/root/testdata/sf0.001")
+    plan = final_plan(df)
+    assert plan.count("MapInPandas") >= 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
