@@ -22,6 +22,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# extras: round-2 operators, timed separately so `value` stays
+# comparable across rounds (the flagship suite list is unchanged)
+EXTRA_QUERIES = [
+    "schema_ingest",
+    "key_array_fanout",
+    "ann_lsh",
+    "simhash_pairs",
+]
+
 BENCH_QUERIES = [
     "image_suite",
     "row_checks",
@@ -99,6 +108,13 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
         rows[name] = n
 
+    extras: dict[str, float] = {}
+    for name in [q for q in EXTRA_QUERIES if q in qs and q not in names]:
+        qs[name](spark, args.sf_dir).count()  # warmup
+        t0 = time.time()
+        rows[name] = qs[name](spark, args.sf_dir).count()
+        extras[name] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     n_images = spark.read.parquet(f"{args.sf_dir}/part.parquet").count()
     images_per_sec = (
@@ -120,6 +136,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extras,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": args.cpus,
                 "n_images": n_images,
