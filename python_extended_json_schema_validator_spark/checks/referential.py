@@ -123,11 +123,15 @@ def referential_violations(
 
     dim: the key dimension ``(__key)`` the probe joins against (named
     world for refers_to, union of the class's worlds otherwise).
-    pool_dim: the union of ALL the target's key worlds of this join
-    class — its runtime emptiness decides stale vs dangling (see
-    module docstring J5).  ``dim is None and pool_dim is None`` means
-    the target declares no keys of this class and no provider feeds it
-    — statically dangling, no flag frame needed.
+    pool_dim: any frame that is non-empty IFF the target's key worlds
+    of this join class recorded at least one value — its runtime
+    emptiness decides stale vs dangling (see module docstring J5).
+    Callers should pass the cheapest such frame: the UNION of RAW
+    (pre-distinct) keyed projections + provider dims, so the
+    ``limit(1)`` flag scan stops at the first surviving key row
+    without paying the dim's distinct exchange.  ``dim is None and
+    pool_dim is None`` means the target declares no keys of this class
+    and no provider feeds it — statically dangling, no flag frame.
     kind: 'fk' → stale_fk/dangling_fk, 'jk' → stale_fk/dangling_jk.
     """
     # Reference quirk, [verified] by differential test: join-key misses
@@ -154,9 +158,11 @@ def referential_violations(
 
     if pool_dim is None:
         pool_dim = dim
-    # 1-row emptiness flag; limit(1) short-circuits the scan.
+    # 1-row emptiness flag; limit(1) short-circuits the scan (and with
+    # a raw pre-distinct pool frame, skips the dim exchange entirely).
     flag = (
-        pool_dim.limit(1)
+        pool_dim.select(F.lit(1).alias("__one"))
+        .limit(1)
         .agg(F.count(F.lit(1)).alias("__c"))
         .select((F.col("__c") > 0).alias("__has_keys"))
     )

@@ -217,13 +217,19 @@ class ValidationEngine:
         named_dims: Dict[tuple, DataFrame] = {}
         named_keys: Dict[tuple, object] = {}
         any_dims: Dict[tuple, List[DataFrame]] = {}
+        # cheap runtime-emptiness probes: RAW (pre-distinct) keyed
+        # projections / provider dims — non-empty iff the class's pool
+        # recorded any value; referential's limit(1) flag scans these
+        # without paying the dim's distinct exchange
+        any_probe: Dict[tuple, List[DataFrame]] = {}
         pool_scope: Dict[tuple, bool] = {}
 
-        def _register(table, kclass, ks, dim):
+        def _register(table, kclass, ks, dim, probe):
             if ks.name is not None:
                 named_dims[(table, kclass, ks.name)] = dim
                 named_keys[(table, kclass, ks.name)] = ks
             any_dims.setdefault((table, kclass), []).append(dim)
+            any_probe.setdefault((table, kclass), []).append(probe)
             pool_scope.setdefault((table, kclass), ks.limit_scope)
 
         for name, df in survivors.items():
@@ -257,13 +263,22 @@ class ValidationEngine:
                         )
                     )
                 dim = uniqueness.key_dimension(df, spec, ks)
+                raw = uniqueness.keyed(df, spec, ks, scope_fallback=True).select(
+                    "__key"
+                )
                 pdims = self._provider_dims(spark, name, ks.name)
                 dim = referential.union_dims([dim, *pdims])
-                _register(name, "pk", ks, dim)
+                probe = raw
+                for pdim in pdims:
+                    probe = probe.unionByName(pdim)
+                _register(name, "pk", ks, dim, probe)
             for ks in spec.indexes:
                 # index: duplicates allowed, no violations (A3)
                 dim = uniqueness.key_dimension(df, spec, ks)
-                _register(name, "idx", ks, dim)
+                raw = uniqueness.keyed(df, spec, ks, scope_fallback=True).select(
+                    "__key"
+                )
+                _register(name, "idx", ks, dim, raw)
             if kv:
                 key_viol[name] = reduce(lambda a, b: a.unionByName(b), kv)
 
@@ -277,7 +292,7 @@ class ValidationEngine:
                 pdims = self._provider_dims(spark, spec.name, ks.name)
                 if pdims:
                     dim = referential.union_dims(pdims)
-                    _register(spec.name, "pk", ks, dim)
+                    _register(spec.name, "pk", ks, dim, dim)
 
         # ---- pass 2: referential joins
         for name, df in survivors.items():
@@ -286,7 +301,8 @@ class ValidationEngine:
             for kind, fks in (("fk", spec.foreign_keys), ("jk", spec.join_keys)):
                 for fk in fks:
                     dim, pool_dim, scoped = self._resolve_dim(
-                        fk, kind, named_dims, named_keys, any_dims, pool_scope
+                        fk, kind, named_dims, named_keys, any_dims, any_probe,
+                        pool_scope,
                     )
                     is_provider_only = fk.ref_table not in survivors
                     rv.append(
@@ -317,7 +333,8 @@ class ValidationEngine:
             pass1_ok_col=pass1_cols,
         )
 
-    def _resolve_dim(self, fk, kind, named_dims, named_keys, any_dims, pool_scope):
+    def _resolve_dim(self, fk, kind, named_dims, named_keys, any_dims,
+                     any_probe, pool_scope):
         """Dimension selection (J2/J3 world lookup) →
         ``(dim, pool_dim, probe_scoped)``:
 
@@ -334,8 +351,12 @@ class ValidationEngine:
           statically dangling.
         """
         kclass = "pk" if kind == "fk" else "idx"
-        pool = any_dims.get((fk.ref_table, kclass), [])
-        pool_dim = referential.union_dims(pool)
+        probes = any_probe.get((fk.ref_table, kclass), [])
+        pool_dim = None
+        if probes:
+            pool_dim = probes[0]
+            for p in probes[1:]:
+                pool_dim = pool_dim.unionByName(p)
         if fk.refers_to is not None:
             dim = named_dims.get((fk.ref_table, kclass, fk.refers_to))
             if dim is not None:
@@ -345,4 +366,5 @@ class ValidationEngine:
             # non-None pool probes an empty world → stale for all
             # (unless the whole pool is runtime-empty too → dangling)
             return None, pool_dim, False
-        return pool_dim, pool_dim, pool_scope.get((fk.ref_table, kclass), False)
+        dim = referential.union_dims(any_dims.get((fk.ref_table, kclass), []))
+        return dim, pool_dim, pool_scope.get((fk.ref_table, kclass), False)

@@ -228,26 +228,40 @@ def simhash_pairs_from_signatures(
     sh: DataFrame, max_hamming: int = 2, positions: int = 16
 ) -> DataFrame:
     """Pigeonhole-banded pair generation over precomputed (doc,
-    simhash) signatures — see simhash_near_duplicates."""
+    simhash) signatures — see simhash_near_duplicates.
+
+    Signatures are converted to INTEGERS once (conv base-2) so block
+    keys are shift+mask and hamming is ``bit_count(a XOR b)`` — one
+    codegen'd op on the (large) candidate set instead of ``positions``
+    substring comparisons per pair."""
     nblocks = max_hamming + 1
     # spread positions as evenly as possible across blocks
     base, extra = divmod(positions, nblocks)
     bounds = []
-    start = 1  # substring is 1-based
+    start = 1  # 1-based string position of each block
     for bi in range(nblocks):
         ln = base + (1 if bi < extra else 0)
         bounds.append((start, ln))
         start += ln
 
-    frames = [
-        sh.select(
-            "doc",
-            "simhash",
-            F.lit(bi).alias("blk"),
-            F.substring("simhash", s, ln).alias("bkey"),
+    sigs = sh.select(
+        "doc", F.conv(F.col("simhash"), 2, 10).cast("long").alias("__sig")
+    )
+    frames = []
+    for bi, (s, ln) in enumerate(bounds):
+        # string positions [s, s+ln) ⇔ bits [positions-s-ln+1, positions-s]
+        shift = positions - (s - 1) - ln
+        mask = (1 << ln) - 1
+        frames.append(
+            sigs.select(
+                "doc",
+                "__sig",
+                F.lit(bi).alias("blk"),
+                F.shiftright(F.col("__sig"), shift).bitwiseAND(
+                    F.lit(mask)
+                ).alias("bkey"),
+            )
         )
-        for bi, (s, ln) in enumerate(bounds)
-    ]
     blocked = frames[0]
     for fdf in frames[1:]:
         blocked = blocked.unionByName(fdf)
@@ -263,22 +277,12 @@ def simhash_pairs_from_signatures(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.__sig").alias("sig_a"),
+            F.col("b.__sig").alias("sig_b"),
         )
         .distinct()  # a pair can match in several blocks
     )
-    ham = sum(
-        (
-            F.when(
-                F.substring(F.col("sh_a"), i + 1, 1)
-                != F.substring(F.col("sh_b"), i + 1, 1),
-                1,
-            ).otherwise(0)
-            for i in range(positions)
-        ),
-        F.lit(0),
-    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
     return (
         cand.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)

@@ -94,26 +94,42 @@ def random_hyperplanes(
 def hyperplane_bucket(vec: Column, planes: list) -> Column:
     """One table's bucket key: sign(R·v) per plane, concatenated —
     the classic random-projection cosine LSH (sign agreement
-    probability = 1 - angle/π).  Pure column algebra: each projection
-    is a zip_with/aggregate dot against a LITERAL plane array, so the
-    whole key stays JVM-side."""
-    signs = []
-    for plane in planes:
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        proj = dot(vec, lit_plane)
-        signs.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*signs)
+    probability = 1 - angle/π).  Pure column algebra, JVM-side: the
+    whole table of planes is ONE literal array<array<double>> and the
+    signs come from a single ``transform`` whose lambda holds one
+    zip_with/aggregate dot-product template — a compact expression
+    tree (one aggregate node total) instead of ``bits`` separate
+    aggregates, which keeps analysis/codegen cost flat as bits×tables
+    grows."""
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in plane]) for plane in planes]
+    )
+    signs = F.transform(
+        planes_lit,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(vec, p, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.concat_ws("", signs)
 
 
 def _multi_table_buckets(
     df: DataFrame, id_alias: str, vec_col: str, id_col: str, planes: list
 ) -> DataFrame:
-    """(id, vec, table, bucket) rows — one row per LSH table
-    (OR-amplification: a pair is a candidate if ANY table agrees)."""
+    """(id, table, bucket) rows — one row per LSH table
+    (OR-amplification: a pair is a candidate if ANY table agrees).
+    Vectors are NOT carried: candidates dedup on narrow id pairs and
+    vectors re-attach afterwards — at scale the distinct shuffles
+    16-byte pairs instead of dim×8-byte arrays."""
     frames = [
         df.select(
             F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(f"{id_alias}_v"),
             F.lit(t).alias("tbl"),
             hyperplane_bucket(F.col(vec_col), table_planes).alias("bucket"),
         )
@@ -149,13 +165,23 @@ def lsh_topk(
     cand = (
         q.join(c, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cos"),
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -326,14 +352,16 @@ def cosine_near_duplicates(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.doc_v").alias("va"),
-            F.col("b.doc_v").alias("vb"),
         )
         .distinct()
     )
+    va = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__vb"))
     return (
-        cand.select(
-            "doc_a", "doc_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a", "doc_b", cosine(F.col("__va"), F.col("__vb")).alias("cos")
         )
         .where(F.col("cos") >= threshold)
     )
