@@ -35,7 +35,13 @@ from .schemas import CompiledSchema
 
 ATOMIC = (int, bytes, str, float, bool, type(None))  # index_check.py:10
 
-_STEP_PAT = re.compile(r"^([^\[]+)\[(0|[1-9][0-9]*)?\]$")  # JStepPat
+# EXACT JStepPat (index_check.py:191) including its quirk: the index
+# alternation is ``0|[1-9][0-9]+`` — single-digit indices 1-9 NEVER
+# match ("a[0]" and "a[10]" are array steps, but "a[3]" parses as a
+# plain property literally named "a[3]", silently yielding no values
+# on normal documents).  [verified] by tests/test_jpath_property.py
+# against the reference's own MaterializeJPath.
+_STEP_PAT = re.compile(r"^([^\[]+)\[(0|[1-9][0-9]+)?\]$")
 
 
 def _canon(v: Any) -> str:

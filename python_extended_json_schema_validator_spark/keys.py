@@ -36,7 +36,13 @@ from pyspark.sql import types as T
 
 import re
 
-_STEP_PAT = re.compile(r"^([^\[]+)\[(0|[1-9][0-9]*)?\]$")  # ⇔ JStepPat, index_check.py:191
+# ⇔ JStepPat (index_check.py:191) MINUS its single-digit quirk: the
+# reference regex (0|[1-9][0-9]+)? rejects indices 1-9, silently
+# turning "a[3]" into a missing plain property — docshred reproduces
+# that quirk for reference-compat document shredding, while the
+# engine's own typed-table member grammar deliberately accepts all
+# indices ([0-9]* below).
+_STEP_PAT = re.compile(r"^([^\[]+)\[(0|[1-9][0-9]*)?\]$")
 
 
 def flat_col(name: str) -> Column:
