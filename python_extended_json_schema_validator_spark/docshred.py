@@ -141,6 +141,21 @@ def shred_record(doc: Any, compiled: CompiledSchema) -> dict:
         else:
             out[p] = _canon(v)
     for p in compiled.value_paths:
+        if "#e#" in p:
+            # element-grouped member (trigger under an array location):
+            # one inner value-list per element instance, so the
+            # atomic-vs-wrapped key decision happens per element like
+            # the reference's per-instance keyword callback
+            loc, rel = p.split("#e#", 1)
+            out[p + "#v"] = [
+                [
+                    _canon(v) if isinstance(v, ATOMIC)
+                    else json.dumps(v, sort_keys=True)
+                    for v in materialize_jpath(el, rel)
+                ]
+                for el in materialize_jpath(doc, loc)
+            ]
+            continue
         vals = materialize_jpath(doc, p)
         out[p + "#v"] = [
             _canon(v) if isinstance(v, ATOMIC) else json.dumps(v, sort_keys=True)
@@ -160,7 +175,12 @@ def _shred_schema(compiled: CompiledSchema) -> T.StructType:
         t = T.ArrayType(T.StringType()) if p.endswith("[]") else T.StringType()
         fields.append(T.StructField(p, t))
     for p in compiled.value_paths:
-        fields.append(T.StructField(p + "#v", T.ArrayType(T.StringType())))
+        t = (
+            T.ArrayType(T.ArrayType(T.StringType()))
+            if "#e#" in p
+            else T.ArrayType(T.StringType())
+        )
+        fields.append(T.StructField(p + "#v", t))
     for p in compiled.props_paths:
         fields.append(T.StructField(p + "#keys", T.ArrayType(T.StringType())))
     return T.StructType(fields)

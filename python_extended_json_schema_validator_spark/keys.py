@@ -270,6 +270,20 @@ def key_strings(
     exclusion is free).  limit_scope prefixes every key with the scope
     literal (same ``scope|key`` canonical form as key_columns).
     """
+    nested = [
+        canonical
+        and df is not None
+        and m + "#v" in df.columns
+        and isinstance(df.schema[m + "#v"].dataType.elementType, T.ArrayType)
+        for m in members
+    ]
+    if any(nested):
+        if not all(nested):
+            raise ValueError(
+                "mixed element-grouped and plain key members are not "
+                "expressible (a trigger's members share one location)"
+            )
+        return _grouped_key_strings(members, df, limit_scope, scope_col)
     vals = [member_values(m, df, canonical) for m in members]
     if len(members) == 1:
         v = vals[0]
@@ -299,6 +313,67 @@ def key_strings(
         scope = json_scalar(
             member_col(scope_col, df), _resolve_dtype(df, scope_col)
         )
+        keys = F.transform(keys, lambda k: F.concat(scope, F.lit("|"), k))
+    return keys, observed
+
+
+def _grouped_key_strings(
+    members: Sequence[str],
+    df: DataFrame,
+    limit_scope: bool,
+    scope_col: Optional[str],
+) -> tuple[Column, Column]:
+    """key_strings for ELEMENT-GROUPED members (``loc#e#rel`` columns,
+    array<array<string>>): the reference's trigger fires once per
+    array-element instance, so GenKeyStrings — including the
+    atomic-fast-path decision — runs per element and the results
+    union across elements."""
+    outers = [F.coalesce(flat_col(m + "#v"), F.array()) for m in members]
+    _wrap = lambda x: F.concat(F.lit("["), x, F.lit("]"))  # noqa: E731
+    if len(members) == 1:
+        o = outers[0]
+        keys = F.flatten(
+            F.transform(
+                o,
+                lambda inner: F.when(F.size(inner) == 1, inner).otherwise(
+                    F.transform(inner, _wrap)
+                ),
+            )
+        )
+        observed = F.flatten(
+            F.transform(
+                o,
+                lambda inner: F.when(
+                    F.size(inner) == 1,
+                    F.transform(inner, lambda x: F.regexp_replace(x, '^"|"$', "")),
+                ).otherwise(F.transform(inner, _wrap)),
+            )
+        )
+    else:
+        n = F.size(outers[0])
+
+        def per_element(i: Column) -> Column:
+            acc = outers[0].getItem(i)
+            for nxt in outers[1:]:
+                inner = nxt.getItem(i)
+                acc = F.flatten(
+                    F.transform(
+                        acc,
+                        lambda a: F.transform(
+                            inner, lambda b: F.concat(a, F.lit(","), b)
+                        ),
+                    )
+                )
+            return F.transform(acc, _wrap)
+
+        keys = F.when(n == 0, F.array()).otherwise(
+            F.flatten(F.transform(F.sequence(F.lit(0), n - 1), per_element))
+        )
+        observed = keys
+    if limit_scope:
+        if scope_col is None:
+            raise ValueError("limit_scope requires a scope column")
+        scope = json_scalar(member_col(scope_col, df), _resolve_dtype(df, scope_col))
         keys = F.transform(keys, lambda k: F.concat(scope, F.lit("|"), k))
     return keys, observed
 

@@ -270,7 +270,15 @@ class _Compiler:
         """Absolute member paths for a key declaration at ``prefix``.
         ``members: true`` (or a bare ``true``) keys the annotated node
         itself (bootstrap reads poss_members, index_check.py:160-168);
-        a list holds node-relative JSONPaths."""
+        a list holds node-relative JSONPaths.
+
+        A trigger under an ARRAY location (prefix contains ``[]``)
+        fires once PER ELEMENT in the reference (the jsonschema keyword
+        callback runs on each element instance), so the atomic-vs-
+        wrapped key decision is per element — such members compile to
+        the element-grouped form ``<array loc>#e#<relative path>``
+        which the shredder emits as array<array<string>> and
+        keys.key_strings fans out per element."""
         members: Any = decl
         if isinstance(decl, dict):
             members = decl["members"]
@@ -280,7 +288,13 @@ class _Compiler:
             if not prefix:
                 self.errors.append("members:true at schema root is not keyable")
                 return None
+            if "[]" in prefix:
+                loc = prefix[: prefix.rindex("[]") + 2]
+                rel = prefix[len(loc):].lstrip(".")
+                return [f"{loc}#e#{rel}"]
             return [prefix]
+        if "[]" in prefix:
+            return [f"{prefix}#e#{m}" for m in members]
         return [_join_path(prefix, m) for m in members]
 
     def _resolve_ref(self, ref: str, base_uri: str) -> Optional[Tuple[Any, str]]:
@@ -445,7 +459,14 @@ class _Compiler:
                     abs_ref, _ = urldefrag(urljoin(self.uri, ref))
                 else:
                     abs_ref = ref
-                members = tuple(_join_path(prefix, m) for m in entry["members"])
+                if "[]" in prefix:
+                    members = tuple(
+                        f"{prefix}#e#{m}" for m in entry["members"]
+                    )
+                else:
+                    members = tuple(
+                        _join_path(prefix, m) for m in entry["members"]
+                    )
                 for m in members:
                     self._touch(m, "values")
                 fk = ForeignKeySpec(

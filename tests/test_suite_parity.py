@@ -46,7 +46,10 @@ def normalize(per_file: dict) -> dict:
 def reference_run(schema_files, docs, config=None, warm_up=False):
     payload = json.dumps(
         {
-            "schemas": [parse_json_or_yaml(f) for f in schema_files],
+            "schemas": [
+                parse_json_or_yaml(f) if isinstance(f, str) else f
+                for f in schema_files
+            ],
             "docs": [[n, d] for n, d in docs],
             "config": config or {},
             "warm_up": warm_up,
@@ -386,3 +389,101 @@ def test_iter_arrays_suite(spark, tmp_path):
     flagged = {os.path.basename(f): v for f, v in res.per_file.items() if v}
     assert list(flagged.values()) == [["dup_pk"]]
     assert list(flagged)[0].endswith("arr.json [2]")
+
+
+def test_fk_inside_array_items_parity(spark):
+    """foreign_keys declared INSIDE an items schema: the trigger fires
+    per array element in the reference (jsonschema walks elements), so
+    members are element-relative — compiled here as `arr[].member`
+    paths with fan-out probes."""
+    dim = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "arr://dim/1.0",
+        "type": "object",
+        "properties": {"k": {"type": "string", "primary_key": True}},
+    }
+    fact = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "arr://fact/1.0",
+        "type": "object",
+        "properties": {
+            "links": {
+                "type": "array",
+                "items": {
+                    "type": "object",
+                    "properties": {"ref": {"type": "string"}},
+                    "foreign_keys": [
+                        {"schema_id": "arr://dim/1.0", "members": ["ref"]}
+                    ],
+                },
+            }
+        },
+    }
+    docs = [
+        ("d1", {"@schema": "arr://dim/1.0", "k": "a"}),
+        ("f1", {"@schema": "arr://fact/1.0",
+                "links": [{"ref": "a"}, {"ref": "zzz"}]}),
+        ("f2", {"@schema": "arr://fact/1.0", "links": [{"ref": "a"}]}),
+        ("f3", {"@schema": "arr://fact/1.0", "links": []}),
+    ]
+    payload = json.dumps({
+        "schemas": [dim, fact], "docs": [[n, d] for n, d in docs],
+        "config": {}, "warm_up": False,
+    })
+    proc = subprocess.run([sys.executable, RUNNER], input=payload,
+                          capture_output=True, text=True, timeout=180)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    ref = json.loads(proc.stdout)
+
+    res = run_suite(spark, [("dim.json", dim), ("fact.json", fact)], docs)
+    assert normalize(res.per_file) == normalize(ref), (res.per_file, ref)
+
+
+def test_unnamed_fk_to_scoped_pool_parity(spark):
+    """Unnamed FK whose target pool's (first) key is limit_scope: the
+    probe scopes by the FK doc's own file (PKKeys.limit_scope,
+    fk_check.py:309-317,405-411) — same-file match passes, cross-file
+    is stale."""
+    dim = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "usc://dim/1.0",
+        "type": "object",
+        "properties": {
+            "k": {"type": "string",
+                  "primary_key": {"members": True, "limit_scope": True}}
+        },
+    }
+    fact = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "usc://fact/1.0",
+        "type": "object",
+        "foreign_keys": [{"schema_id": "usc://dim/1.0", "members": ["r"]}],
+        "properties": {"r": {"type": "string"}},
+    }
+    docs = [
+        ("fileA", {"@schema": "usc://dim/1.0", "k": "uno"}),
+        ("fileA", {"@schema": "usc://fact/1.0", "r": "uno"}),   # same file: ok
+        ("fileB", {"@schema": "usc://fact/1.0", "r": "uno"}),   # cross: stale
+    ]
+    ref = reference_run([dim, fact], docs)
+    res = run_suite(spark, [("dim.json", dim), ("fact.json", fact)], docs)
+    assert normalize(res.per_file) == normalize(ref), (res.per_file, ref)
+    assert normalize(ref) == {"fileA": [], "fileB": ["stale_fk"]}
+
+
+def test_custom_schema_id_path(spark):
+    """--schema_id_path: a dotted custom probe replaces the default
+    @schema/_schema/\$schema set."""
+    schema = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "sip://t/1.0",
+        "type": "object",
+        "properties": {"v": {"type": "string", "unique": True}},
+    }
+    docs = [
+        ("r1", {"meta": {"kind": "sip://t/1.0"}, "v": "a"}),
+        ("r2", {"meta": {"kind": "sip://t/1.0"}, "v": "a"}),
+    ]
+    res = run_suite(spark, [("s.json", schema)], docs, probes=("meta.kind",))
+    assert normalize(res.per_file) == {"r1": [], "r2": ["dup_unique"]}
+    assert res.doc_schema == {"r1": "sip://t/1.0", "r2": "sip://t/1.0"}
