@@ -150,3 +150,46 @@ def test_schema_ingest_shred_is_single_arrow_stage(spark):
     plan = final_plan(df)
     assert plan.count("MapInPandas") >= 1
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_bucketed_dim_join_has_no_dim_side_exchange(spark, tmp_path):
+    """A pre-bucketed dimension joins with NO Exchange on the dim side
+    (the run-to-run scale path for huge dims that can't broadcast)."""
+    from python_extended_json_schema_validator_spark import (
+        ForeignKeySpec, KeySpec, TableSpec,
+    )
+    from python_extended_json_schema_validator_spark.bucketing import (
+        bucketed_referential_violations, write_bucketed_dim,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        dim_df = spark.createDataFrame(
+            [(i, f"k{i}") for i in range(5000)], "id long, code string"
+        )
+        fact_df = spark.createDataFrame(
+            [(i, f"k{i % 6000}") for i in range(10000)], "fid long, rc string"
+        )
+        dspec = TableSpec(name="dim", row_id="id",
+                          primary_keys=[KeySpec(("code",))])
+        fspec = TableSpec(
+            name="fact", row_id="fid",
+            foreign_keys=[ForeignKeySpec(("rc",), ref_table="dim")],
+        )
+        write_bucketed_dim(dim_df, dspec, dspec.primary_keys[0],
+                           "bucketed_dim_t", buckets=8)
+        out = bucketed_referential_violations(
+            fact_df, fspec, fspec.foreign_keys[0], "bucketed_dim_t"
+        )
+        n = out.count()
+        assert n == 1000  # keys 5000..5999 appear once each and miss
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the dim-side scan feeds the join WITHOUT an exchange: exactly
+        # ONE shuffle in the whole plan (the fact-side repartition)
+        assert plan.count("Exchange") == 1, plan
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bucketed_dim_t")
