@@ -64,6 +64,39 @@ def dup_flags_stream(
     return out.dropDuplicates([key_col]).withColumn("__is_first", F.lit(True))
 
 
+def windowed_partition_verdicts(
+    stream_df: DataFrame,
+    spec: TableSpec,
+    ts_col: str,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Per (event-time window, partition) pass/fail over a stream —
+    the streaming twin of ValidationResult.partition_verdicts: the
+    row-check battery evaluates inline (stateless), counts aggregate
+    per window × partition, and the WATERMARK bounds late-data state
+    (rows later than ``watermark`` behind the max event time are
+    dropped; windows finalize for append sinks once the watermark
+    passes them)."""
+    compiled = row_checks.compile_battery(
+        spec.checks, json_mode=spec.canonical_json
+    )
+    ok = row_checks.pass1_ok(compiled)
+    flags = stream_df.withWatermark(ts_col, watermark).select(
+        F.window(F.col(ts_col), window).alias("win"),
+        F.col(spec.scope_col).alias("partition"),
+        (~ok).cast("int").alias("__failed"),
+    )
+    return (
+        flags.groupBy("win", "partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__failed").alias("n_failed"),
+        )
+        .withColumn("pass", F.col("n_failed") == 0)
+    )
+
+
 def stateful_dup_violations(
     stream_df: DataFrame,
     key_col: str,

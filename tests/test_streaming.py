@@ -111,3 +111,49 @@ def test_stateful_dup_violations_across_batches(spark, tmp_path):
     assert ("k1", "r9", "r1") in rows          # CROSS-batch dup vs state
     assert ("k2", "r3x", "r3") in rows
     assert not any(r[1] in ("r1", "r3") for r in rows)  # survivors clean
+
+
+def test_windowed_partition_verdicts_stream(spark, tmp_path):
+    """Watermarked event-time windows × partition: counts and
+    pass/fail per window, battery evaluated inline on the stream."""
+    from python_extended_json_schema_validator_spark import ColumnCheck, TableSpec
+    from python_extended_json_schema_validator_spark.streaming.incremental import (
+        windowed_partition_verdicts,
+    )
+
+    src = tmp_path / "ein"
+    src.mkdir()
+    rows = [
+        ("2026-01-01 10:01:00", "p0", 5),
+        ("2026-01-01 10:02:00", "p0", -1),   # fails minimum
+        ("2026-01-01 10:03:00", "p1", 7),
+        ("2026-01-01 10:12:00", "p0", 9),    # next window
+    ]
+    spark.createDataFrame(rows, "ts_s string, part string, v long").selectExpr(
+        "cast(ts_s as timestamp) as ts", "part", "v"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    spec = TableSpec(
+        name="ev", row_id="ts", scope_col="part",
+        checks=[ColumnCheck(column="v", minimum=0)],
+    )
+    stream = spark.readStream.schema("ts timestamp, part string, v long").parquet(
+        str(src / "*")
+    )
+    out = windowed_partition_verdicts(stream, spec, "ts", window="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winverd")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.win.start), r.partition): (r.n_rows, r.n_failed, r["pass"])
+        for r in spark.sql("select * from winverd").collect()
+    }
+    assert got[("2026-01-01 10:00:00", "p0")] == (2, 1, False)
+    assert got[("2026-01-01 10:00:00", "p1")] == (1, 0, True)
+    assert got[("2026-01-01 10:10:00", "p0")] == (1, 0, True)
