@@ -191,6 +191,62 @@ def providers_from_config(
     return out
 
 
+def validate_json_table(
+    spark: SparkSession,
+    schemas: Union[str, Sequence[Tuple[str, Mapping]]],
+    df,
+    file_col: str = "file",
+    json_col: str = "json",
+    config: Optional[Mapping] = None,
+    probes: Sequence[str] = SCHEMA_KEY_PROBES,
+    engine_config: Optional[EngineConfig] = None,
+):
+    """The DISTRIBUTED document-validation entry point: a DataFrame of
+    ``(file, json text)`` rows — a 10^12-row table of one-JSON-per-row
+    documents — validated against a schema directory.
+
+    Everything stays on executors: schema dispatch is a JVM
+    ``get_json_object`` coalesce over the probe paths (no Python), the
+    per-schema shred is one Arrow ``mapInPandas`` pass
+    (docshred.shred_json_strings, map-only), and the engine runs its
+    usual declarative plans over the shredded tables.  Returns
+    (ValidationResult, registry) — violations row_ids are the file
+    names.  Documents matching no schema are simply not validated
+    (mirroring the reference's skip; count them by anti-joining the
+    input against the union of shredded tables)."""
+    from .docshred import shred_json_strings
+    from pyspark.sql import functions as F
+
+    if isinstance(config, str):
+        config = parse_json_or_yaml(config)
+    registry, issues = load_schemas(schemas)
+    if not registry:
+        raise ValueError(f"no usable schema loaded: {issues}")
+
+    probe_cols = [
+        F.get_json_object(F.col(json_col), "$['" + p.replace(".", "']['") + "']")
+        for p in probes
+    ]
+    tagged = df.select(
+        F.col(file_col).alias("file"),
+        F.col(json_col).alias("json"),
+        F.coalesce(*probe_cols).alias("__uri"),
+    )
+    tables = {
+        uri: shred_json_strings(
+            tagged.where(F.col("__uri") == uri), registry[uri]
+        )
+        for uri in registry
+    }
+    specs = [cs.table_spec for cs in registry.values()]
+    engine = ValidationEngine(
+        specs,
+        providers=providers_from_config(config, schema_uris=list(registry)),
+        config=engine_config,
+    )
+    return engine.validate(tables), registry
+
+
 def run_suite(
     spark: SparkSession,
     schemas: Union[str, Sequence[Tuple[str, Mapping]]],

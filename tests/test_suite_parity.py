@@ -487,3 +487,36 @@ def test_custom_schema_id_path(spark):
     res = run_suite(spark, [("s.json", schema)], docs, probes=("meta.kind",))
     assert normalize(res.per_file) == {"r1": [], "r2": ["dup_unique"]}
     assert res.doc_schema == {"r1": "sip://t/1.0", "r2": "sip://t/1.0"}
+
+
+def test_validate_json_table_distributed(spark):
+    """The distributed entry point: (file, json) rows dispatched via
+    JVM get_json_object, shredded by mapInPandas, validated by the
+    engine — same verdicts as the driver-side suite runner on the
+    fk_simple_example bad suite."""
+    from pyspark.sql import functions as F
+
+    from python_extended_json_schema_validator_spark.suite import (
+        validate_json_table,
+    )
+
+    sfiles = scan_files(f"{BASE}/fk_simple_example/schemas")
+    schemas = [(f, parse_json_or_yaml(f)) for f in sfiles]
+    docs = [
+        (os.path.basename(f), d)
+        for f, d, err in scan_documents(f"{BASE}/fk_simple_example/bad_validation")
+        if err is None
+    ]
+    df = spark.createDataFrame(
+        [(n, json.dumps(d)) for n, d in docs], "file string, json string"
+    )
+    result, registry = validate_json_table(spark, schemas, df)
+    got: dict = {n: [] for n, _ in docs}
+    for r in result.violations.collect():
+        got[r.row_id].append(r.reason)
+    got = {k: sorted(v) for k, v in got.items()}
+    want = run_suite(spark, schemas, docs).per_file
+    assert got == want
+    assert sorted(k for k, v in got.items() if v) == [
+        "ref_dos_bad_2.json", "ref_siete.json", "trestres.json", "uno.json"
+    ]
