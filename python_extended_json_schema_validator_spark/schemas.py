@@ -501,6 +501,62 @@ class _Compiler:
         items = node.get("items")
         if isinstance(items, dict):
             self.walk(items, prefix + "[]", base_uri, ref_chain)
+        # allOf branches apply conjunctively at the same location —
+        # walk them fully (checks + triggers).  anyOf/oneOf branches
+        # are DISJUNCTIVE for keywords, so their checks cannot compile
+        # into the conjunctive battery — but the reference's custom
+        # trigger callbacks still execute per branch during validation
+        # (jsonschema evaluates every branch), so key/FK TRIGGERS
+        # inside them register; mirror that by walking the branches in
+        # triggers-only mode.
+        for branch in node.get("allOf") or []:
+            self.walk(branch, prefix, base_uri, ref_chain)
+        for comb in ("anyOf", "oneOf"):
+            for branch in node.get(comb) or []:
+                self._walk_triggers_only(branch, prefix, base_uri, ref_chain)
+
+    def _walk_triggers_only(
+        self, node: Any, prefix: str, base_uri: Optional[str], ref_chain: Tuple
+    ) -> None:
+        if not isinstance(node, dict):
+            return
+        if "$ref" in node:
+            key = (base_uri, node["$ref"], prefix)
+            if key in ref_chain:
+                return
+            resolved = self._resolve_ref(node["$ref"], base_uri)
+            if resolved is not None:
+                target, new_base = resolved
+                self._walk_triggers_only(
+                    target, prefix, new_base, ref_chain + (key,)
+                )
+            return
+        self._compile_triggers(node, prefix)
+        props = node.get("properties")
+        if isinstance(props, dict):
+            for name, child in props.items():
+                self._walk_triggers_only(
+                    child, _join_path(prefix, name), base_uri, ref_chain
+                )
+        items = node.get("items")
+        if isinstance(items, dict):
+            self._walk_triggers_only(items, prefix + "[]", base_uri, ref_chain)
+        for comb in ("allOf", "anyOf", "oneOf"):
+            for branch in node.get(comb) or []:
+                self._walk_triggers_only(branch, prefix, base_uri, ref_chain)
+
+
+def _dedup(seq: list) -> list:
+    """Order-preserving dedup (a $ref diamond / combinator overlap can
+    visit the same declaration twice; the reference's id()-keyed worlds
+    collapse those too)."""
+    seen = set()
+    out = []
+    for x in seq:
+        if x not in seen:
+            seen.add(x)
+            out.append(x)
+    return out
 
 
 def compile_schema(
@@ -508,6 +564,8 @@ def compile_schema(
 ) -> Tuple[Optional[CompiledSchema], List[SchemaIssue]]:
     comp = _Compiler(uri, schema, cache)
     comp.walk(schema)
+    for attr in ("unique", "primary_keys", "indexes", "foreign_keys", "join_keys"):
+        setattr(comp, attr, _dedup(getattr(comp, attr)))
     issues = [SchemaIssue(file, "schema_error", e) for e in comp.errors]
     if issues:
         return None, issues

@@ -520,3 +520,38 @@ def test_validate_json_table_distributed(spark):
     assert sorted(k for k, v in got.items() if v) == [
         "ref_dos_bad_2.json", "ref_siete.json", "trestres.json", "uno.json"
     ]
+
+
+def test_ref_closure_and_allof_parity(spark):
+    """Triggers behind $ref (PK inside #/definitions) and inside allOf
+    branches fire in the reference — the compiler's closure walk must
+    find both."""
+    dim = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "ref://dim/1.0", "type": "object",
+        "definitions": {"ident": {"type": "string", "primary_key": True}},
+        "properties": {"k": {"$ref": "#/definitions/ident"}},
+    }
+    fact = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "ref://fact/1.0", "type": "object",
+        "allOf": [
+            {"properties": {"r": {"type": "string"}},
+             "foreign_keys": [{"schema_id": "ref://dim/1.0", "members": ["r"]}]}
+        ],
+        "properties": {"extra": {"type": "integer", "minimum": 10}},
+    }
+    docs = [
+        ("d1", {"@schema": "ref://dim/1.0", "k": "a"}),
+        ("d2", {"@schema": "ref://dim/1.0", "k": "a"}),     # dup via $ref'd PK
+        ("f1", {"@schema": "ref://fact/1.0", "r": "a", "extra": 11}),
+        ("f2", {"@schema": "ref://fact/1.0", "r": "zzz", "extra": 12}),  # stale via allOf FK
+        ("f3", {"@schema": "ref://fact/1.0", "r": "zzz", "extra": 3}),   # revoked by minimum
+    ]
+    ref = reference_run([dim, fact], docs)
+    res = run_suite(spark, [("dim.json", dim), ("fact.json", fact)], docs)
+    assert normalize(res.per_file) == normalize(ref)
+    assert normalize(ref) == {
+        "d1": [], "d2": ["dup_pk"], "f1": [], "f2": ["stale_fk"],
+        "f3": ["schema_error"],
+    }
