@@ -17,9 +17,7 @@ Pair with manifest.KeyLedger for the incremental-uniqueness analogue.
 
 from __future__ import annotations
 
-from typing import Optional
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .checks import referential, uniqueness

@@ -10,7 +10,7 @@ and Arrow-batched payload UDFs — one lazy plan end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..engine import ValidationEngine
