@@ -727,6 +727,68 @@ def q_schema_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _viol(res)
 
 
+def q_fk_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoped referential check (fk_check.py:405-411 both-sides scope):
+    the dim is orders' custkeys keyed PER o_orderpriority scope with
+    pass-1 revocation (o_totalprice >= 50000), the fact is the same
+    table probing (scope, custkey) — stale exactly when the fact row's
+    scope holds no SURVIVING dim row with that custkey."""
+    o = _t(spark, sf_dir, "orders")
+    specs = [
+        TableSpec(
+            name="dim_orders",
+            row_id="o_orderkey",
+            scope_col="o_orderpriority",
+            checks=[ColumnCheck(column="o_totalprice", minimum=50000.0)],
+            primary_keys=[
+                KeySpec(("o_custkey",), name="scoped_cust", limit_scope=True)
+            ],
+        ),
+        TableSpec(
+            name="fact_orders",
+            row_id="o_orderkey",
+            scope_col="o_orderpriority",
+            foreign_keys=[
+                ForeignKeySpec(
+                    ("o_custkey",), ref_table="dim_orders",
+                    refers_to="scoped_cust",
+                )
+            ],
+        ),
+    ]
+    res = ValidationEngine(specs).validate({"dim_orders": o, "fact_orders": o})
+    # keep only the referential branch (the dup_pk/check noise of the
+    # dim side is covered by other queries)
+    return res.ref_viol["fact_orders"].select(*VIOL_COLS)
+
+
+def q_fk_dangling_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime dangling (fk_check.py:305-317,453-476): the referenced
+    table DECLARES a PK but every row is revoked by pass 1 (an
+    impossible minimum), so its key world records zero values and all
+    FK rows are dangling_fk — not stale."""
+    specs = [
+        TableSpec(
+            name="customer",
+            row_id="c_custkey",
+            checks=[ColumnCheck(column="c_acctbal", minimum=1.0e12)],
+            primary_keys=[KeySpec(("c_custkey",))],
+        ),
+        TableSpec(
+            name="orders",
+            row_id="o_orderkey",
+            foreign_keys=[ForeignKeySpec(("o_custkey",), ref_table="customer")],
+        ),
+    ]
+    res = ValidationEngine(specs).validate(
+        {
+            "customer": _t(spark, sf_dir, "customer"),
+            "orders": _t(spark, sf_dir, "orders"),
+        }
+    )
+    return res.ref_viol["orders"].select(*VIOL_COLS)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -767,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "key_array_fanout": q_key_array_fanout,
         "schema_ingest": q_schema_ingest,
+        "fk_scoped": q_fk_scoped,
+        "fk_dangling_runtime": q_fk_dangling_runtime,
         "ann_lsh": q_ann_lsh,
         # rows-only (approximate / plumbing — no exact SQL oracle)
         "ann_ivf": q_ann_ivf,
@@ -782,6 +846,27 @@ LI_ID = "CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)"
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_lsh": _ann_lsh_oracle(),
+        "fk_scoped": """
+            SELECT 'fk:fact_orders.o_custkey->dim_orders.scoped_cust' AS constraint_id,
+                   'stale_fk' AS reason,
+                   CAST(f.o_orderkey AS VARCHAR) AS row_id,
+                   CAST(f.o_custkey AS VARCHAR) AS observed_value
+            FROM orders f
+            WHERE f.o_custkey IS NOT NULL
+              AND NOT EXISTS (
+                SELECT 1 FROM orders d
+                WHERE d.o_orderpriority = f.o_orderpriority
+                  AND d.o_custkey = f.o_custkey
+                  AND d.o_totalprice >= 50000.0
+              )
+        """,
+        "fk_dangling_runtime": """
+            SELECT 'fk:orders.o_custkey->customer' AS constraint_id,
+                   'dangling_fk' AS reason,
+                   CAST(o_orderkey AS VARCHAR) AS row_id,
+                   CAST(o_custkey AS VARCHAR) AS observed_value
+            FROM orders WHERE o_custkey IS NOT NULL
+        """,
         "key_array_fanout": """
             WITH w AS (
               SELECT CAST(p_partkey AS VARCHAR) AS rid,
