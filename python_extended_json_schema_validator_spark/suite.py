@@ -74,12 +74,18 @@ class SuiteResult:
             if not quiet:
                 entry["schema"] = cs.schema
             out.append(entry)
+        fkmap: Dict[str, object] = {}
+        for cs in self.registry.values():
+            spec = cs.table_spec
+            for kind, fks in (("fk", spec.foreign_keys), ("jk", spec.join_keys)):
+                for fk in fks:
+                    fkmap[f"{kind}:{spec.name}.{fk.label}"] = fk
         by_file: Dict[str, list] = {}
         for r in self.violations or []:
             by_file.setdefault(r.row_id, []).append(
                 {
                     "reason": r.reason,
-                    "description": f"{r.constraint_id}: {r.observed_value!r}",
+                    "description": _describe(r, fkmap),
                     "path": r.path if "path" in r.__fields__ else None,
                 }
             )
@@ -103,6 +109,37 @@ class SuiteResult:
                 }
             )
         return out
+
+
+def _describe(r, fkmap: Mapping) -> str:
+    """Reference-template violation descriptions (byte-exact parity is
+    impossible — the reference embeds id()-random names for unnamed
+    keys and the mutable survivor file set — but the message SHAPES
+    match: unique_check.py:137-146, fk_check.py:436-449,469-476)."""
+    cid = r.constraint_id
+    obs = r.observed_value
+    if r.reason in ("dup_unique", "dup_pk"):
+        trigger = "unique" if r.reason == "dup_unique" else "primary_key"
+        label = cid.split(":", 1)[1] if ":" in cid else cid
+        return (
+            f"Duplicated {trigger} value for UK {label} -=> {obs} <=-  "
+            f"(got from {r.path})"
+        )
+    fk = fkmap.get(cid)
+    if r.reason == "stale_fk" and fk is not None:
+        which = (
+            "primary key " + fk.refers_to if fk.refers_to else "any primary key"
+        )
+        return (
+            f"Unmatching FK ({obs}) in {r.row_id} to schema "
+            f"{fk.ref_table} ({which})"
+        )
+    if r.reason in ("dangling_fk", "dangling_jk") and fk is not None:
+        return (
+            f"No available documents from {fk.ref_table} schema, "
+            f"required by {r.row_id}"
+        )
+    return f"{cid}: {obs!r}"
 
 
 def scan_documents(

@@ -555,3 +555,22 @@ def test_ref_closure_and_allof_parity(spark):
         "d1": [], "d2": ["dup_pk"], "f1": [], "f2": ["stale_fk"],
         "f3": ["schema_error"],
     }
+
+
+def test_report_description_templates(spark):
+    """Violation descriptions follow the reference's message shapes
+    (unique_check.py:137-146, fk_check.py:436-449)."""
+    res = run_suite(
+        spark,
+        [(f, parse_json_or_yaml(f))
+         for f in scan_files(f"{BASE}/fk_simple_example/schemas")],
+        [(os.path.basename(f), d)
+         for f, d, e in scan_documents(f"{BASE}/fk_simple_example/bad_validation")
+         if e is None],
+    )
+    rep = res.report(quiet=True)
+    descs = [err["description"] for e in rep for err in e.get("errors", [])]
+    assert any(d.startswith("Unmatching FK (2) in ref_dos_bad_2.json to schema "
+                            "simple_pk_example/1.0 (any primary key)")
+               for d in descs), descs
+    assert any("Duplicated primary_key value for UK" in d for d in descs)
