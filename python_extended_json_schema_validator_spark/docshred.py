@@ -133,7 +133,7 @@ def shred_record(doc: Any, compiled: CompiledSchema) -> dict:
     """One document → {column name: literal | [literals] | None}."""
     out: dict = {}
     for p in compiled.instance_paths:
-        present, v = instance_at(doc, p)
+        present, v = (True, doc) if p == "#root" else instance_at(doc, p)
         if not present:
             out[p] = None
         elif p.endswith("[]"):

@@ -353,9 +353,11 @@ class _Compiler:
                         required_scope=prefix or None,
                     )
                 )
-        if not prefix or not kw:
+        if not kw:
             return
-        args: Dict[str, Any] = {"column": prefix}
+        # root-level keywords (type: object etc.) check the whole
+        # document: the shredder emits its literal as column "#root"
+        args: Dict[str, Any] = {"column": prefix if prefix else "#root"}
         if "type" in kw:
             t = kw["type"]
             ts = [t] if isinstance(t, str) else list(t)
@@ -413,7 +415,7 @@ class _Compiler:
                 )
             )
         if len(args) > 1:
-            self._touch(prefix)
+            self._touch(args["column"])
             self.checks.append(ColumnCheck(**args))
 
     def _compile_triggers(self, node: Mapping, prefix: str) -> None:

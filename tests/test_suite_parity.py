@@ -574,3 +574,44 @@ def test_report_description_templates(spark):
                             "simple_pk_example/1.0 (any primary key)")
                for d in descs), descs
     assert any("Duplicated primary_key value for UK" in d for d in descs)
+
+
+def test_root_type_check_parity(spark):
+    """A non-object document must fail a root `type: object` check —
+    the reference's jsonschema pass flags it; the shredded engine
+    checks the whole-document literal (#root column)."""
+    schema = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "root://t/1.0",
+        "type": "object",
+        "properties": {"v": {"type": "string"}},
+    }
+    docs = [
+        ("good", {"@schema": "root://t/1.0", "v": "x"}),
+    ]
+    res = run_suite(spark, [("s.json", schema)], docs)
+    assert res.per_file == {"good": []}
+    # arrays/strings can't dispatch via @schema, so drive the shredded
+    # check directly: guess mode assigns nothing (battery fails), and
+    # the distributed path flags the root type
+    from python_extended_json_schema_validator_spark.docshred import (
+        shred_documents,
+    )
+    from python_extended_json_schema_validator_spark.schemas import load_schemas
+    from python_extended_json_schema_validator_spark import ValidationEngine
+
+    registry, _ = load_schemas([("s.json", schema)])
+    cs = registry["root://t/1.0"]
+    shredded = shred_documents(
+        spark, [("arr", [1, 2, 3]), ("num", 7), ("obj", {"v": "x"})], cs
+    )
+    out = ValidationEngine([cs.table_spec]).validate(
+        {cs.uri: shredded}
+    ).violations.collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.row_id, []).append((r.constraint_id, r.reason))
+    assert got == {
+        "arr": [("check:#root:type", "type")],
+        "num": [("check:#root:type", "type")],
+    }
