@@ -328,7 +328,11 @@ class _Compiler:
         # additionalProperties: false → the node's actual property
         # names must all be declared (boolean form only; schema-form
         # additionalProperties is an annotation we do not compile)
-        if node.get("additionalProperties") is False:
+        if node.get("additionalProperties") is False and not node.get(
+            "patternProperties"
+        ):
+            # (with patternProperties present the allowed set is not a
+            # fixed list — skip rather than false-positive)
             allowed = tuple(
                 sorted(node.get("properties", {}))
                 if isinstance(node.get("properties"), dict)

@@ -250,7 +250,14 @@ def validate_json_table(
     (ValidationResult, registry) — violations row_ids are the file
     names.  Documents matching no schema are simply not validated
     (mirroring the reference's skip; count them by anti-joining the
-    input against the union of shredded tables)."""
+    input against the union of shredded tables).
+
+    Scan shape: one filtered pass over the input PER SCHEMA (the
+    filter + (file, json) projection push into the scan, so each pass
+    is cheap).  With many schemas over one huge input, pre-partition
+    the storage by the dispatch column (``df.write.partitionBy``) so
+    each pass prunes to its own partition, or persist() the tagged
+    frame for a one-read trade of memory for IO."""
     from .docshred import shred_json_strings
     from pyspark.sql import functions as F
 
