@@ -615,3 +615,32 @@ def test_root_type_check_parity(spark):
         "arr": [("check:#root:type", "type")],
         "num": [("check:#root:type", "type")],
     }
+
+
+def test_compound_key_inside_items_parity(spark):
+    """Compound unique inside items: the per-element cartesian binds
+    members of the SAME element (["x","1"] dups ["x","1"], but
+    {"a":"x","b":"2"} is a different tuple); a missing member in an
+    element contributes no key."""
+    schema = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "mg://t/1.0", "type": "object",
+        "properties": {
+            "rows": {"type": "array", "items": {
+                "type": "object",
+                "properties": {"a": {"type": "string"},
+                               "b": {"type": "string"}},
+                "unique": ["a", "b"]}}},
+    }
+    docs = [
+        ("d1", {"@schema": "mg://t/1.0",
+                "rows": [{"a": "x", "b": "1"}, {"a": "y", "b": "2"}]}),
+        ("d2", {"@schema": "mg://t/1.0", "rows": [{"a": "x", "b": "1"}]}),
+        ("d3", {"@schema": "mg://t/1.0", "rows": [{"a": "x"}]}),
+        ("d4", {"@schema": "mg://t/1.0", "rows": [{"a": "x", "b": "2"}]}),
+    ]
+    ref = reference_run([schema], docs)
+    res = run_suite(spark, [("s.json", schema)], docs)
+    assert normalize(res.per_file) == normalize(ref)
+    assert normalize(ref) == {"d1": [], "d2": ["dup_unique"], "d3": [],
+                              "d4": []}
