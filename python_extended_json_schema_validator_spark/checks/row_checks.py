@@ -52,7 +52,9 @@ def _json_type_pred(c: Column, t: str) -> Column:
     if t == "string":
         return c.startswith('"')
     if t == "integer":
-        return c.rlike(_INT_RE)
+        # draft-6/7: any number with a ZERO fractional part is an
+        # integer (2.0 and 1e22 validate) — jsonschema-confirmed
+        return c.rlike(_NUM_RE) & (c.try_cast("double") % 1.0 == 0)
     if t == "number":
         return c.rlike(_NUM_RE)
     if t == "boolean":
@@ -144,7 +146,12 @@ def compile_check(
                 if json_mode
                 else F.col(check.required_scope)
             )
-            base = parent.isNull() | base
+            if json_mode:
+                # jsonschema: required applies only to OBJECT
+                # instances — absent OR non-object parent → vacuous
+                base = parent.isNull() | ~parent.startswith("{") | base
+            else:
+                base = parent.isNull() | base
         add("required", base)
     if check.dtype is not None:
         if json_mode:

@@ -222,11 +222,15 @@ def shred_json_strings(
         for pdf in batches:
             out = {n: [] for n in names}
             for fname, text in zip(pdf[file_col], pdf[json_col]):
+                # distinguish the VALID document `null` (shreds like
+                # any non-object: root literal 'null') from a parse
+                # failure (all-NULL row)
                 try:
                     doc = json.loads(text)
+                    parsed = True
                 except (json.JSONDecodeError, TypeError):
-                    doc = None
-                rec = shred_record(doc, compiled) if doc is not None else {}
+                    parsed = False
+                rec = shred_record(doc, compiled) if parsed else {}
                 out["__file"].append(fname)
                 for n in names:
                     if n != "__file":

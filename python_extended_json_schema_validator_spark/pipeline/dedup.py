@@ -230,10 +230,13 @@ def simhash_pairs_from_signatures(
     """Pigeonhole-banded pair generation over precomputed (doc,
     simhash) signatures — see simhash_near_duplicates.
 
-    Signatures are converted to INTEGERS once (conv base-2) so block
-    keys are shift+mask and hamming is ``bit_count(a XOR b)`` — one
-    codegen'd op on the (large) candidate set instead of ``positions``
-    substring comparisons per pair."""
+    Hamming verification runs on INTEGER chunks — the bit string is
+    split into ≤32-bit pieces converted once (conv base-2; 32 bits
+    stay far inside a signed long, so ANY ``positions`` works —
+    including 64+, where a single whole-string conv would overflow)
+    and hamming = Σ bit_count(chunk_a XOR chunk_b), a couple of
+    codegen'd ops per pair instead of ``positions`` substring
+    comparisons.  Block keys join as plain substrings."""
     nblocks = max_hamming + 1
     # spread positions as evenly as possible across blocks
     base, extra = divmod(positions, nblocks)
@@ -244,24 +247,27 @@ def simhash_pairs_from_signatures(
         bounds.append((start, ln))
         start += ln
 
-    sigs = sh.select(
-        "doc", F.conv(F.col("simhash"), 2, 10).cast("long").alias("__sig")
-    )
-    frames = []
-    for bi, (s, ln) in enumerate(bounds):
-        # string positions [s, s+ln) ⇔ bits [positions-s-ln+1, positions-s]
-        shift = positions - (s - 1) - ln
-        mask = (1 << ln) - 1
-        frames.append(
-            sigs.select(
-                "doc",
-                "__sig",
-                F.lit(bi).alias("blk"),
-                F.shiftright(F.col("__sig"), shift).bitwiseAND(
-                    F.lit(mask)
-                ).alias("bkey"),
-            )
+    chunk_cols = []
+    chunk_names = []
+    for ci, cs in enumerate(range(1, positions + 1, 32)):
+        ln = min(32, positions - cs + 1)
+        chunk_names.append(f"__c{ci}")
+        chunk_cols.append(
+            F.conv(F.substring("simhash", cs, ln), 2, 10)
+            .cast("long")
+            .alias(f"__c{ci}")
         )
+    sigs = sh.select("doc", "simhash", *chunk_cols)
+
+    frames = [
+        sigs.select(
+            "doc",
+            *chunk_names,
+            F.lit(bi).alias("blk"),
+            F.substring("simhash", s, ln).alias("bkey"),
+        )
+        for bi, (s, ln) in enumerate(bounds)
+    ]
     blocked = frames[0]
     for fdf in frames[1:]:
         blocked = blocked.unionByName(fdf)
@@ -277,12 +283,20 @@ def simhash_pairs_from_signatures(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.__sig").alias("sig_a"),
-            F.col("b.__sig").alias("sig_b"),
+            *[F.col(f"a.{n}").alias(f"a{n}") for n in chunk_names],
+            *[F.col(f"b.{n}").alias(f"b{n}") for n in chunk_names],
         )
         .distinct()  # a pair can match in several blocks
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    ham = sum(
+        (
+            F.bit_count(
+                F.col(f"a__c{ci}").bitwiseXOR(F.col(f"b__c{ci}"))
+            ).cast("int")
+            for ci in range(len(chunk_names))
+        ),
+        F.lit(0),
+    )
     return (
         cand.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)

@@ -345,6 +345,10 @@ class _Compiler:
             )
         required = node.get("required")
         if isinstance(required, list):
+            scope = prefix if prefix else "#root"
+            # the parent's instance literal must exist for the vacuity
+            # guard (required only applies to OBJECT instances)
+            self._touch(scope)
             for r in required:
                 if not isinstance(r, str):
                     continue
@@ -354,7 +358,7 @@ class _Compiler:
                     ColumnCheck(
                         column=p,
                         required=True,
-                        required_scope=prefix or None,
+                        required_scope=scope,
                     )
                 )
         if not kw:

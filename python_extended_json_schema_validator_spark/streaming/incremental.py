@@ -124,13 +124,20 @@ def stateful_dup_violations(
 
     def flag_dups(key, pdfs, state):
         survivor = state.get[0] if state.exists else None
-        dups = []
+        # gather the WHOLE batch for this key before sorting: Arrow
+        # chunk boundaries are nondeterministic, so per-chunk sorting
+        # would make the survivor depend on delivery order (state is
+        # one id per key; batch rows for one key are bounded by the
+        # trigger volume)
+        rids = []
         for pdf in pdfs:
-            for rid in sorted(pdf[row_id].astype(str)):
-                if survivor is None:
-                    survivor = rid
-                elif rid != survivor:
-                    dups.append((key[0], rid, survivor))
+            rids.extend(pdf[row_id].astype(str))
+        dups = []
+        for rid in sorted(rids):
+            if survivor is None:
+                survivor = rid
+            elif rid != survivor:
+                dups.append((key[0], rid, survivor))
         state.update((survivor,))
         if dups:
             yield pd.DataFrame(dups, columns=["key", "row_id", "survivor"])

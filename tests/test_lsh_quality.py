@@ -132,3 +132,22 @@ def test_lsh_topk_subset_of_brute_force_quality(spark, embeddings):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"recall@5 = {recall}"
+
+
+def test_simhash_64bit_signatures(spark):
+    """Regression (review finding): positions=64 signatures with the
+    MSB set must not overflow the integer conversion — hamming runs on
+    32-bit chunks."""
+    sigs = [
+        ("a", "1" + "0" * 63),
+        ("b", "0" * 64),                 # hamming 1 from a
+        ("c", "1" + "0" * 62 + "1"),     # hamming 1 from a, 2 from b
+    ]
+    sh = spark.createDataFrame(sigs, "doc string, simhash string")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_pairs_from_signatures(
+            sh, max_hamming=2, positions=64
+        ).collect()
+    }
+    assert got == {("a", "b", 1), ("a", "c", 1), ("b", "c", 2)}

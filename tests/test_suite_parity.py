@@ -644,3 +644,85 @@ def test_compound_key_inside_items_parity(spark):
     assert normalize(res.per_file) == normalize(ref)
     assert normalize(ref) == {"d1": [], "d2": ["dup_unique"], "d3": [],
                               "d4": []}
+
+
+def test_nested_required_keywordless_parent(spark):
+    """Regression (review finding): nested `required` under a parent
+    object with NO keywords of its own must not reference a missing
+    shred column — and a present-but-non-object parent makes required
+    vacuous (jsonschema semantics), while an object parent missing the
+    property flags it."""
+    schema = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "nr://t/1.0", "type": "object",
+        "properties": {
+            "addr": {"properties": {"street": {"type": "string"}},
+                     "required": ["street"]}
+        },
+    }
+    docs = [
+        ("ok", {"@schema": "nr://t/1.0", "addr": {"street": "s"}}),
+        ("missing", {"@schema": "nr://t/1.0", "addr": {}}),
+        ("nonobj", {"@schema": "nr://t/1.0", "addr": 5}),
+        ("absent", {"@schema": "nr://t/1.0"}),
+    ]
+    ref = reference_run([schema], docs)
+    res = run_suite(spark, [("s.json", schema)], docs)
+    assert normalize(res.per_file) == normalize(ref)
+    assert normalize(ref) == {
+        "ok": [], "missing": ["schema_error"], "nonobj": [], "absent": [],
+    }
+
+
+def test_integer_accepts_integral_floats(spark):
+    """Regression (review finding): draft-6/7 `integer` validates any
+    number with zero fractional part (2.0, 1e22) — jsonschema-parity."""
+    schema = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "int://t/1.0", "type": "object",
+        "properties": {"n": {"type": "integer"}},
+    }
+    docs = [
+        ("i", {"@schema": "int://t/1.0", "n": 2}),
+        ("f0", {"@schema": "int://t/1.0", "n": 2.0}),
+        ("fbig", {"@schema": "int://t/1.0", "n": 1.5e22}),
+        ("frac", {"@schema": "int://t/1.0", "n": 2.5}),
+        ("s", {"@schema": "int://t/1.0", "n": "2"}),
+    ]
+    ref = reference_run([schema], docs)
+    res = run_suite(spark, [("s.json", schema)], docs)
+    assert normalize(res.per_file) == normalize(ref)
+    assert normalize(ref) == {
+        "i": [], "f0": [], "fbig": [], "frac": ["schema_error"],
+        "s": ["schema_error"],
+    }
+
+
+def test_shred_json_strings_null_document(spark):
+    """Regression (review finding): the VALID JSON document `null`
+    shreds like any non-object (root literal 'null' fails a root
+    object-type check), distinct from a parse failure (all-NULL row,
+    vacuous checks)."""
+    from python_extended_json_schema_validator_spark import ValidationEngine
+    from python_extended_json_schema_validator_spark.docshred import (
+        shred_json_strings,
+    )
+    from python_extended_json_schema_validator_spark.schemas import load_schemas
+
+    schema = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "nul://t/1.0", "type": "object",
+        "properties": {"v": {"type": "string"}},
+    }
+    registry, _ = load_schemas([("s.json", schema)])
+    cs = registry["nul://t/1.0"]
+    df = spark.createDataFrame(
+        [("null_doc", "null"), ("broken", "{nope"), ("good", '{"v":"x"}')],
+        "file string, json string",
+    )
+    shredded = shred_json_strings(df, cs)
+    out = ValidationEngine([cs.table_spec]).validate({cs.uri: shredded})
+    got = {}
+    for r in out.violations.collect():
+        got.setdefault(r.row_id, []).append(r.reason)
+    assert got == {"null_doc": ["type"]}
