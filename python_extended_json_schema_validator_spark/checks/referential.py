@@ -78,10 +78,14 @@ def fk_tuples(
         pairs = F.zip_with(
             karr, oarr, lambda k, o: F.struct(k.alias("k"), o.alias("o"))
         )
-        return df.select(rid, F.explode(pairs).alias("__p")).select(
-            "__row_id",
-            F.col("__p.k").alias("__key"),
-            F.col("__p.o").alias("__observed"),
+        return (
+            df.select(rid, F.explode(pairs).alias("__p"))
+            .select(
+                "__row_id",
+                F.col("__p.k").alias("__key"),
+                F.col("__p.o").alias("__observed"),
+            )
+            .where(F.col("__key").isNotNull())
         )
     key, obs = key_columns(
         fk.members,

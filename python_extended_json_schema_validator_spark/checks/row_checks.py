@@ -45,7 +45,6 @@ def _lit(v) -> Column:
 # compact JSON literal of the value, so the JSON type is decidable from
 # the first character / shape — stays in codegen.
 _NUM_RE = r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
-_INT_RE = r"^-?[0-9]+([eE]\+?[0-9]+)?$"
 
 
 def _json_type_pred(c: Column, t: str) -> Column:

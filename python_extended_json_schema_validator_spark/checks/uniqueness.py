@@ -62,10 +62,16 @@ def keyed(
         pairs = F.zip_with(
             karr, oarr, lambda k, o: F.struct(k.alias("k"), o.alias("o"))
         )
-        return df.select(rid, F.explode(pairs).alias("__p")).select(
-            "__row_id",
-            F.col("__p.k").alias("__key"),
-            F.col("__p.o").alias("__observed"),
+        return (
+            df.select(rid, F.explode(pairs).alias("__p"))
+            .select(
+                "__row_id",
+                F.col("__p.k").alias("__key"),
+                F.col("__p.o").alias("__observed"),
+            )
+            # a NULL scope value NULLs the scoped key — exclude, like
+            # the scalar path's missing-member semantics
+            .where(F.col("__key").isNotNull())
         )
     key, obs = key_columns(
         ks.members, ks.limit_scope, scope, df=df, canonical=spec.canonical_json

@@ -46,8 +46,14 @@ _STEP_PAT = re.compile(r"^([^\[]+)\[(0|[1-9][0-9]+)?\]$")
 
 def _canon(v: Any) -> str:
     """Canonical literal: compact dumps for atomics, sorted-key dumps
-    for objects/arrays (index_check.py:240-242 / GenKeyStrings)."""
-    return json.dumps(v, sort_keys=True, separators=(",", ":"))
+    for objects/arrays (index_check.py:240-242 / GenKeyStrings).
+    ensure_ascii=False so Python-side literals byte-match Spark's
+    to_json (raw UTF-8) — keys from shredded tables, typed tables, and
+    providers must all join.  (Known residual divergence: doubles in
+    scientific range render as Python '1e+20' here vs Java '1.0E20'
+    in typed columns — documented in keys.json_scalar.)"""
+    return json.dumps(v, sort_keys=True, separators=(",", ":"),
+                      ensure_ascii=False)
 
 
 def materialize_jpath(doc: Any, path: str) -> List[Any]:
@@ -133,7 +139,12 @@ def shred_record(doc: Any, compiled: CompiledSchema) -> dict:
     """One document → {column name: literal | [literals] | None}."""
     out: dict = {}
     for p in compiled.instance_paths:
-        present, v = (True, doc) if p == "#root" else instance_at(doc, p)
+        if p == "#root":
+            present, v = True, doc
+        elif p == "#root[]":
+            present, v = True, doc  # root element array (root minItems)
+        else:
+            present, v = instance_at(doc, p)
         if not present:
             out[p] = None
         elif p.endswith("[]"):
@@ -150,7 +161,7 @@ def shred_record(doc: Any, compiled: CompiledSchema) -> dict:
             out[p + "#v"] = [
                 [
                     _canon(v) if isinstance(v, ATOMIC)
-                    else json.dumps(v, sort_keys=True)
+                    else json.dumps(v, sort_keys=True, ensure_ascii=False)
                     for v in materialize_jpath(el, rel)
                 ]
                 for el in materialize_jpath(doc, loc)
@@ -158,7 +169,8 @@ def shred_record(doc: Any, compiled: CompiledSchema) -> dict:
             continue
         vals = materialize_jpath(doc, p)
         out[p + "#v"] = [
-            _canon(v) if isinstance(v, ATOMIC) else json.dumps(v, sort_keys=True)
+            _canon(v) if isinstance(v, ATOMIC)
+            else json.dumps(v, sort_keys=True, ensure_ascii=False)
             for v in vals
         ]
     for p in compiled.props_paths:
@@ -169,8 +181,10 @@ def shred_record(doc: Any, compiled: CompiledSchema) -> dict:
     return out
 
 
-def _shred_schema(compiled: CompiledSchema) -> T.StructType:
+def _shred_schema(compiled: CompiledSchema, corrupt_flag: bool = False) -> T.StructType:
     fields = [T.StructField("__file", T.StringType())]
+    if corrupt_flag:
+        fields.append(T.StructField("__corrupt", T.BooleanType()))
     for p in compiled.instance_paths:
         t = T.ArrayType(T.StringType()) if p.endswith("[]") else T.StringType()
         fields.append(T.StructField(p, t))
@@ -215,7 +229,7 @@ def shred_json_strings(
     validating dynamic JSON documents stored one-per-row."""
     import pandas as pd
 
-    schema = _shred_schema(compiled)
+    schema = _shred_schema(compiled, corrupt_flag=True)
     names = [f.name for f in schema.fields]
 
     def shred_batches(batches: Iterable["pd.DataFrame"]) -> Iterable["pd.DataFrame"]:
@@ -224,7 +238,9 @@ def shred_json_strings(
             for fname, text in zip(pdf[file_col], pdf[json_col]):
                 # distinguish the VALID document `null` (shreds like
                 # any non-object: root literal 'null') from a parse
-                # failure (all-NULL row)
+                # failure (all-NULL row + __corrupt=True, so callers
+                # can emit the reference's 'fatal' instead of letting
+                # vacuous checks pass garbage)
                 try:
                     doc = json.loads(text)
                     parsed = True
@@ -232,8 +248,9 @@ def shred_json_strings(
                     parsed = False
                 rec = shred_record(doc, compiled) if parsed else {}
                 out["__file"].append(fname)
+                out["__corrupt"].append(not parsed)
                 for n in names:
-                    if n != "__file":
+                    if n not in ("__file", "__corrupt"):
                         out[n].append(rec.get(n))
             yield pd.DataFrame(out, columns=names)
 

@@ -156,7 +156,9 @@ class ValidationEngine:
         for p in self.providers:
             if p.table != table:
                 continue
-            if p.refers_to is not None and key_name is not None and p.refers_to != key_name:
+            # a provider targeting one NAMED key feeds neither other
+            # named keys nor unnamed ones
+            if p.refers_to is not None and p.refers_to != key_name:
                 continue
             out.append(p.dimension(spark))
         return out
@@ -171,7 +173,7 @@ class ValidationEngine:
         for p in self.providers:
             if p.table != table or p.allow_duplicates:
                 continue
-            if p.refers_to is not None and key_name is not None and p.refers_to != key_name:
+            if p.refers_to is not None and p.refers_to != key_name:
                 continue
             out.append(p.dimension(spark))
         return out
@@ -179,7 +181,11 @@ class ValidationEngine:
     # -- main --------------------------------------------------------------
 
     def validate(self, tables: Dict[str, DataFrame]) -> ValidationResult:
-        spark = next(iter(tables.values())).sparkSession if tables else None
+        spark = (
+            next(iter(tables.values())).sparkSession
+            if tables
+            else SparkSession.getActiveSession()
+        )
 
         row_viol: Dict[str, DataFrame] = {}
         key_viol: Dict[str, DataFrame] = {}
@@ -251,8 +257,11 @@ class ValidationEngine:
                 )
                 # non-shadow provider keys count as pre-recorded → any
                 # surviving row matching one is a duplicate
-                for pdim in self._provider_shadow(spark, name, ks.name):
-                    keyed = uniqueness.keyed(df, spec, ks)
+                shadow_dims = self._provider_shadow(spark, name, ks.name)
+                keyed = (
+                    uniqueness.keyed(df, spec, ks) if shadow_dims else None
+                )
+                for pdim in shadow_dims:
                     kv.append(
                         keyed.join(F.broadcast(pdim), "__key", "left_semi").select(
                             F.lit(f"pk:{ks.label}").alias("constraint_id"),

@@ -78,7 +78,12 @@ def member_has_fanout(
         return isinstance(
             df.schema[member].dataType, T.ArrayType
         )
-    if "[]" in member:
+    if "[" in member:
+        # any bracketed step — including single-index members like
+        # "a[0]" — routes through key_strings/member_values, whose
+        # step-walker compiles the access; the scalar path's
+        # F.col("a[0]") would be unresolvable (a[i] yields ≤1 value,
+        # so the fan-out path's atomic fast path still applies)
         return True
     if df is None:
         return False

@@ -28,13 +28,17 @@ def canonical_key_py(values) -> str:
     """Driver-side twin of keys.canonical_key for literal provider
     values — the same semantics as the reference's GenKeyStrings
     (index_check.py:262-293): a single atomic value is its JSON scalar
-    literal; a tuple is the compact JSON array."""
+    literal; a tuple is the compact JSON array.  ensure_ascii=False so
+    provider keys byte-match Spark's raw-UTF-8 literals (keys must
+    join across provider dims, typed tables, and shredded tables)."""
     if isinstance(values, (list, tuple)):
         if len(values) == 1:
             values = values[0]
         else:
-            return json.dumps(list(values), sort_keys=True, separators=(",", ":"))
-    return json.dumps(values, sort_keys=True, separators=(",", ":"))
+            return json.dumps(list(values), sort_keys=True,
+                              separators=(",", ":"), ensure_ascii=False)
+    return json.dumps(values, sort_keys=True, separators=(",", ":"),
+                      ensure_ascii=False)
 
 
 @dataclass

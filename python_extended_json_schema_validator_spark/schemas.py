@@ -413,7 +413,7 @@ class _Compiler:
                 args["format"] = kw["format"]
             # unknown formats are annotations per spec — ignored
         if "minItems" in kw or "maxItems" in kw:
-            arr_path = prefix + "[]"
+            arr_path = (prefix + "[]") if prefix else "#root[]"
             self._touch(arr_path)
             self.checks.append(
                 ColumnCheck(

@@ -91,11 +91,20 @@ class SuiteResult:
             )
         for fname in sorted(self.per_file):
             errs = by_file.get(fname, [])
-            if fname in self.per_file and "fatal" in self.per_file[fname]:
+            if "fatal" in self.per_file[fname]:
                 errs = [
                     {"reason": "fatal", "description": "Unable to parse file",
                      "path": None}
                 ] + errs
+            # guess-mode failures are recorded only in per_file (no
+            # violation rows exist) — surface them in the report too
+            n_guess = self.per_file[fname].count("schema_error")
+            if n_guess and not by_file.get(fname):
+                errs = errs + [
+                    {"reason": "schema_error",
+                     "description": "validated against no loaded schema",
+                     "path": None}
+                ] * n_guess
             if error_report and not errs:
                 continue
             uri = self.doc_schema.get(fname)
@@ -237,6 +246,7 @@ def validate_json_table(
     config: Optional[Mapping] = None,
     probes: Sequence[str] = SCHEMA_KEY_PROBES,
     engine_config: Optional[EngineConfig] = None,
+    uri_col: Optional[str] = None,
 ):
     """The DISTRIBUTED document-validation entry point: a DataFrame of
     ``(file, json text)`` rows — a 10^12-row table of one-JSON-per-row
@@ -267,15 +277,29 @@ def validate_json_table(
     if not registry:
         raise ValueError(f"no usable schema loaded: {issues}")
 
-    probe_cols = [
-        F.get_json_object(F.col(json_col), "$['" + p.replace(".", "']['") + "']")
-        for p in probes
-    ]
-    tagged = df.select(
-        F.col(file_col).alias("file"),
-        F.col(json_col).alias("json"),
-        F.coalesce(*probe_cols).alias("__uri"),
-    )
+    if uri_col is not None:
+        # pre-dispatched table (schema id already a column — the
+        # common shape for partitioned document stores); unparseable
+        # documents still dispatch and get flagged 'fatal', unlike the
+        # embedded-probe path where get_json_object cannot extract an
+        # id from a broken document (those rows are skipped unmatched)
+        tagged = df.select(
+            F.col(file_col).alias("file"),
+            F.col(json_col).alias("json"),
+            F.col(uri_col).alias("__uri"),
+        )
+    else:
+        probe_cols = [
+            F.get_json_object(
+                F.col(json_col), "$['" + p.replace(".", "']['") + "']"
+            )
+            for p in probes
+        ]
+        tagged = df.select(
+            F.col(file_col).alias("file"),
+            F.col(json_col).alias("json"),
+            F.coalesce(*probe_cols).alias("__uri"),
+        )
     tables = {
         uri: shred_json_strings(
             tagged.where(F.col("__uri") == uri), registry[uri]
@@ -288,7 +312,20 @@ def validate_json_table(
         providers=providers_from_config(config, schema_uris=list(registry)),
         config=engine_config,
     )
-    return engine.validate(tables), registry
+    result = engine.validate(tables)
+    # unparseable documents (shredder __corrupt flag) get the
+    # reference's 'fatal' — without this, a schema with no `required`
+    # keywords would pass garbage rows vacuously
+    for uri, shredded in tables.items():
+        fatal = shredded.where(F.col("__corrupt")).select(
+            F.lit("doc:parse").alias("constraint_id"),
+            F.lit("fatal").alias("reason"),
+            F.col("__file").alias("row_id"),
+            F.lit(None).cast("string").alias("observed_value"),
+            F.lit("/").alias("path"),
+        )
+        result.row_viol[uri] = result.row_viol[uri].unionByName(fatal)
+    return result, registry
 
 
 def run_suite(

@@ -37,7 +37,9 @@ def test_string_canonicalization_bulk_random(spark):
     # robust to optional-escape differences (e.g.  forms)
     for g, w, v in zip(got, want, samples):
         assert json.loads(g) == v, (g, w, v)
-        assert canonical_key_py(v) == json.dumps(v, separators=(",", ":"))
+        assert canonical_key_py(v) == json.dumps(
+            v, separators=(",", ":"), ensure_ascii=False
+        )
         assert json.loads(canonical_key_py(v)) == v
 
 
@@ -63,8 +65,38 @@ def test_boolean_canonicalization(spark):
 @given(st.lists(text_values, min_size=2, max_size=4))
 @settings(max_examples=30, deadline=None)
 def test_composite_key_py_twin_matches_json_dumps(members):
-    # driver-side twin (provider canonicalization) vs the reference's
-    # exact json.dumps call — pure-python property test, no Spark jobs
+    # driver-side twin (provider canonicalization) vs the canonical
+    # serialization — ensure_ascii=False so provider keys byte-match
+    # Spark's raw-UTF-8 to_json output (the reference's GenKeyStrings
+    # uses the ascii-escaped default, but OUR invariant is cross-table
+    # joinability inside this engine, where Spark sets the format)
     assert canonical_key_py(tuple(members)) == json.dumps(
-        list(members), sort_keys=True, separators=(",", ":")
+        list(members), sort_keys=True, separators=(",", ":"),
+        ensure_ascii=False,
     )
+
+
+def test_unicode_keys_join_across_encoders(spark):
+    """Cross-encoder joinability (review finding): a provider key with
+    non-ASCII text must match the Spark-side canonical literal of the
+    same string — otherwise FK probes would go falsely stale."""
+    from python_extended_json_schema_validator_spark import (
+        ForeignKeySpec, KeySpec, TableSpec, ValidationEngine,
+    )
+    from python_extended_json_schema_validator_spark.providers import (
+        InlineProvider,
+    )
+
+    dspec = TableSpec(name="d", row_id="rid", primary_keys=[KeySpec(("k",))])
+    fspec = TableSpec(
+        name="f", row_id="rid",
+        foreign_keys=[ForeignKeySpec(("k",), ref_table="d")],
+    )
+    prov = InlineProvider(table="d", keys=["café", "naïve"])
+    fdf = spark.createDataFrame(
+        [("r1", "café"), ("r2", "naïve"), ("r3", "plain")],
+        "rid string, k string",
+    )
+    res = ValidationEngine([dspec, fspec], providers=[prov]).validate({"f": fdf})
+    got = sorted((r.row_id, r.reason) for r in res.violations.collect())
+    assert got == [("r3", "stale_fk")]

@@ -726,3 +726,28 @@ def test_shred_json_strings_null_document(spark):
     for r in out.violations.collect():
         got.setdefault(r.row_id, []).append(r.reason)
     assert got == {"null_doc": ["type"]}
+
+    # the distributed entry point flags DISPATCHED-but-unparseable
+    # documents as 'fatal' (Spark's lenient get_json_object can pull
+    # the @schema out of a truncated document that strict json.loads
+    # rejects); documents with no extractable schema id are skipped as
+    # unmatched, mirroring the reference
+    from python_extended_json_schema_validator_spark.suite import (
+        validate_json_table,
+    )
+
+    df2 = spark.createDataFrame(
+        [
+            ("trunc", "nul://t/1.0", '{"v": 12'),
+            ("good", "nul://t/1.0", '{"v": "x"}'),
+            ("bad_type", "nul://t/1.0", '{"v": 5}'),
+        ],
+        "file string, uri string, json string",
+    )
+    result, _ = validate_json_table(
+        spark, [("s.json", schema)], df2, uri_col="uri"
+    )
+    got2 = {}
+    for r in result.violations.collect():
+        got2.setdefault(r.row_id, []).append(r.reason)
+    assert got2 == {"trunc": ["fatal"], "bad_type": ["type"]}
