@@ -205,7 +205,9 @@ def cross_increment_dup_violations(
     from .checks import row_checks, uniqueness
 
     spark = df.sparkSession
-    compiled = row_checks.compile_battery(spec.checks)
+    compiled = row_checks.compile_battery(
+        spec.checks, json_mode=spec.canonical_json
+    )
     survivors = df.where(row_checks.pass1_ok(compiled)) if compiled else df
 
     decls = [("unique", errors.DUP_UNIQUE, ks) for ks in spec.unique] + [
@@ -306,11 +308,27 @@ def run_resumable(
     # violations are consumed twice (metrics + caller) and are tiny
     # relative to the input — persist instead of re-validating
     violations = validate_images(pending, formats).persist()
+    spec = image_table_spec()
     if key_ledger is not None:
         ledger_viol = cross_increment_dup_violations(
-            pending, image_table_spec(), key_ledger
+            pending, spec, key_ledger, update=False
         )
         violations = violations.unionByName(ledger_viol).persist()
     metrics = partition_metrics(pending, violations, row_id, scope_col)
+    # ORDER MATTERS for crash recovery: mark partitions complete
+    # BEFORE appending their keys to the ledger.  A crash between the
+    # two loses this increment's ledger keys (future increments miss
+    # cross-increment dups against it — a bounded false NEGATIVE);
+    # the reverse order would make the re-run of a not-yet-complete
+    # partition collide with its own keys — mass false POSITIVES.
+    # The Iceberg seam makes both appends one transaction in
+    # production.
     rid = manifest.record(metrics, run_id=run_id)
+    if key_ledger is not None:
+        from .checks import uniqueness
+
+        for ks in [*spec.unique, *spec.primary_keys]:
+            key_ledger.record(
+                uniqueness.keyed(pending, spec, ks), spec.name, ks.label
+            )
     return violations, metrics, rid

@@ -90,7 +90,12 @@ def payload_violations(
                     emit("payload:decode", "decode", rid,
                          f"len={0 if buf is None else len(buf)}")
                     continue
-                if (w, h) != (int(dw), int(dh)):
+                if pd.isna(dw) or pd.isna(dh):
+                    # NULL declared dims: nothing to compare against —
+                    # flag it (int(NaN) would otherwise kill the task)
+                    emit("payload:dims", "dims", rid,
+                         f"declared=NULLxNULL actual={w}x{h}")
+                elif (w, h) != (int(dw), int(dh)):
                     emit("payload:dims", "dims", rid,
                          f"declared={int(dw)}x{int(dh)} actual={w}x{h}")
                 if fmt != dfmt:

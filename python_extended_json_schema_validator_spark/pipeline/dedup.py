@@ -34,7 +34,13 @@ def exact_duplicates(
     norm = F.col(text_col)
     if normalized:
         norm = F.trim(F.regexp_replace(F.lower(norm), r"\s+", " "))
-    keyed = df.select(F.col(id_col).alias("doc"), F.md5(norm.cast("binary")).alias("fp"))
+    keyed = (
+        df.select(F.col(id_col).alias("doc"), F.md5(norm.cast("binary")).alias("fp"))
+        # NULL text → NULL fp; grouping NULLs together would report
+        # false duplicates among contentless rows — exclude them (the
+        # missing-member doctrine)
+        .where(F.col("fp").isNotNull())
+    )
     w = Window.partitionBy("fp")
     return (
         keyed.withColumn("survivor", F.min("doc").over(w))
@@ -177,21 +183,28 @@ _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 def simhash(
     df: DataFrame, id_col: str, text_col: str = "text", positions: int = 16
 ) -> DataFrame:
-    """16-position SimHash over word tokens: position i takes the i-th
-    hex nibble of md5(token); the sign of Σ±1 across tokens gives bit
-    i.  Near-duplicate docs differ in few positions (compare via
-    hamming distance on the bit string).  Relational + portable: no
-    64-bit arithmetic, just substr/IN/sum."""
-    toks = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-        )
-        .withColumn("th", F.md5(F.col("tok").cast("binary")))
+    """SimHash over word tokens: position i takes the i-th hex nibble
+    of md5(token) (positions beyond 32 draw from md5(token || "#k"),
+    k = i//32 — one md5 per 32 positions, so widening the signature
+    keeps yielding INDEPENDENT bits instead of constant zeros); the
+    sign of Σ±1 across tokens gives bit i.  Near-duplicate docs differ
+    in few positions (hamming distance on the bit string).  Relational
+    + portable: no 64-bit arithmetic, just substr/IN/sum."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     )
+    n_hashes = (positions + 31) // 32
+    for k in range(n_hashes):
+        suffix = F.lit(f"#{k}") if k else F.lit("")
+        toks = toks.withColumn(
+            f"th{k}", F.md5(F.concat(F.col("tok"), suffix).cast("binary"))
+        )
     aggs = [
         F.sum(
-            F.when(F.substring("th", i + 1, 1).isin(*_HEX_HIGH), 1).otherwise(-1)
+            F.when(
+                F.substring(f"th{i // 32}", (i % 32) + 1, 1).isin(*_HEX_HIGH), 1
+            ).otherwise(-1)
         ).alias(f"s{i}")
         for i in range(positions)
     ]

@@ -90,21 +90,28 @@ def sample_frames(
             for vid, buf in zip(pdf["__id"], pdf["__b"]):
                 if buf is None or bytes(buf[:4]) != VID_MAGIC:
                     continue
-                (n,) = struct.unpack_from("<I", buf, 4)
-                off = 8
-                for i in range(n):
-                    (ln,) = struct.unpack_from("<I", buf, off)
-                    off += 4
-                    frame = bytes(buf[off : off + ln])
-                    off += ln
-                    if i % every_k != 0:
-                        continue
-                    ok, fmt, w, h, _ = imgcodec.decode(frame)
-                    out["video_id"].append(vid)
-                    out["frame_idx"].append(i)
-                    out["frame_bytes"].append(frame if ok else None)
-                    out["w"].append(w if ok else None)
-                    out["h"].append(h if ok else None)
+                # malformed-but-magic containers (truncated mid-frame)
+                # must not kill the task: stop at the first short read
+                try:
+                    (n,) = struct.unpack_from("<I", buf, 4)
+                    off = 8
+                    for i in range(n):
+                        (ln,) = struct.unpack_from("<I", buf, off)
+                        off += 4
+                        frame = bytes(buf[off : off + ln])
+                        off += ln
+                        if len(frame) < ln:
+                            break  # truncated payload
+                        if i % every_k != 0:
+                            continue
+                        ok, fmt, w, h, _ = imgcodec.decode(frame)
+                        out["video_id"].append(vid)
+                        out["frame_idx"].append(i)
+                        out["frame_bytes"].append(frame if ok else None)
+                        out["w"].append(w if ok else None)
+                        out["h"].append(h if ok else None)
+                except struct.error:
+                    continue
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(gen, schema=FRAME_SCHEMA)
@@ -141,14 +148,26 @@ def audio_features(
                               "zero_crossings", "peak"):
                         out[k].append(None)
                     continue
-                rate, n = struct.unpack_from("<II", buf, 4)
-                pcm = np.frombuffer(bytes(buf[12 : 12 + 2 * n]), dtype="<i2")
-                x = pcm.astype(np.float64) / 32768.0
-                out["sample_rate"].append(rate)
-                out["duration_s"].append(n / rate)
-                out["rms"].append(float(np.sqrt(np.mean(x * x))))
-                out["zero_crossings"].append(int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))))
-                out["peak"].append(float(np.max(np.abs(x))))
+                try:
+                    rate, n = struct.unpack_from("<II", buf, 4)
+                    raw = bytes(buf[12 : 12 + 2 * n])
+                    pcm = np.frombuffer(raw[: len(raw) - (len(raw) % 2)],
+                                        dtype="<i2")
+                    if rate == 0 or pcm.size == 0:
+                        raise ValueError("empty/zero-rate clip")
+                    x = pcm.astype(np.float64) / 32768.0
+                    out["sample_rate"].append(rate)
+                    out["duration_s"].append(pcm.size / rate)
+                    out["rms"].append(float(np.sqrt(np.mean(x * x))))
+                    out["zero_crossings"].append(
+                        int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    )
+                    out["peak"].append(float(np.max(np.abs(x))))
+                except (struct.error, ValueError, ZeroDivisionError):
+                    # malformed-but-magic clip: null features, task lives
+                    for k in ("sample_rate", "duration_s", "rms",
+                              "zero_crossings", "peak"):
+                        out[k].append(None)
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)

@@ -38,7 +38,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (ranked last) for zero-norm vectors — under Spark 4's
+    default ANSI mode a bare division would throw DIVIDE_BY_ZERO and
+    abort the job on the first all-zeros embedding (a common
+    padding/failed-encoder value)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+        dot(a, b) / denom
+    )
 
 
 def brute_force_topk(

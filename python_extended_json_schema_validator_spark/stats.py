@@ -27,6 +27,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _plabel(p: float) -> str:
+    """Collision-free quantile column label: p50, p99, p99_9 (naive
+    int(p*100) collapses 0.99 and 0.999 to the same name)."""
+    return "p" + f"{p * 100:g}".replace(".", "_")
+
+
 def profile(
     df: DataFrame,
     group_by: Sequence[str],
@@ -74,13 +80,16 @@ def salted_group_count(
     """Two-stage skew-proof ``groupBy(keys).count()``.
 
     Stage 1 partially aggregates on (keys, salt) — the salt is a
-    deterministic hash of the whole row spread over ``n_salts``
-    buckets, so a key owning billions of rows produces ``n_salts``
-    partials instead of one giant reduce partition.  Stage 2 sums the
-    partials per key.  Result is bit-identical to
+    deterministic hash of the FULL ROW CONTENT spread over ``n_salts``
+    buckets (content-hashing, not monotonically_increasing_id, keeps
+    the salt stable across shuffle-block recomputation: a re-run map
+    task re-salts rows identically, so partial fetch + retry cannot
+    double-count), so a key owning billions of rows produces up to
+    ``n_salts`` partials instead of one giant reduce partition.
+    Stage 2 sums the partials per key.  Result is bit-identical to
     ``df.groupBy(keys).count()``.
     """
-    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     stage1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -99,7 +108,7 @@ def exact_quantiles(
     ``percentile`` — fine at test scale; at 10^12 rows use
     tdigest.quantile_sketch instead."""
     aggs = [
-        F.percentile(F.col(column), F.lit(p)).alias(f"p{int(p * 100)}") for p in probs
+        F.percentile(F.col(column), F.lit(p)).alias(_plabel(p)) for p in probs
     ]
     if group_by:
         return df.groupBy(*group_by).agg(*aggs)
@@ -119,7 +128,7 @@ def approx_quantiles(
     names)."""
     aggs = [
         F.percentile_approx(F.col(column), F.lit(p), F.lit(accuracy)).alias(
-            f"p{int(p * 100)}"
+            _plabel(p)
         )
         for p in probs
     ]

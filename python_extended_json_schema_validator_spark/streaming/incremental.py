@@ -35,7 +35,9 @@ from ..spec import TableSpec
 def row_violations_stream(stream_df: DataFrame, spec: TableSpec) -> DataFrame:
     """The pass-1 battery over a streaming DataFrame — identical plan
     to batch (stateless projection)."""
-    compiled = row_checks.compile_battery(spec.checks)
+    compiled = row_checks.compile_battery(
+        spec.checks, json_mode=spec.canonical_json
+    )
     return row_checks.row_violations(stream_df, F.col(spec.row_id), compiled)
 
 

@@ -87,6 +87,12 @@ def _quantiles(means: np.ndarray, weights: np.ndarray, probs: Sequence[float]):
     return out
 
 
+def _plabel(p: float) -> str:
+    """Collision-free quantile label (p99 vs p99_9) — shared shape
+    with stats._plabel."""
+    return "p" + f"{p * 100:g}".replace(".", "_")
+
+
 def quantile_sketch(
     df: DataFrame,
     group_by: Sequence[str],
@@ -113,7 +119,15 @@ def quantile_sketch(
         # fold ALL batches of this partition into one digest per group
         acc: dict = {}
         for pdf in batches:
-            for key, sub in pdf.groupby(gcols, sort=False, dropna=False):
+            # pandas groupby([]) raises "No group keys passed!" — the
+            # global (ungrouped) sketch folds the whole chunk as one
+            # group, like stats.exact_quantiles(group_by=[])
+            groups = (
+                pdf.groupby(gcols, sort=False, dropna=False)
+                if gcols
+                else [((), pdf)]
+            )
+            for key, sub in groups:
                 if not isinstance(key, tuple):
                     key = (key,)
                 v = sub["__v"].to_numpy(dtype=np.float64)
@@ -137,7 +151,7 @@ def quantile_sketch(
     partials = src.mapInPandas(partial, schema=partial_schema)
 
     out_fields = [df.schema[g] for g in gcols] + [
-        T.StructField(f"p{int(p * 100)}", T.DoubleType(), True) for p in probs
+        T.StructField(_plabel(p), T.DoubleType(), True) for p in probs
     ]
     out_schema = T.StructType(out_fields)
 
@@ -148,7 +162,7 @@ def quantile_sketch(
         vals = _quantiles(m, w, probs)
         row = {g: [k] for g, k in zip(gcols, key)}
         for p, v in zip(probs, vals):
-            row[f"p{int(p * 100)}"] = [v]
+            row[_plabel(p)] = [v]
         return pd.DataFrame(row)
 
     return partials.groupBy(*gcols).applyInPandas(final, schema=out_schema)

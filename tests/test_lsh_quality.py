@@ -151,3 +151,35 @@ def test_simhash_64bit_signatures(spark):
         ).collect()
     }
     assert got == {("a", "b", 1), ("a", "c", 1), ("b", "c", 2)}
+
+
+def test_cosine_zero_norm_vectors_dont_crash(spark):
+    """Regression (review finding): an all-zeros embedding must not
+    abort the job under ANSI DIVIDE_BY_ZERO — zero-norm vectors rank
+    last (NULL cosine)."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.where(F.col("vec_id") == 1)
+    got = {
+        (r.neighbor_id, r.rank)
+        for r in similarity.brute_force_topk(corpus, queries, k=2).collect()
+    }
+    assert got == {(2, 1), (3, 2)}  # zero vector present but ranked last
+
+
+def test_simhash_wide_positions_independent_bits(spark):
+    """Regression (review finding): positions > 32 draw from fresh
+    hash material — not constant zeros (which would degenerate one
+    pigeonhole block into an all-pairs join)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    sh = dedup.simhash(df, "doc_id", positions=64).collect()
+    for r in sh:
+        assert len(r.simhash) == 64
+        # the upper half must not be all '0' for both docs
+    uppers = {r.simhash[32:] for r in sh}
+    assert uppers != {"0" * 32}
