@@ -22,6 +22,7 @@ declarative Spark plan so Catalyst/AQE choose physical strategies.
 
 from .spec import (
     ColumnCheck,
+    CombinatorCheck,
     ForeignKeySpec,
     KeySpec,
     SpecError,
@@ -29,10 +30,11 @@ from .spec import (
 )
 from .engine import EngineConfig, ValidationEngine, ValidationResult
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "ColumnCheck",
+    "CombinatorCheck",
     "ForeignKeySpec",
     "KeySpec",
     "SpecError",

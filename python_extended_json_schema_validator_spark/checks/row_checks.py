@@ -20,11 +20,19 @@ from typing import List, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..spec import ColumnCheck, SpecError
+from ..spec import ColumnCheck, CombinatorCheck, SpecError
 
 # P5 format checkers: the reference registers format-nongpl checkers
 # (extensible_validator.py:132-138).  Regex-expressible ones compile to
 # rlike; payload formats (image decode etc.) live in payload/.
+#
+# FORMATS is a REGISTRY (⇔ the reference's customFormats parameter,
+# extensible_validator.py:77-84,117-138: objects exposing FormatName +
+# IsCorrectFormat).  Values are either a Java-regex string (compiled to
+# rlike, JVM-side) or a callable Column→Column predicate (for formats a
+# regex can't express — kept vectorized by the caller).  Register via
+# register_format(); schemas.load_schemas(custom_formats=...) accepts
+# the reference's class protocol and funnels it here.
 FORMATS = {
     "date": r"^\d{4}-\d{2}-\d{2}$",
     "time": r"^\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
@@ -35,6 +43,33 @@ FORMATS = {
     "uri": r"^[a-zA-Z][a-zA-Z0-9+.-]*://\S+$",
     "hostname": r"^[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?(\.[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?)*$",
 }
+
+
+def register_format(name: str, checker) -> None:
+    """Register a custom format (⇔ customFormats,
+    extensible_validator.py:77-84: the reference passes a list of
+    classes with ``FormatName`` / ``IsCorrectFormat``).  ``checker`` is
+    a regex string (JVM rlike) or a Column→Column predicate callable
+    (must pass vacuously on values it doesn't apply to)."""
+    if not name or not isinstance(name, str):
+        raise SpecError(f"format name must be a non-empty string, got {name!r}")
+    if not (isinstance(checker, str) or callable(checker)):
+        raise SpecError(f"format {name!r}: checker must be a regex or callable")
+    FORMATS[name] = checker
+
+
+def _format_pred(fmt: str, value: Column) -> Column:
+    """ok-Column for a registered format applied to a STRING value."""
+    checker = FORMATS[fmt]
+    if isinstance(checker, str):
+        return value.rlike(checker)
+    return checker(value)
+
+
+# reasons whose predicate must NOT vacuously pass on a NULL column
+# (`required` checks presence itself; dependency checks fire exactly
+# when the column is absent but the trigger is present)
+_NON_VACUOUS = frozenset({"required", "dependencies", "dependentRequired"})
 
 
 def _lit(v) -> Column:
@@ -73,6 +108,92 @@ def _canon_dumps(v) -> str:
     return json.dumps(v, sort_keys=True, separators=(",", ":"))
 
 
+def _decode_literal(c: Column) -> Column:
+    """Decoded string value of a canonical JSON literal (NULL for
+    non-string literals).  Spark 4 from_json needs a container schema →
+    wrap the scalar literal in a 1-element JSON array, take element 0."""
+    return F.from_json(
+        F.concat(F.lit("["), c, F.lit("]")), "array<string>"
+    ).getItem(0)
+
+
+def _num_tag(el: Column) -> Column:
+    """Literal → equality key with jsonschema number semantics: JSON
+    numbers compare numerically (1 == 1.0) but never equal booleans or
+    strings, so numeric literals are normalized through double and
+    type-tagged; everything else keeps its canonical literal."""
+    return F.when(
+        el.rlike(_NUM_RE),
+        F.concat(F.lit("n:"), el.try_cast("double").cast("string")),
+    ).otherwise(el)
+
+
+def _scalar_kw_pred(value: Column, kws: dict, literal_mode: bool) -> Column:
+    """ok-Column for the scalar-expressible keyword subset applied to
+    one value: ``literal_mode`` treats ``value`` as a canonical JSON
+    literal (patternProperties values), else as a plain string instance
+    (propertyNames).  Vacuity matches jsonschema: string keywords skip
+    non-strings, numeric keywords skip non-numbers."""
+    ok = F.lit(True)
+    if literal_mode:
+        is_str = value.startswith('"')
+        s = _decode_literal(value)
+        is_num = value.rlike(_NUM_RE)
+        num = value.try_cast("double")
+    else:
+        is_str = F.lit(True)
+        s = value
+        is_num = F.lit(False)
+        num = F.lit(None).cast("double")
+
+    def strk(p: Column) -> Column:
+        return F.when(~is_str, F.lit(True)).otherwise(p)
+
+    def numk(p: Column) -> Column:
+        return F.when(~is_num, F.lit(True)).otherwise(p)
+
+    for kw, arg in kws.items():
+        if kw == "type":
+            types = [arg] if isinstance(arg, str) else list(arg)
+            if literal_mode:
+                p = _json_type_pred(value, types[0])
+                for t in types[1:]:
+                    p = p | _json_type_pred(value, t)
+            else:
+                p = F.lit("string" in types)
+            ok = ok & p
+        elif kw == "enum":
+            vals = [_canon_dumps(v) for v in arg] if literal_mode else list(arg)
+            ok = ok & value.isin(*[F.lit(v) for v in vals])
+        elif kw == "const":
+            ok = ok & (value == F.lit(_canon_dumps(arg) if literal_mode else arg))
+        elif kw == "pattern":
+            ok = ok & strk(s.rlike(arg))
+        elif kw == "minLength":
+            ok = ok & strk(F.length(s) >= F.lit(arg))
+        elif kw == "maxLength":
+            ok = ok & strk(F.length(s) <= F.lit(arg))
+        elif kw == "format":
+            if arg in FORMATS:
+                ok = ok & strk(_format_pred(arg, s))
+        elif kw == "minimum":
+            ok = ok & numk(num >= F.lit(arg))
+        elif kw == "maximum":
+            ok = ok & numk(num <= F.lit(arg))
+        elif kw == "exclusiveMinimum":
+            ok = ok & numk(num > F.lit(arg))
+        elif kw == "exclusiveMaximum":
+            ok = ok & numk(num < F.lit(arg))
+        elif kw == "multipleOf":
+            ok = ok & numk(num % F.lit(arg) == 0)
+        elif kw == "never":
+            # the `false` subschema: no value is acceptable
+            ok = ok & F.lit(False)
+        else:
+            raise SpecError(f"scalar keyword subset does not include {kw!r}")
+    return ok
+
+
 def compile_check(
     check: ColumnCheck, json_mode: bool = False
 ) -> List[Tuple[str, str, Column, Column]]:
@@ -98,7 +219,8 @@ def compile_check(
     cid = f"check:{check.column}"
 
     def add(reason: str, ok: Column, observed: Column = None):
-        # NULL passes everything except `required` (vacuous truth).
+        # NULL passes everything except `required` and the dependency
+        # reasons (vacuous truth).
         # The outer coalesce pins a three-valued-logic edge: a predicate
         # that evaluates to NULL (e.g. a sql_predicate touching other
         # NULL columns) must count as FAILED in BOTH places that consume
@@ -107,7 +229,9 @@ def compile_check(
         # with no recorded violation (~NULL is NULL, so the struct
         # filter would drop it).
         pred = F.coalesce(
-            F.when(c.isNull() & F.lit(reason != "required"), F.lit(True)).otherwise(ok),
+            F.when(
+                c.isNull() & F.lit(reason not in _NON_VACUOUS), F.lit(True)
+            ).otherwise(ok),
             F.lit(False),
         )
         out.append(
@@ -125,9 +249,7 @@ def compile_check(
         # Spark 4 from_json needs a container schema → wrap the scalar
         # literal in a 1-element JSON array and take element 0.
         is_str = c.startswith('"')
-        decoded = F.from_json(
-            F.concat(F.lit("["), c, F.lit("]")), "array<string>"
-        ).getItem(0)
+        decoded = _decode_literal(c)
         is_num = c.rlike(_NUM_RE)
         num = c.try_cast("double")
 
@@ -208,22 +330,172 @@ def compile_check(
         if check.format not in FORMATS:
             raise SpecError(f"unknown format {check.format!r}")
         if json_mode:
-            add("format", _strk(decoded.rlike(FORMATS[check.format])))
+            add("format", _strk(_format_pred(check.format, decoded)))
         else:
-            add("format", c.rlike(FORMATS[check.format]))
+            add("format", _format_pred(check.format, c))
+    if check.multiple_of is not None:
+        add(
+            "multipleOf",
+            _numk(num % _lit(check.multiple_of) == 0)
+            if json_mode
+            else c.cast("double") % _lit(check.multiple_of) == 0,
+        )
+    if check.unique_items:
+        # c is the element array (literals in json_mode); numeric
+        # literals normalize through _num_tag so 1 and 1.0 collide
+        # (jsonschema numeric equality) while `true` stays distinct
+        elems = F.transform(c, _num_tag) if json_mode else c
+        add(
+            "uniqueItems",
+            F.size(F.array_distinct(elems)) == F.size(c),
+            F.to_json(c),
+        )
+    if check.min_properties is not None:
+        add("minProperties", F.size(c) >= _lit(check.min_properties), F.to_json(c))
+    if check.max_properties is not None:
+        add("maxProperties", F.size(c) <= _lit(check.max_properties), F.to_json(c))
+    if check.property_names is not None:
+        # c is the property-name array (`<path>#keys`): every NAME is
+        # a plain string instance validated by the subschema.  ONE
+        # violation per failing LEAF keyword (reason = the leaf
+        # validator name, e.g. 'pattern' — jsonschema descends into
+        # the subschema and reports the leaf, verified differential;
+        # known divergence: multiple offending names collapse into one
+        # violation where jsonschema emits one per name)
+        def _name_pred(kw, arg):
+            # factory, not default-arg lambda: PySpark derives HOF
+            # arity from the lambda's parameter count
+            return lambda n: _scalar_kw_pred(n, {kw: arg}, literal_mode=False)
+
+        for kw, arg in check.property_names:
+            reason = "propertyNames" if kw == "never" else kw
+            add(reason, F.forall(c, _name_pred(kw, arg)), F.to_json(c))
+    if check.pattern_properties is not None:
+        # c is the `<path>#entries` map<string,string> (name → literal):
+        # values of every name matching a regex must satisfy that
+        # regex's keyword set.  Leaf reasons, same granularity note as
+        # propertyNames above.
+        def _match_filter(regex):
+            return lambda k, v: k.rlike(regex)
+
+        def _val_pred(kw, arg):
+            return lambda v: _scalar_kw_pred(v, {kw: arg}, literal_mode=True)
+
+        for regex, kwpairs in check.pattern_properties:
+            matching = F.map_values(F.map_filter(c, _match_filter(regex)))
+            for kw, arg in kwpairs:
+                reason = "patternProperties" if kw == "never" else kw
+                add(
+                    reason,
+                    F.forall(matching, _val_pred(kw, arg)),
+                    F.to_json(matching),
+                )
+    if check.dependent_on is not None:
+        gate = (
+            flat_col(check.dependent_on) if json_mode else F.col(check.dependent_on)
+        )
+        # presence-based: trigger present → this column present
+        # (reason is non-vacuous, so a NULL column with a present
+        # trigger FAILS — see _NON_VACUOUS)
+        add(check.dependent_reason, gate.isNull() | c.isNotNull(), gate.cast("string"))
     if check.allowed_keys is not None:
         # c is the object's property-name array (`<path>#keys`);
         # NULL (absent / non-object) passes vacuously via the outer
         # guard, matching jsonschema (additionalProperties only
-        # applies to objects)
+        # applies to objects).  Names matching a patternProperties
+        # regex are allowed even when undeclared.
         allowed = [F.lit(k) for k in check.allowed_keys]
-        add(
-            "additionalProperties",
-            F.forall(c, lambda kk: kk.isin(*allowed)),
-            F.to_json(c),
-        )
+
+        def _name_ok(kk: Column) -> Column:
+            p = kk.isin(*allowed) if allowed else F.lit(False)
+            for rp in check.allowed_key_patterns or ():
+                p = p | kk.rlike(rp)
+            return p
+
+        add("additionalProperties", F.forall(c, _name_ok), F.to_json(c))
     if check.sql_predicate is not None:
         add("sql", F.expr(check.sql_predicate))
+    return out
+
+
+def _branch_ok(branch, json_mode: bool) -> Column:
+    """Conjunction of every compiled predicate in one combinator
+    branch (an empty branch is the always-true schema ``{}``)."""
+    ok = F.lit(True)
+    for chk in branch:
+        if isinstance(chk, CombinatorCheck):
+            ok = ok & compile_combinator(chk, json_mode=json_mode)[2]
+        else:
+            for _, _, p, _ in compile_check(chk, json_mode=json_mode):
+                ok = ok & p
+    return ok
+
+
+def compile_combinator(
+    cc: CombinatorCheck, json_mode: bool = False
+) -> Tuple[str, str, Column, Column]:
+    """One CombinatorCheck → a single ``(constraint_id, reason, ok,
+    observed)`` tuple.  Branch conjunctions reuse compile_check, so
+    per-keyword vacuity inside a branch matches jsonschema exactly
+    (⇔ the reference's combinator handling inherited from jsonschema,
+    extensible_validator.py:1163-1194); the combinator itself passes
+    vacuously when the gating instance is absent."""
+    from ..keys import flat_col
+
+    gate = flat_col(cc.column) if json_mode else F.col(cc.column)
+    branch_oks = [_branch_ok(b, json_mode) for b in cc.branches]
+    if cc.kind == "anyOf":
+        ok = branch_oks[0]
+        for b in branch_oks[1:]:
+            ok = ok | b
+    elif cc.kind == "oneOf":
+        cnt = F.lit(0)
+        for b in branch_oks:
+            cnt = cnt + F.when(b, F.lit(1)).otherwise(F.lit(0))
+        ok = cnt == 1
+    elif cc.kind == "not":
+        ok = ~branch_oks[0]
+    else:  # dependentSchema: branch must hold when the trigger member
+        # is present (draft-07 `dependencies` schema form)
+        member = flat_col(cc.gate_member) if json_mode else F.col(cc.gate_member)
+        ok = member.isNull() | branch_oks[0]
+    reason = cc.reason or (
+        "dependencies" if cc.kind == "dependentSchema" else cc.kind
+    )
+    pred = F.coalesce(
+        F.when(gate.isNull(), F.lit(True)).otherwise(ok), F.lit(False)
+    )
+    cid = f"check:{cc.column}:{reason}"
+    return (cid, reason, pred, gate.cast("string"))
+
+
+def compile_dependent_schema(
+    cc: CombinatorCheck, json_mode: bool = False
+) -> List[Tuple[str, str, Column, Column]]:
+    """Schema-form dependencies at battery level: jsonschema DESCENDS
+    into the subschema (Draft7 `dependencies` / 2019-09
+    `dependentSchemas` yield from validator.descend), so failures carry
+    the LEAF validator name (`required`, `type`, ...), not
+    `dependencies` — verified differential.  Each leaf predicate is
+    individually gated on (parent present AND trigger member present).
+    """
+    from ..keys import flat_col
+
+    gate = flat_col(cc.column) if json_mode else F.col(cc.column)
+    member = flat_col(cc.gate_member) if json_mode else F.col(cc.gate_member)
+    leaves: List[Tuple[str, str, Column, Column]] = []
+    for chk in cc.branches[0]:
+        if isinstance(chk, CombinatorCheck):
+            leaves.append(compile_combinator(chk, json_mode=json_mode))
+        else:
+            leaves.extend(compile_check(chk, json_mode=json_mode))
+    out: List[Tuple[str, str, Column, Column]] = []
+    for cid, reason, pred, obs in leaves:
+        gated = F.coalesce(
+            F.when(gate.isNull() | member.isNull(), F.lit(True)).otherwise(pred),
+            F.lit(False),
+        )
+        out.append((cid, reason, gated, obs))
     return out
 
 
@@ -232,7 +504,13 @@ def compile_battery(
 ) -> List[Tuple[str, str, Column, Column]]:
     out: List[Tuple[str, str, Column, Column]] = []
     for ch in checks:
-        out.extend(compile_check(ch, json_mode=json_mode))
+        if isinstance(ch, CombinatorCheck):
+            if ch.kind == "dependentSchema":
+                out.extend(compile_dependent_schema(ch, json_mode=json_mode))
+            else:
+                out.append(compile_combinator(ch, json_mode=json_mode))
+        else:
+            out.extend(compile_check(ch, json_mode=json_mode))
     return out
 
 

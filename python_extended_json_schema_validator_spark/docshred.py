@@ -178,6 +178,13 @@ def shred_record(doc: Any, compiled: CompiledSchema) -> dict:
         out[p + "#keys"] = (
             sorted(v.keys()) if present and isinstance(v, dict) else None
         )
+    for p in compiled.entries_paths:
+        present, v = (True, doc) if p == "" else instance_at(doc, p)
+        out[p + "#entries"] = (
+            {k: _canon(x) for k, x in v.items()}
+            if present and isinstance(v, dict)
+            else None
+        )
     return out
 
 
@@ -197,6 +204,11 @@ def _shred_schema(compiled: CompiledSchema, corrupt_flag: bool = False) -> T.Str
         fields.append(T.StructField(p + "#v", t))
     for p in compiled.props_paths:
         fields.append(T.StructField(p + "#keys", T.ArrayType(T.StringType())))
+    for p in compiled.entries_paths:
+        # patternProperties reads (name → canonical value literal)
+        fields.append(
+            T.StructField(p + "#entries", T.MapType(T.StringType(), T.StringType()))
+        )
     return T.StructType(fields)
 
 

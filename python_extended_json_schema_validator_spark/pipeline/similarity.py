@@ -200,6 +200,39 @@ def lsh_topk(
     )
 
 
+def _centroid_probes(vec: Column, centroids, nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest cluster ids for one vector —
+    PURE column algebra, zero joins, zero shuffles.
+
+    The k centroids become ONE literal array<array<double>> (the same
+    trick hyperplane_bucket uses for its plane matrix); a two-arg
+    ``transform`` lambda computes (L2², cluster) structs per centroid,
+    ``array_sort`` orders them (struct compare: d2 asc, then cluster
+    asc — identical tie-break to the old window), and ``slice`` takes
+    the top nprobe.  Assignment of 10^12 rows is map-only; the old
+    shape (crossJoin ×k then a row_number window) shuffled n×k
+    vector-carrying rows per iteration just to take an argmin."""
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    scored = F.transform(
+        cents_lit,
+        lambda cv, ci: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec, cv, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            ci.alias("cluster"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cluster"]
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -208,11 +241,13 @@ def kmeans_centroids(
     iters: int = 5,
 ):
     """Lloyd's k-means expressed as DataFrame ops — the index-build
-    step of IVF.  Per iteration: assignment is a broadcast cross-join
-    against the k centroids (argmin L2), update is ONE
-    posexplode+groupBy((cluster, dim)) average.  Only k×dim floats
-    ever reach the driver (the centroids themselves) — the classic
-    driver-coordinated iterative shape.
+    step of IVF.  Per iteration: assignment is a MAP-ONLY literal-
+    centroid-matrix argmin (_centroid_probes — no join, no shuffle);
+    the only shuffle left is the centroid-update
+    posexplode+groupBy((cluster, dim)) average, whose shuffle volume
+    is rows×dim scalars with map-side partial aggregation.  Only k×dim
+    floats ever reach the driver (the centroids themselves) — the
+    classic driver-coordinated iterative shape.
 
     Deterministic: initial centroids are the k lowest-id vectors.
     Returns a list of k python float-lists.
@@ -224,25 +259,13 @@ def kmeans_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r.v] for r in init]
-    spark = df.sparkSession
-    vecs = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+    vecs = df.select(F.col(vec_col).alias("v"))
 
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(ci, c) for ci, c in enumerate(centroids)],
-            "cluster int, cv array<double>",
+        assigned = vecs.select(
+            _centroid_probes(F.col("v"), centroids, 1).getItem(0).alias("cluster"),
+            "v",
         )
-        d2 = F.aggregate(
-            F.zip_with(F.col("v"), F.col("cv"),
-                       lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        scored = vecs.crossJoin(F.broadcast(cdf)).select(
-            "i", "v", "cluster", d2.alias("d2")
-        )
-        w = Window.partitionBy("i").orderBy(F.col("d2").asc(), F.col("cluster").asc())
-        assigned = scored.withColumn("rn", F.row_number().over(w)).where("rn = 1")
         sums = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -267,27 +290,18 @@ def ivf_assign(
     nprobe: int = 1,
 ) -> DataFrame:
     """→ (id, vec, cluster) rows; each vector appears in its nprobe
-    nearest clusters (nprobe=1 for corpus indexing, >1 for queries)."""
-    spark = df.sparkSession
-    cdf = spark.createDataFrame(
-        [(ci, c) for ci, c in enumerate(centroids)], "cluster int, cv array<double>"
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"),
-                   lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(cdf))
-        .select("i", "v", "cluster", d2.alias("d2"))
-    )
-    w = Window.partitionBy("i").orderBy(F.col("d2").asc(), F.col("cluster").asc())
+    nearest clusters (nprobe=1 for corpus indexing, >1 for queries).
+    MAP-ONLY: literal-centroid argmin + one explode — the executed
+    plan contains NO Exchange (asserted in tests/test_plans.py)."""
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= nprobe)
-        .select("i", "v", "cluster")
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .select(
+            "i",
+            "v",
+            F.explode(
+                _centroid_probes(F.col("v"), centroids, nprobe)
+            ).alias("cluster"),
+        )
     )
 
 

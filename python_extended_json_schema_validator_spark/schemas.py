@@ -41,7 +41,7 @@ from dataclasses import dataclass
 from typing import Any, Dict, List, Mapping, Optional, Tuple
 from urllib.parse import urldefrag, urljoin, urlsplit
 
-from .spec import ColumnCheck, ForeignKeySpec, KeySpec, TableSpec
+from .spec import ColumnCheck, CombinatorCheck, ForeignKeySpec, KeySpec, TableSpec
 
 # Acknowledged drafts (⇔ PLAIN_VALIDATOR_MAPPER keys,
 # extend_validator_helpers.py:50-64: every validator jsonschema ships
@@ -78,7 +78,31 @@ _CHECK_KEYWORDS = (
     "maxLength",
     "minItems",
     "maxItems",
+    "uniqueItems",
+    "multipleOf",
     "format",
+)
+
+# keywords expressible as a predicate over ONE scalar value — the
+# subset compiled inside propertyNames / patternProperties subschemas
+_SCALAR_KWS = (
+    "type",
+    "enum",
+    "const",
+    "pattern",
+    "minLength",
+    "maxLength",
+    "format",
+    "minimum",
+    "maximum",
+    "exclusiveMinimum",
+    "exclusiveMaximum",
+    "multipleOf",
+)
+
+# annotation-only keywords silently ignorable inside scalar subschemas
+_ANNOTATION_KWS = frozenset(
+    {"$comment", "title", "description", "examples", "default", "$schema", "$id"}
 )
 
 _JSON_TYPES = {"string", "integer", "number", "boolean", "object", "array", "null"}
@@ -94,8 +118,16 @@ def normalized_json_hash(obj: Any) -> str:
 @dataclass
 class SchemaIssue:
     file: str
-    reason: str  # no_schema | schema_unknown | no_id | dup_id | schema_error | fatal
+    # no_schema | schema_unknown | no_id | dup_id | schema_error |
+    # fatal | schema_warning
+    reason: str
     description: str
+    # "error" issues reject the schema (⇔ reference exit 1);
+    # "warning" issues record partial enforcement (e.g. a combinator
+    # branch keyword the engine cannot compile) without rejecting —
+    # silent under-validation is the one failure mode a validator must
+    # not have, so every dropped check leaves a trace here.
+    severity: str = "error"
 
 
 @dataclass
@@ -114,6 +146,9 @@ class CompiledSchema:
     # object paths (possibly "" = root) whose property-name arrays the
     # shredder must emit as `<path>#keys` (additionalProperties checks)
     props_paths: tuple = ()
+    # object paths whose (name → canonical value literal) maps the
+    # shredder must emit as `<path>#entries` (patternProperties checks)
+    entries_paths: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -255,9 +290,11 @@ class _Compiler:
         self.foreign_keys: List[ForeignKeySpec] = []
         self.join_keys: List[ForeignKeySpec] = []
         self.errors: List[str] = []
+        self.warnings: List[str] = []
         self.instance_paths: set = set()
         self.value_paths: set = set()
         self.props_paths: set = set()
+        self.entries_paths: set = set()
 
     # -- helpers ------------------------------------------------------------
 
@@ -317,32 +354,267 @@ class _Compiler:
 
     # -- keyword compilation --------------------------------------------------
 
-    def _compile_checks(self, node: Mapping, prefix: str) -> None:
+    def _scalar_subset(self, sub: Any, where: str) -> Optional[Tuple]:
+        """Scalar-keyword pairs for a propertyNames / patternProperties
+        subschema (row_checks._scalar_kw_pred consumes them).  Boolean
+        subschemas map to ()/always-fail; unsupported keywords are
+        DROPPED WITH A RECORDED WARNING (never silently).  Returns None
+        when nothing is compilable."""
+        if sub is True:
+            return ()
+        if sub is False:
+            return (("never", True),)
+        if not isinstance(sub, dict):
+            self.warnings.append(f"{where}: malformed subschema {sub!r} dropped")
+            return None
+        out: List[Tuple[str, Any]] = []
+        dropped: List[str] = []
+        for k, v in sub.items():
+            if k in _SCALAR_KWS:
+                out.append((k, tuple(v) if isinstance(v, list) else v))
+            elif k not in _ANNOTATION_KWS:
+                dropped.append(k)
+        if dropped:
+            self.warnings.append(
+                f"{where}: keywords {dropped} outside the scalar subset "
+                f"dropped — only partially enforced"
+            )
+        return tuple(out) if out else ()
+
+    def _compile_branch(
+        self, node: Any, prefix: str, base_uri: Optional[str], ref_chain: Tuple
+    ) -> Tuple:
+        """One combinator branch → flat tuple of ColumnCheck /
+        CombinatorCheck items whose CONJUNCTION is the branch verdict.
+        Walks properties / allOf / nested combinators like walk(), but
+        collects instead of appending (triggers inside branches are
+        registered separately by _walk_triggers_only)."""
+        if node is True or (isinstance(node, dict) and not node):
+            return ()
+        if node is False:
+            # `false` schema: fails on any instance the branch reaches
+            return (
+                ColumnCheck(column=prefix if prefix else "#root",
+                            sql_predicate="false"),
+            )
+        if not isinstance(node, dict):
+            self.warnings.append(
+                f"/{prefix}: malformed combinator branch {node!r} dropped"
+            )
+            return ()
+        base_uri = base_uri or self.uri
+        if "$ref" in node:
+            key = (base_uri, node["$ref"], prefix)
+            if key in ref_chain:
+                self.warnings.append(
+                    f"/{prefix}: circular $ref {node['$ref']!r} in combinator "
+                    f"branch treated as always-true"
+                )
+                return ()
+            resolved = self._resolve_ref(node["$ref"], base_uri)
+            if resolved is None:
+                return ()
+            target, new_base = resolved
+            return self._compile_branch(target, prefix, new_base, ref_chain + (key,))
+        checks: List = list(self._node_checks(node, prefix, base_uri, ref_chain))
+        props = node.get("properties")
+        if isinstance(props, dict):
+            for name, child in props.items():
+                checks.extend(
+                    self._compile_branch(
+                        child, _join_path(prefix, name), base_uri, ref_chain
+                    )
+                )
+        items = node.get("items")
+        if isinstance(items, dict):
+            checks.extend(
+                self._compile_branch(items, prefix + "[]", base_uri, ref_chain)
+            )
+        for branch in node.get("allOf") or []:
+            checks.extend(self._compile_branch(branch, prefix, base_uri, ref_chain))
+        checks.extend(self._combinator_checks(node, prefix, base_uri, ref_chain))
+        return tuple(checks)
+
+    def _combinator_checks(
+        self, node: Mapping, prefix: str, base_uri: Optional[str], ref_chain: Tuple
+    ) -> List:
+        """anyOf/oneOf/not at this node → CombinatorCheck items
+        (⇔ the reference's full combinator semantics inherited from
+        jsonschema, extend_validator_helpers.py:50-64 + invocation
+        extensible_validator.py:1163-1194: a document failing every
+        anyOf branch FAILS validation with reason 'anyOf')."""
+        out: List = []
+        if "[]" in prefix:
+            if any(k in node for k in ("anyOf", "oneOf", "not")):
+                self.warnings.append(
+                    f"/{prefix}: combinators under an array-element location "
+                    f"are not compiled — only partially enforced"
+                )
+            return out
+        gate = prefix if prefix else "#root"
+        for kind in ("anyOf", "oneOf"):
+            raw = node.get(kind)
+            if isinstance(raw, list) and raw:
+                self._touch(gate)
+                out.append(
+                    CombinatorCheck(
+                        column=gate,
+                        kind=kind,
+                        branches=tuple(
+                            self._compile_branch(b, prefix, base_uri, ref_chain)
+                            for b in raw
+                        ),
+                    )
+                )
+        if "not" in node and isinstance(node["not"], (dict, bool)):
+            self._touch(gate)
+            out.append(
+                CombinatorCheck(
+                    column=gate,
+                    kind="not",
+                    branches=(
+                        self._compile_branch(node["not"], prefix, base_uri, ref_chain),
+                    ),
+                )
+            )
+        return out
+
+    def _node_checks(
+        self,
+        node: Mapping,
+        prefix: str,
+        base_uri: Optional[str] = None,
+        ref_chain: Tuple = (),
+    ) -> List:
+        """Conjunctive checks declared AT this node (no recursion into
+        properties/items/combinators — walk()/_compile_branch do that).
+        Returns the list instead of appending so combinator branches
+        can reuse the exact same keyword compilation."""
+        out: List = []
         if "[]" in prefix:
             # per-element (items) keywords need forall semantics over
             # the element array — not yet compiled (reference suites
-            # exercise none); parent-level minItems/maxItems cover
-            # array sizes.
-            return
+            # exercise none); parent-level minItems/maxItems/uniqueItems
+            # cover array shapes.
+            per_el = [k for k in _CHECK_KEYWORDS if k in node] or (
+                ["required"] if "required" in node else []
+            )
+            if per_el:
+                self.warnings.append(
+                    f"/{prefix}: per-element keywords {per_el} are not "
+                    f"compiled — only partially enforced"
+                )
+            return out
         kw = {k: node[k] for k in _CHECK_KEYWORDS if k in node}
+        keys_col = (prefix + "#keys") if prefix else "#keys"
         # additionalProperties: false → the node's actual property
-        # names must all be declared (boolean form only; schema-form
-        # additionalProperties is an annotation we do not compile)
-        if node.get("additionalProperties") is False and not node.get(
-            "patternProperties"
-        ):
-            # (with patternProperties present the allowed set is not a
-            # fixed list — skip rather than false-positive)
+        # names must all be declared or match a patternProperties
+        # regex (boolean form only; schema-form additionalProperties
+        # is an annotation we do not compile)
+        if node.get("additionalProperties") is False:
             allowed = tuple(
                 sorted(node.get("properties", {}))
                 if isinstance(node.get("properties"), dict)
                 else ()
             )
-            self.props_paths.add(prefix)
-            self.checks.append(
-                ColumnCheck(column=(prefix + "#keys") if prefix else "#keys",
-                            allowed_keys=allowed)
+            patterns = (
+                tuple(sorted(node["patternProperties"]))
+                if isinstance(node.get("patternProperties"), dict)
+                else ()
             )
+            self.props_paths.add(prefix)
+            out.append(
+                ColumnCheck(
+                    column=keys_col,
+                    allowed_keys=allowed,
+                    allowed_key_patterns=patterns or None,
+                )
+            )
+        # patternProperties: every property whose name matches a regex
+        # must carry a value satisfying that regex's (scalar-subset)
+        # subschema — real per-key checks over the `#entries` map
+        pp = node.get("patternProperties")
+        if isinstance(pp, dict) and pp:
+            entries: List[Tuple[str, Tuple]] = []
+            for regex, sub in sorted(pp.items()):
+                subkw = self._scalar_subset(
+                    sub, f"/{prefix or ''} patternProperties[{regex!r}]"
+                )
+                if subkw:  # empty subset = always-true subschema
+                    entries.append((regex, subkw))
+            if entries:
+                self.entries_paths.add(prefix)
+                out.append(
+                    ColumnCheck(
+                        column=(prefix + "#entries") if prefix else "#entries",
+                        pattern_properties=tuple(entries),
+                    )
+                )
+        # propertyNames: subschema over every property NAME
+        pn = node.get("propertyNames")
+        if isinstance(pn, (dict, bool)):
+            subkw = self._scalar_subset(pn, f"/{prefix or ''} propertyNames")
+            if subkw:
+                self.props_paths.add(prefix)
+                out.append(ColumnCheck(column=keys_col, property_names=subkw))
+        # minProperties / maxProperties: property-count bounds
+        if isinstance(node.get("minProperties"), int) or isinstance(
+            node.get("maxProperties"), int
+        ):
+            self.props_paths.add(prefix)
+            out.append(
+                ColumnCheck(
+                    column=keys_col,
+                    min_properties=node.get("minProperties"),
+                    max_properties=node.get("maxProperties"),
+                )
+            )
+        # dependencies / dependentRequired / dependentSchemas
+        for dep_kw in ("dependencies", "dependentRequired", "dependentSchemas"):
+            deps = node.get(dep_kw)
+            if not isinstance(deps, dict):
+                continue
+            for trig_prop in sorted(deps):
+                dep = deps[trig_prop]
+                trig_path = _join_path(prefix, trig_prop)
+                if isinstance(dep, list) and dep_kw != "dependentSchemas":
+                    # required-form: trigger present → listed present
+                    self._touch(trig_path)
+                    for r in dep:
+                        if not isinstance(r, str):
+                            continue
+                        rp = _join_path(prefix, r)
+                        self._touch(rp)
+                        out.append(
+                            ColumnCheck(
+                                column=rp,
+                                dependent_on=trig_path,
+                                dependent_reason=dep_kw,
+                            )
+                        )
+                elif isinstance(dep, (dict, bool)) and dep_kw != "dependentRequired":
+                    # schema-form: trigger present → parent validates
+                    # against the subschema
+                    self._touch(trig_path)
+                    self._touch(prefix if prefix else "#root")
+                    out.append(
+                        CombinatorCheck(
+                            column=prefix if prefix else "#root",
+                            kind="dependentSchema",
+                            branches=(
+                                self._compile_branch(
+                                    dep, prefix, base_uri, ref_chain
+                                ),
+                            ),
+                            gate_member=trig_path,
+                            reason=dep_kw,
+                        )
+                    )
+                else:
+                    self.warnings.append(
+                        f"/{prefix}: malformed {dep_kw} entry "
+                        f"{trig_prop!r}: {dep!r} dropped"
+                    )
         required = node.get("required")
         if isinstance(required, list):
             scope = prefix if prefix else "#root"
@@ -354,7 +626,7 @@ class _Compiler:
                     continue
                 p = _join_path(prefix, r)
                 self._touch(p)
-                self.checks.append(
+                out.append(
                     ColumnCheck(
                         column=p,
                         required=True,
@@ -362,7 +634,7 @@ class _Compiler:
                     )
                 )
         if not kw:
-            return
+            return out
         # root-level keywords (type: object etc.) check the whole
         # document: the shredder emits its literal as column "#root"
         args: Dict[str, Any] = {"column": prefix if prefix else "#root"}
@@ -406,25 +678,29 @@ class _Compiler:
             args["min_length"] = kw["minLength"]
         if "maxLength" in kw:
             args["max_length"] = kw["maxLength"]
+        if "multipleOf" in kw:
+            args["multiple_of"] = kw["multipleOf"]
         if "format" in kw:
             from .checks.row_checks import FORMATS
 
             if kw["format"] in FORMATS:
                 args["format"] = kw["format"]
             # unknown formats are annotations per spec — ignored
-        if "minItems" in kw or "maxItems" in kw:
+        if "minItems" in kw or "maxItems" in kw or kw.get("uniqueItems") is True:
             arr_path = (prefix + "[]") if prefix else "#root[]"
             self._touch(arr_path)
-            self.checks.append(
+            out.append(
                 ColumnCheck(
                     column=arr_path,
                     min_items=kw.get("minItems"),
                     max_items=kw.get("maxItems"),
+                    unique_items=kw.get("uniqueItems") is True,
                 )
             )
         if len(args) > 1:
             self._touch(args["column"])
-            self.checks.append(ColumnCheck(**args))
+            out.append(ColumnCheck(**args))
+        return out
 
     def _compile_triggers(self, node: Mapping, prefix: str) -> None:
         for trig in KEY_TRIGGERS:
@@ -503,7 +779,7 @@ class _Compiler:
                 self.walk(target, prefix, new_base, ref_chain + (key,))
             return
         self._compile_triggers(node, prefix)
-        self._compile_checks(node, prefix)
+        self.checks.extend(self._node_checks(node, prefix, base_uri, ref_chain))
         props = node.get("properties")
         if isinstance(props, dict):
             for name, child in props.items():
@@ -512,18 +788,25 @@ class _Compiler:
         if isinstance(items, dict):
             self.walk(items, prefix + "[]", base_uri, ref_chain)
         # allOf branches apply conjunctively at the same location —
-        # walk them fully (checks + triggers).  anyOf/oneOf branches
-        # are DISJUNCTIVE for keywords, so their checks cannot compile
-        # into the conjunctive battery — but the reference's custom
-        # trigger callbacks still execute per branch during validation
-        # (jsonschema evaluates every branch), so key/FK TRIGGERS
-        # inside them register; mirror that by walking the branches in
-        # triggers-only mode.
+        # walk them fully (checks + triggers).  anyOf/oneOf/not
+        # branches are DISJUNCTIVE for keywords: each branch compiles
+        # to a conjunctive Column and the CombinatorCheck OR/XOR/NOT-
+        # combines them (_combinator_checks) — full jsonschema verdict
+        # parity.  The reference's custom trigger callbacks ALSO
+        # execute per branch during validation (jsonschema evaluates
+        # every branch, including `not` via is_valid→iter_errors), so
+        # key/FK TRIGGERS inside them register; mirror that by walking
+        # the branches in triggers-only mode.
         for branch in node.get("allOf") or []:
             self.walk(branch, prefix, base_uri, ref_chain)
+        self.checks.extend(
+            self._combinator_checks(node, prefix, base_uri, ref_chain)
+        )
         for comb in ("anyOf", "oneOf"):
             for branch in node.get(comb) or []:
                 self._walk_triggers_only(branch, prefix, base_uri, ref_chain)
+        if isinstance(node.get("not"), dict):
+            self._walk_triggers_only(node["not"], prefix, base_uri, ref_chain)
 
     def _walk_triggers_only(
         self, node: Any, prefix: str, base_uri: Optional[str], ref_chain: Tuple
@@ -577,7 +860,11 @@ def compile_schema(
     for attr in ("unique", "primary_keys", "indexes", "foreign_keys", "join_keys"):
         setattr(comp, attr, _dedup(getattr(comp, attr)))
     issues = [SchemaIssue(file, "schema_error", e) for e in comp.errors]
-    if issues:
+    issues.extend(
+        SchemaIssue(file, "schema_warning", w, severity="warning")
+        for w in comp.warnings
+    )
+    if comp.errors:
         return None, issues
     spec = TableSpec(
         name=uri,
@@ -601,13 +888,55 @@ def compile_schema(
             instance_paths=tuple(sorted(comp.instance_paths)),
             value_paths=tuple(sorted(comp.value_paths)),
             props_paths=tuple(sorted(comp.props_paths)),
+            entries_paths=tuple(sorted(comp.entries_paths)),
         ),
         issues,
     )
 
 
+def register_custom_formats(custom_formats) -> None:
+    """Register user formats before compilation (⇔ the reference's
+    ``customFormats`` constructor parameter,
+    extensible_validator.py:77-84,117-138).  Accepts:
+
+    - a mapping {name: regex-string | Column→Column callable}, or
+    - an iterable of objects following the reference's protocol:
+      ``FormatName`` attribute + ``IsCorrectFormat(value)`` callable
+      (a plain per-value Python predicate).  Those compile to an
+      Arrow-batched pandas UDF so the engine stays vectorized — never
+      row-at-a-time Python.
+    """
+    from .checks.row_checks import register_format
+
+    if hasattr(custom_formats, "items"):
+        for name, checker in custom_formats.items():
+            register_format(name, checker)
+        return
+    for fmt in custom_formats:
+        name = getattr(fmt, "FormatName", None)
+        is_ok = getattr(fmt, "IsCorrectFormat", None)
+        if not name or not callable(is_ok):
+            raise ValueError(
+                f"custom format {fmt!r} needs FormatName + IsCorrectFormat "
+                f"(reference protocol, extensible_validator.py:77-84)"
+            )
+
+        def _column_pred(col, _fn=is_ok):
+            from pyspark.sql import functions as F
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("boolean")
+            def _batch(s):
+                return s.map(lambda v: bool(_fn(v)) if v is not None else True)
+
+            return F.coalesce(_batch(col), F.lit(True))
+
+        register_format(name, _column_pred)
+
+
 def load_schemas(
     path_or_schemas,
+    custom_formats=None,
 ) -> Tuple[Dict[str, CompiledSchema], List[SchemaIssue]]:
     """Load + compile a schema directory (or an in-memory list of
     ``(file, schema_dict)``) into a registry {uri: CompiledSchema}.
@@ -615,7 +944,10 @@ def load_schemas(
     Mirrors the reference's load pipeline (extensible_validator.py
     :233-365): parse → draft check → $id check → dup-id check →
     meta-fragment validation → compile.  Issues carry the reference's
-    reason codes."""
+    reason codes.  ``custom_formats`` extends the format registry
+    before compilation (see register_custom_formats)."""
+    if custom_formats is not None:
+        register_custom_formats(custom_formats)
     raw: List[Tuple[str, Any]] = []
     issues: List[SchemaIssue] = []
     if isinstance(path_or_schemas, str):

@@ -112,14 +112,93 @@ class ColumnCheck:
     required_scope: Optional[str] = None
     # "additionalProperties": false — the column holds the object's
     # actual property-name array (shredded `<path>#keys`); every name
-    # must be in this allowed set.
+    # must be in this allowed set...
     allowed_keys: Optional[tuple] = None
+    # ...or match one of these regexes (the patternProperties carve-out
+    # of additionalProperties: names matching any patternProperty regex
+    # are allowed even when not declared).
+    allowed_key_patterns: Optional[tuple] = None
+    # "multipleOf": value/multiple_of has zero remainder (jsonschema
+    # computes `instance % multipleOf == 0` — we match that float
+    # semantics exactly, including its 0.3 % 0.1 ≠ 0 quirk).
+    multiple_of: Optional[float] = None
+    # "uniqueItems": true — column holds the element-literal array
+    # (`<path>[]`); numbers are compared numerically (1 == 1.0, but
+    # true != 1) like jsonschema.
+    unique_items: bool = False
+    # "minProperties"/"maxProperties" — column holds `<path>#keys`.
+    min_properties: Optional[int] = None
+    max_properties: Optional[int] = None
+    # "propertyNames": subschema applied to every property NAME (plain
+    # string instances) — tuple of (keyword, value) pairs from the
+    # scalar-expressible subset (pattern/enum/const/min/maxLength/format).
+    # Column holds `<path>#keys`.
+    property_names: Optional[tuple] = None
+    # "patternProperties": ((regex, ((keyword, value), ...)), ...) —
+    # every property whose NAME matches regex must have a VALUE (as a
+    # canonical JSON literal) satisfying the keyword set.  Column holds
+    # the `<path>#entries` map<string,string> (name → literal).
+    pattern_properties: Optional[tuple] = None
+    # "dependencies"/"dependentRequired" (property form): this column
+    # must be present whenever the `dependent_on` column is present.
+    # `dependent_reason` carries the draft-appropriate validator name.
+    dependent_on: Optional[str] = None
+    dependent_reason: str = "dependencies"
 
     def __post_init__(self):
         if self.enum is not None:
             object.__setattr__(self, "enum", tuple(self.enum))
         if isinstance(self.dtype, (list, tuple)):
             object.__setattr__(self, "dtype", tuple(self.dtype))
+
+
+@dataclass(frozen=True)
+class CombinatorCheck:
+    """A disjunctive JSON-Schema combinator (``anyOf`` / ``oneOf`` /
+    ``not``) or a schema-form ``dependencies`` entry, compiled to ONE
+    boolean Column over the conjunction of each branch's compiled
+    checks.
+
+    The reference inherits full combinator semantics from the
+    jsonschema library (extend_validator_helpers.py:50-64, invocation
+    extensible_validator.py:1163-1194): a document failing every
+    ``anyOf`` branch fails validation with reason ``anyOf`` etc.  Here
+    each branch compiles to a conjunctive Column battery (the same
+    per-keyword predicates as ColumnCheck, so vacuity semantics match),
+    then:
+
+    - ``anyOf``  → OR of branch conjunctions;
+    - ``oneOf``  → exactly ONE branch conjunction true;
+    - ``not``    → negation of the single branch;
+    - ``dependentSchema`` → branch must hold whenever the
+      ``gate_member`` property is present (draft-07 ``dependencies``
+      schema form / 2019-09 ``dependentSchemas``).
+
+    The whole combinator passes vacuously when the instance at
+    ``column`` is absent (jsonschema never evaluates a subschema at a
+    location the instance does not reach).
+
+    branches: tuple of branch tuples; each branch is a tuple of
+    ColumnCheck / nested CombinatorCheck items (empty tuple = the
+    always-true schema ``{}`` / ``true``).
+    """
+
+    column: str
+    kind: str  # anyOf | oneOf | not | dependentSchema
+    branches: tuple = ()
+    gate_member: Optional[str] = None  # dependentSchema trigger column
+    reason: Optional[str] = None  # override the emitted reason
+
+    def __post_init__(self):
+        if self.kind not in ("anyOf", "oneOf", "not", "dependentSchema"):
+            raise SpecError(f"unknown combinator kind {self.kind!r}")
+        if self.kind in ("not", "dependentSchema") and len(self.branches) != 1:
+            raise SpecError(f"{self.kind} takes exactly one branch")
+        if self.kind == "dependentSchema" and not self.gate_member:
+            raise SpecError("dependentSchema needs gate_member")
+        object.__setattr__(
+            self, "branches", tuple(tuple(b) for b in self.branches)
+        )
 
 
 @dataclass

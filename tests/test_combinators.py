@@ -1,0 +1,447 @@
+"""Disjunctive combinator (anyOf/oneOf/not), draft-keyword
+(multipleOf/uniqueItems/dependencies/patternProperties/propertyNames/
+min-maxProperties) and custom-format parity.
+
+Two differential layers:
+
+- vs the jsonschema LIBRARY (the exact engine the reference delegates
+  structural validation to, extend_validator_helpers.py:50-64): leaf
+  reason names must match per document;
+- vs the ACTUAL reference validator in a fresh subprocess
+  (tests/ref_runner.py): per-file verdicts, normalized reasons, and
+  the pass-1 revocation interplay (a doc failing a combinator must
+  not register keys — extensible_validator.py:1195-1215 cleanup).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_extended_json_schema_validator_spark.checks import row_checks
+from python_extended_json_schema_validator_spark.docshred import shred_documents
+from python_extended_json_schema_validator_spark.schemas import load_schemas
+from python_extended_json_schema_validator_spark.suite import run_suite
+
+DRAFT = "http://json-schema.org/draft-07/schema#"
+
+
+@pytest.fixture(scope="module")
+def reference():
+    runner = os.path.join(os.path.dirname(__file__), "ref_runner.py")
+
+    def run(schemas: list, docs: list, config: dict = {}, warm_up: bool = False):
+        payload = json.dumps(
+            {
+                "schemas": schemas,
+                "docs": [[n, d] for n, d in docs],
+                "config": config,
+                "warm_up": warm_up,
+            }
+        )
+        proc = subprocess.run(
+            [sys.executable, runner],
+            input=payload,
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert proc.returncode == 0, f"reference runner failed: {proc.stderr[-2000:]}"
+        return json.loads(proc.stdout)
+
+    return run
+
+
+def engine_reasons(spark, schema, docs):
+    """Shred + validate named docs against one compiled schema →
+    {doc name: sorted leaf reasons}."""
+    registry, issues = load_schemas([("s.json", schema)])
+    assert [i for i in issues if i.severity == "error"] == [], issues
+    cs = registry[schema["$id"]]
+    shredded = shred_documents(spark, docs, cs)
+    battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
+    viol = row_checks.row_violations(shredded, F.col("__file"), battery)
+    out = {n: [] for n, _ in docs}
+    for r in viol.collect():
+        out.setdefault(r.row_id, []).append(r.reason)
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def jsonschema_reasons(schema, docs):
+    import jsonschema
+
+    v = jsonschema.Draft7Validator(schema)
+    return {n: sorted(e.validator for e in v.iter_errors(d)) for n, d in docs}
+
+
+def assert_jsonschema_parity(spark, schema, docs):
+    got = engine_reasons(spark, schema, docs)
+    want = jsonschema_reasons(schema, docs)
+    assert got == want, f"engine {got} != jsonschema {want}"
+    return got
+
+
+# ---------------------------------------------------------------------------
+# jsonschema-library differentials (leaf reason parity)
+# ---------------------------------------------------------------------------
+
+
+def test_anyof_oneof_not_leaf_parity(spark):
+    schema = {
+        "$schema": DRAFT,
+        "$id": "comb://basic/1.0",
+        "type": "object",
+        "properties": {
+            "v": {
+                "anyOf": [
+                    {"type": "integer", "minimum": 10},
+                    {"type": "string", "pattern": "^x"},
+                ]
+            },
+            "w": {
+                "oneOf": [
+                    {"type": "number", "multipleOf": 3},
+                    {"type": "number", "minimum": 100},
+                ]
+            },
+            "z": {"not": {"type": "string", "maxLength": 3}},
+        },
+    }
+    docs = [
+        ("ok", {"v": 15, "w": 9, "z": 12}),
+        ("anyof_low", {"v": 5}),
+        ("anyof_str", {"v": "xray"}),
+        ("anyof_badstr", {"v": "yak"}),
+        ("oneof_both", {"w": 300}),
+        ("oneof_none", {"w": 7}),
+        ("not_fail", {"z": "ab"}),
+        ("not_pass_long", {"z": "abcdef"}),
+        ("all_absent", {}),
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["anyof_low"] == ["anyOf"]
+    assert got["oneof_both"] == ["oneOf"]
+    assert got["not_fail"] == ["not"]
+    assert got["all_absent"] == []
+
+
+def test_nested_combinators_allof_ref_and_boolean_branches(spark):
+    schema = {
+        "$schema": DRAFT,
+        "$id": "comb://nested/1.0",
+        "definitions": {
+            "positive": {"type": "number", "exclusiveMinimum": 0},
+        },
+        "type": "object",
+        "properties": {
+            "n": {
+                "anyOf": [
+                    {"$ref": "#/definitions/positive"},
+                    {
+                        "allOf": [
+                            {"type": "string"},
+                            {"minLength": 2},
+                        ]
+                    },
+                ]
+            },
+            "m": {
+                "oneOf": [
+                    {"not": {"type": "string"}},
+                    {"enum": ["a", "b"]},
+                ]
+            },
+            "gated": {"anyOf": [True, {"type": "integer"}]},
+            "closed": {"anyOf": [False]},
+        },
+    }
+    docs = [
+        ("pos", {"n": 3.5}),
+        ("neg", {"n": -1}),
+        ("str_ok", {"n": "ab"}),
+        ("str_short", {"n": "a"}),
+        ("m_num", {"m": 7}),       # branch1 ok, branch2 fail -> oneOf ok
+        ("m_enum", {"m": "a"}),    # branch1 fail (is str), branch2 ok -> ok
+        ("m_badstr", {"m": "zz"}),  # both fail -> oneOf
+        ("gated_any", {"gated": "whatever"}),
+        ("closed_any", {"closed": 1}),
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["neg"] == ["anyOf"]
+    assert got["closed_any"] == ["anyOf"]
+
+
+def test_dependencies_and_dependent_schema(spark):
+    schema = {
+        "$schema": DRAFT,
+        "$id": "comb://deps/1.0",
+        "type": "object",
+        "properties": {
+            "card": {"type": "string"},
+            "cvv": {"type": "string"},
+            "billing": {"type": "string"},
+        },
+        "dependencies": {
+            "card": ["cvv"],
+            "cvv": {
+                "properties": {"billing": {"type": "string"}},
+                "required": ["billing"],
+            },
+        },
+    }
+    docs = [
+        ("none", {}),
+        ("full", {"card": "c", "cvv": "1", "billing": "b"}),
+        ("card_only", {"card": "c"}),
+        ("cvv_no_billing", {"card": "c", "cvv": "1"}),
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["card_only"] == ["dependencies"]
+    # schema-form deps descend: leaf validator name, not 'dependencies'
+    assert got["cvv_no_billing"] == ["required"]
+
+
+def test_object_and_array_keywords(spark):
+    schema = {
+        "$schema": DRAFT,
+        "$id": "comb://objarr/1.0",
+        "type": "object",
+        "properties": {
+            "tags": {"type": "array", "uniqueItems": True},
+            "meta": {
+                "type": "object",
+                "minProperties": 1,
+                "maxProperties": 3,
+                "propertyNames": {"pattern": "^[a-z]+$"},
+                "patternProperties": {"^n": {"type": "number", "minimum": 0}},
+                "additionalProperties": False,
+                "properties": {"x": {"type": "string"}},
+            },
+            "step": {"type": "number", "multipleOf": 0.5},
+        },
+    }
+    docs = [
+        ("ok", {"tags": [1, "1", True], "meta": {"na": 2, "x": "s"}, "step": 2.5}),
+        ("uniq_numeric_eq", {"tags": [1, 1.0]}),
+        ("uniq_bool_distinct", {"tags": [True, 1]}),
+        ("uniq_objects", {"tags": [{"a": 1}, {"a": 1}]}),
+        ("patprop_neg", {"meta": {"nz": -3}}),
+        ("propname_upper", {"meta": {"NZ": 3}}),
+        ("minprops", {"meta": {}}),
+        ("maxprops", {"meta": {"aa": 1, "bb": 2, "cc": 3, "dd": 4}}),
+        ("mult_frac", {"step": 0.75}),
+        ("addprop_carveout", {"meta": {"nq": 5}}),  # matches ^n: allowed
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["uniq_numeric_eq"] == ["uniqueItems"]
+    assert got["uniq_objects"] == ["uniqueItems"]
+    assert got["patprop_neg"] == ["minimum"]
+    assert got["addprop_carveout"] == []
+
+
+# ---------------------------------------------------------------------------
+# reference differentials (verdict + revocation parity)
+# ---------------------------------------------------------------------------
+
+KEY_REASONS = {
+    "dup_unique", "dup_pk", "stale_fk", "dangling_fk", "stale_jk",
+    "dangling_jk", "fatal",
+}
+
+
+def normalize(per_file: dict) -> dict:
+    return {
+        f: sorted(r if r in KEY_REASONS else "schema_error" for r in reasons)
+        for f, reasons in per_file.items()
+    }
+
+
+def test_reference_combinator_verdicts(spark, reference):
+    """The reference (via jsonschema) fails docs that miss every anyOf
+    branch; per-file verdicts and exit codes must match."""
+    schema = {
+        "$schema": DRAFT,
+        "$id": "comb://refdiff/1.0",
+        "type": "object",
+        "properties": {
+            "payload": {
+                "anyOf": [
+                    {"type": "integer", "minimum": 0},
+                    {"type": "string", "minLength": 1},
+                ]
+            },
+            "mode": {"not": {"enum": ["forbidden"]}},
+        },
+    }
+    docs = [
+        ("good_int", {"@schema": "comb://refdiff/1.0", "payload": 5}),
+        ("good_str", {"@schema": "comb://refdiff/1.0", "payload": "hello"}),
+        ("bad_neg", {"@schema": "comb://refdiff/1.0", "payload": -2}),
+        ("bad_empty", {"@schema": "comb://refdiff/1.0", "payload": ""}),
+        ("bad_mode", {"@schema": "comb://refdiff/1.0", "mode": "forbidden"}),
+        ("ok_mode", {"@schema": "comb://refdiff/1.0", "mode": "other"}),
+    ]
+    ref = reference([schema], docs)
+    res = run_suite(spark, [("s.json", schema)], docs)
+    got = normalize(res.per_file)
+    want = normalize(ref)
+    assert got == want, f"engine {got} != reference {want}"
+    assert want["bad_neg"] == ["schema_error"]
+    assert res.exit_code == 2
+
+
+def test_reference_combinator_revocation(spark, reference):
+    """A doc failing a combinator is pass-1-revoked: its unique key
+    never registers, so a later duplicate is NOT blamed (reference
+    cleanup at extensible_validator.py:1195-1215)."""
+    schema = {
+        "$schema": DRAFT,
+        "$id": "comb://revoke/1.0",
+        "type": "object",
+        "properties": {
+            "local_id": {"type": "string", "unique": True},
+            "v": {"oneOf": [{"type": "integer"}, {"type": "boolean"}]},
+        },
+        "required": ["local_id"],
+    }
+    docs = [
+        # d1 fails oneOf (string) -> its key 'k1' must be revoked
+        ("d1", {"@schema": "comb://revoke/1.0", "local_id": "k1", "v": "s"}),
+        ("d2", {"@schema": "comb://revoke/1.0", "local_id": "k1", "v": 1}),
+        ("d3", {"@schema": "comb://revoke/1.0", "local_id": "k2", "v": True}),
+        ("d4", {"@schema": "comb://revoke/1.0", "local_id": "k2", "v": 2}),
+    ]
+    ref = reference([schema], docs)
+    res = run_suite(spark, [("s.json", schema)], docs)
+    got = normalize(res.per_file)
+    want = normalize(ref)
+    assert got == want, f"engine {got} != reference {want}"
+    # d2 clean (d1 revoked); d4 is the real duplicate
+    assert want == {
+        "d1": ["schema_error"], "d2": [], "d3": [], "d4": ["dup_unique"],
+    }
+
+
+def test_trigger_registration_inside_not(spark, reference):
+    """jsonschema evaluates `not` branches via is_valid→iter_errors, so
+    key triggers inside them register (walk parity)."""
+    schema = {
+        "$schema": DRAFT,
+        "$id": "comb://nottrig/1.0",
+        "type": "object",
+        "properties": {
+            "a": {"type": "string", "unique": True},
+        },
+        "not": {"required": ["forbidden_field"]},
+    }
+    docs = [
+        ("d1", {"@schema": "comb://nottrig/1.0", "a": "x"}),
+        ("d2", {"@schema": "comb://nottrig/1.0", "a": "x"}),
+        ("d3", {"@schema": "comb://nottrig/1.0", "a": "y",
+                "forbidden_field": 1}),
+    ]
+    ref = reference([schema], docs)
+    res = run_suite(spark, [("s.json", schema)], docs)
+    assert normalize(res.per_file) == normalize(ref)
+    assert normalize(ref) == {"d1": [], "d2": ["dup_unique"],
+                              "d3": ["schema_error"]}
+
+
+# ---------------------------------------------------------------------------
+# warnings: no silent under-validation
+# ---------------------------------------------------------------------------
+
+
+def test_dropped_keywords_record_warnings():
+    schema = {
+        "$schema": DRAFT,
+        "$id": "warn://drop/1.0",
+        "type": "object",
+        "properties": {
+            "meta": {
+                "type": "object",
+                # `contains` is outside the scalar subset -> warning
+                "patternProperties": {"^x": {"contains": {"type": "string"}}},
+            },
+            "arr": {
+                "type": "array",
+                "items": {
+                    # combinator under array-element location -> warning
+                    "anyOf": [{"type": "string"}],
+                },
+            },
+        },
+    }
+    registry, issues = load_schemas([("s.json", schema)])
+    assert "warn://drop/1.0" in registry  # warnings do NOT reject
+    warns = [i for i in issues if i.severity == "warning"]
+    assert warns, "dropped keywords must leave a trace"
+    assert all(i.reason == "schema_warning" for i in warns)
+    text = " ".join(i.description for i in warns)
+    assert "contains" in text
+    assert "combinators under an array-element location" in text
+    assert not [i for i in issues if i.severity == "error"]
+
+
+# ---------------------------------------------------------------------------
+# custom format registry (⇔ customFormats, extensible_validator.py:77-84)
+# ---------------------------------------------------------------------------
+
+
+def test_custom_format_regex_from_schema_file(spark, tmp_path):
+    fmt_schema = {
+        "$schema": DRAFT,
+        "$id": "fmt://curie/1.0",
+        "type": "object",
+        "properties": {"xref": {"type": "string", "format": "curie"}},
+    }
+    p = tmp_path / "fmt_schema.json"
+    p.write_text(json.dumps(fmt_schema))
+    registry, issues = load_schemas(
+        str(p), custom_formats={"curie": r"^[A-Za-z_][A-Za-z0-9_.-]*:\S+$"}
+    )
+    assert [i for i in issues if i.severity == "error"] == []
+    cs = registry["fmt://curie/1.0"]
+    docs = [
+        ("ok", {"xref": "GO:0008150"}),
+        ("bad", {"xref": "not a curie"}),
+        ("absent", {}),
+    ]
+    shredded = shred_documents(spark, docs, cs)
+    battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
+    viol = row_checks.row_violations(shredded, F.col("__file"), battery)
+    got = {r.row_id: r.reason for r in viol.collect()}
+    assert got == {"bad": "format"}
+
+
+def test_custom_format_reference_protocol(spark):
+    """The reference's class protocol (FormatName + IsCorrectFormat)
+    compiles to an Arrow-batched pandas UDF."""
+
+    class EvenLength:
+        FormatName = "even-length"
+
+        @staticmethod
+        def IsCorrectFormat(v, schema=None):
+            return isinstance(v, str) and len(v) % 2 == 0
+
+    schema = {
+        "$schema": DRAFT,
+        "$id": "fmt://even/1.0",
+        "type": "object",
+        "properties": {"code": {"type": "string", "format": "even-length"}},
+    }
+    registry, issues = load_schemas(
+        [("s.json", schema)], custom_formats=[EvenLength]
+    )
+    assert [i for i in issues if i.severity == "error"] == []
+    cs = registry["fmt://even/1.0"]
+    docs = [("ok", {"code": "ab"}), ("bad", {"code": "abc"}), ("none", {})]
+    shredded = shred_documents(spark, docs, cs)
+    battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
+    viol = row_checks.row_violations(shredded, F.col("__file"), battery)
+    got = {r.row_id: r.reason for r in viol.collect()}
+    assert got == {"bad": "format"}

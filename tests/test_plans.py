@@ -193,3 +193,25 @@ def test_bucketed_dim_join_has_no_dim_side_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bucketed_dim_t")
+
+
+def test_ivf_assignment_is_map_only(spark):
+    """IVF cell assignment must be map-only: the literal-centroid-
+    matrix argmin (similarity._centroid_probes) replaces the old
+    crossJoin×k + row_number window, so the executed plan contains NO
+    Exchange — at 10^12 rows the assignment never shuffles
+    vector-carrying rows."""
+    import random
+
+    from python_extended_json_schema_validator_spark.pipeline import similarity
+
+    rng = random.Random(7)
+    df = spark.createDataFrame(
+        [(i, [rng.gauss(0.0, 1.0) for _ in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[rng.gauss(0.0, 1.0) for _ in range(8)] for _ in range(4)]
+    out = similarity.ivf_assign(df, cents, nprobe=2)
+    assert out.count() == 400  # 200 rows × nprobe
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -116,7 +116,9 @@ def test_suite_parity(spark, suite, source, sub, cfg, warm):
     schemas = [(f, parse_json_or_yaml(f)) for f in sfiles]
     res = run_suite(spark, schemas, docs, config=config)
 
-    assert res.schema_issues == [], res.schema_issues
+    assert [
+        i for i in res.schema_issues if i.severity == "error"
+    ] == [], res.schema_issues
     got = normalize(res.per_file)
     want = normalize(ref)
     assert got == want, f"{suite}/{sub}: engine {got} != reference {want}"
