@@ -605,24 +605,67 @@ def _ann_lsh_oracle() -> str:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: DataFrame-op k-means index + cluster-probed top-k
-    (approximate by design — recall tuned by nprobe; no exact
-    oracle)."""
+    """IVF ANN with a RECALL-BOUNDED contract: per query, the exact
+    top-1 neighbor (computed by the brute-force path, differentially
+    validated by the oracle's SQL top-1) plus a boolean asserting the
+    IVF retrieval found ≥3 of the exact top-5 (recall@5 ≥ 0.6 — the
+    map-only-assignment index at nlist=8/nprobe=3 measures 4-5 hits
+    per query on this data; k-means is deterministic so the contract
+    is stable).  A recall regression flips recall_ok to false and the
+    oracle hash mismatches — the approximate query family is now
+    driver-checkable instead of rows-only."""
     from python_extended_json_schema_validator_spark.pipeline import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=5, nlist=8, nprobe=3, iters=3
+    queries = emb.where(F.col("vec_id") < 10)
+    ivf = similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=3, iters=3)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    hits = (
+        exact.join(
+            ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    top1 = exact.where(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("exact_top1")
+    )
+    return top1.join(hits, "query_id", "left").select(
+        "query_id",
+        "exact_top1",
+        (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3).alias("recall_ok"),
     )
 
 
 def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable t-digest sketch quantiles (approximate; accuracy
-    bounds tested in tests/test_tdigest.py)."""
+    """Mergeable t-digest sketch quantiles with an ε-BOUNDED contract:
+    per group, the EXACT p25/p50/p75 (Spark `percentile` ⇔ DuckDB
+    quantile_cont — the same equivalence quantiles_exact hash-proves)
+    plus booleans asserting each t-digest quantile lands within 1% of
+    the group's value range of the exact answer.  Sketch drift flips a
+    boolean and the oracle hash mismatches."""
     from python_extended_json_schema_validator_spark.tdigest import quantile_sketch
 
     li = _t(spark, sf_dir, "lineitem")
-    return quantile_sketch(li, ["l_returnflag"], "l_extendedprice", (0.5,))
+    probs = (0.25, 0.5, 0.75)
+    td = quantile_sketch(li, ["l_returnflag"], "l_extendedprice", probs)
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
+        ).alias("__ex"),
+        (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("__rng"),
+    )
+    j = td.join(exact, "l_returnflag")
+    cols = [F.col("l_returnflag")]
+    for i, (p, lbl) in enumerate(zip(probs, ("p25", "p50", "p75"))):
+        cols.append(F.col("__ex").getItem(i).alias(f"{lbl}_exact"))
+        cols.append(
+            (
+                F.abs(F.col(lbl) - F.col("__ex").getItem(i))
+                <= 0.01 * F.col("__rng")
+            ).alias(f"{lbl}_ok")
+        )
+    return j.select(*cols)
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,6 +768,72 @@ def q_schema_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shredded = shred_json_strings(docs, cs)
     res = ValidationEngine([cs.table_spec]).validate({cs.uri: shredded})
     return _viol(res)
+
+
+def q_combinator_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive combinator + extended-draft-keyword battery AT
+    SCALE (⇔ the reference's jsonschema delegation,
+    extensible_validator.py:1163-1194): anyOf / oneOf / not /
+    property-form dependencies / uniqueItems over a derived array /
+    patternProperties leaf checks, all over the shredded documents
+    table via the distributed mapInPandas shredder.  Presence
+    variation for the dependency check comes from conditionally
+    omitted JSON fields (to_json drops NULLs)."""
+    from python_extended_json_schema_validator_spark.docshred import (
+        shred_json_strings,
+    )
+    from python_extended_json_schema_validator_spark.schemas import load_schemas
+
+    schema = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "comb://documents/1.0",
+        "type": "object",
+        "properties": {
+            "n_chars": {
+                "anyOf": [
+                    {"type": "integer", "minimum": 300},
+                    {"type": "integer", "multipleOf": 7},
+                ]
+            },
+            "lang": {
+                "oneOf": [
+                    {"enum": ["en", "fr"]},
+                    {"enum": ["en", "es", "de"]},
+                ]
+            },
+            "text": {"not": {"type": "string", "maxLength": 100}},
+            "words": {"type": "array", "uniqueItems": True},
+            "meta": {
+                "type": "object",
+                "patternProperties": {"^n": {"type": "integer", "minimum": 50}},
+            },
+        },
+        "dependencies": {"alt_src": ["alt_lang"]},
+    }
+    registry, issues = load_schemas([("inline.json", schema)])
+    assert not [i for i in issues if i.severity == "error"], issues
+    cs = registry["comb://documents/1.0"]
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("file"),
+        F.to_json(
+            F.struct(
+                "n_chars",
+                "lang",
+                "text",
+                F.slice(F.split(F.col("text"), " "), 1, 4).alias("words"),
+                F.struct(F.col("n_chars").alias("nc")).alias("meta"),
+                F.when(F.col("n_chars") % 3 == 0, F.col("source")).alias(
+                    "alt_src"
+                ),
+                F.when(F.col("n_chars") % 5 == 0, F.col("lang")).alias(
+                    "alt_lang"
+                ),
+            )
+        ).alias("json"),
+    )
+    shredded = shred_json_strings(docs, cs)
+    res = ValidationEngine([cs.table_spec]).validate({cs.uri: shredded})
+    return res.violations.select("constraint_id", "reason", "row_id")
 
 
 def q_fk_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,9 +941,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_scoped": q_fk_scoped,
         "fk_dangling_runtime": q_fk_dangling_runtime,
         "ann_lsh": q_ann_lsh,
-        # rows-only (approximate / plumbing — no exact SQL oracle)
+        "combinator_checks": q_combinator_checks,
+        # contract-bounded approximates: the oracle hash-validates the
+        # EXACT companion columns plus an always-true accuracy verdict
+        # the Spark side computes (recall@5 ≥ 0.6 / |td−exact| ≤ 1%·range)
         "ann_ivf": q_ann_ivf,
         "tdigest_quantiles": q_tdigest_quantiles,
+        # rows-only (plumbing over synthetic codecs — no SQL oracle)
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
     }
@@ -846,6 +959,66 @@ LI_ID = "CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)"
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_lsh": _ann_lsh_oracle(),
+        "combinator_checks": """
+            WITH d AS (
+              SELECT 'doc-' || doc_id AS rid, n_chars, lang, text,
+                     list_slice(string_split(text, ' '), 1, 4) AS words,
+                     (n_chars % 3 = 0) AS has_alt_src,
+                     (n_chars % 5 = 0) AS has_alt_lang
+              FROM documents
+            )
+            SELECT 'check:n_chars:anyOf' AS constraint_id,
+                   'anyOf' AS reason, rid AS row_id
+            FROM d WHERE NOT (n_chars >= 300 OR n_chars % 7 = 0)
+            UNION ALL
+            SELECT 'check:lang:oneOf', 'oneOf', rid
+            FROM d WHERE (CASE WHEN lang IN ('en','fr') THEN 1 ELSE 0 END
+                        + CASE WHEN lang IN ('en','es','de') THEN 1 ELSE 0 END)
+                       <> 1
+            UNION ALL
+            SELECT 'check:text:not', 'not', rid
+            FROM d WHERE LENGTH(text) <= 100
+            UNION ALL
+            SELECT 'check:alt_lang:dependencies', 'dependencies', rid
+            FROM d WHERE has_alt_src AND NOT has_alt_lang
+            UNION ALL
+            SELECT 'check:words[]:uniqueItems', 'uniqueItems', rid
+            FROM d WHERE len(list_distinct(words)) < len(words)
+            UNION ALL
+            SELECT 'check:meta#entries:minimum', 'minimum', rid
+            FROM d WHERE NOT (n_chars >= 50)
+        """,
+        "ann_ivf": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings),
+                 scored AS (
+                   SELECT query_id, neighbor_id,
+                          list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+                   FROM q, c WHERE query_id <> neighbor_id
+                 )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS exact_top1,
+                   TRUE AS recall_ok
+            FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS rnk
+              FROM scored
+            ) WHERE rnk = 1
+        """,
+        "tdigest_quantiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.25) AS p25_exact,
+                   TRUE AS p25_ok,
+                   quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+                   TRUE AS p50_ok,
+                   quantile_cont(l_extendedprice, 0.75) AS p75_exact,
+                   TRUE AS p75_ok
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "fk_scoped": """
             SELECT 'fk:fact_orders.o_custkey->dim_orders.scoped_cust' AS constraint_id,
                    'stale_fk' AS reason,
