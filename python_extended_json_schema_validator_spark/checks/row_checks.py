@@ -354,6 +354,18 @@ def compile_check(
         add("minProperties", F.size(c) >= _lit(check.min_properties), F.to_json(c))
     if check.max_properties is not None:
         add("maxProperties", F.size(c) <= _lit(check.max_properties), F.to_json(c))
+    if check.element_checks is not None:
+        # c is the element-literal array (`<path>[]`): every element
+        # must satisfy each `items` keyword.  NULL (absent or
+        # non-array instance) passes vacuously via the outer guard —
+        # jsonschema only applies items to arrays.  Leaf reasons
+        # (jsonschema descends into the items subschema).
+        def _el_pred(kw, arg):
+            return lambda el: _scalar_kw_pred(el, {kw: arg}, literal_mode=True)
+
+        for kw, arg in check.element_checks:
+            reason = "items" if kw == "never" else kw
+            add(reason, F.forall(c, _el_pred(kw, arg)), F.to_json(c))
     if check.property_names is not None:
         # c is the property-name array (`<path>#keys`): every NAME is
         # a plain string instance validated by the subschema.  ONE

@@ -129,11 +129,36 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def decode_audio_fake(buf) -> "tuple[int, np.ndarray]":
+    """The deterministic FAUD parser in the audio-decode seam
+    signature: ``buf -> (sample_rate, mono float64 in [-1,1])``,
+    ValueError on malformed input.  Production installs swap in
+    ``payload.adapters.soundfile_decode`` (auto-detected by
+    ``payload.adapters.auto_audio_decoder``) — same signature, real
+    wav/flac/ogg."""
+    if buf is None or bytes(buf[:4]) != AUD_MAGIC:
+        raise ValueError("not a FAUD clip")
+    try:
+        rate, n = struct.unpack_from("<II", buf, 4)
+    except struct.error:
+        raise ValueError("truncated FAUD header")
+    raw = bytes(buf[12 : 12 + 2 * n])
+    pcm = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2")
+    if rate == 0 or pcm.size == 0:
+        raise ValueError("empty/zero-rate clip")
+    return rate, pcm.astype(np.float64) / 32768.0
+
+
 def audio_features(
-    df: DataFrame, id_col: str = "audio_id", bytes_col: str = "bytes"
+    df: DataFrame,
+    id_col: str = "audio_id",
+    bytes_col: str = "bytes",
+    decoder=decode_audio_fake,
 ) -> DataFrame:
-    """PCM feature extraction (duration, RMS, zero-crossing count,
-    peak) — all-numpy per clip, Arrow-batched."""
+    """Audio feature extraction (duration, RMS, zero-crossing count,
+    peak) — all-numpy per clip, Arrow-batched.  ``decoder`` is the
+    codec seam (see decode_audio_fake); any failure nulls that clip's
+    features without killing the task."""
     cols = df.select(
         F.col(id_col).cast("string").alias("__id"), F.col(bytes_col).alias("__b")
     )
@@ -143,28 +168,17 @@ def audio_features(
             out = {f.name: [] for f in AUDIO_FEATURES_SCHEMA.fields}
             for aid, buf in zip(pdf["__id"], pdf["__b"]):
                 out["audio_id"].append(aid)
-                if buf is None or bytes(buf[:4]) != AUD_MAGIC:
-                    for k in ("sample_rate", "duration_s", "rms",
-                              "zero_crossings", "peak"):
-                        out[k].append(None)
-                    continue
                 try:
-                    rate, n = struct.unpack_from("<II", buf, 4)
-                    raw = bytes(buf[12 : 12 + 2 * n])
-                    pcm = np.frombuffer(raw[: len(raw) - (len(raw) % 2)],
-                                        dtype="<i2")
-                    if rate == 0 or pcm.size == 0:
-                        raise ValueError("empty/zero-rate clip")
-                    x = pcm.astype(np.float64) / 32768.0
+                    rate, x = decoder(buf)
                     out["sample_rate"].append(rate)
-                    out["duration_s"].append(pcm.size / rate)
+                    out["duration_s"].append(x.size / rate)
                     out["rms"].append(float(np.sqrt(np.mean(x * x))))
                     out["zero_crossings"].append(
                         int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1])))
                     )
                     out["peak"].append(float(np.max(np.abs(x))))
-                except (struct.error, ValueError, ZeroDivisionError):
-                    # malformed-but-magic clip: null features, task lives
+                except (ValueError, ZeroDivisionError):
+                    # malformed clip: null features, task lives
                     for k in ("sample_rate", "duration_s", "rms",
                               "zero_crossings", "peak"):
                         out[k].append(None)

@@ -157,6 +157,7 @@ def lsh_topk(
     bits: int = 8,
     tables: int = 4,
     seed: int = 42,
+    dim: int = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH with multi-table
     OR-amplification: candidates share a bucket in ANY of ``tables``
@@ -164,8 +165,11 @@ def lsh_topk(
     set only.  Knobs: more ``bits`` → smaller buckets (less work,
     lower per-table recall); more ``tables`` → higher recall.  Gaussian
     planes make bucket sizes data-independent-ish (no hot leading-dim
-    buckets), and the equi-join per table replaces the all-pairs scan."""
-    dim = len(corpus.select(vec_col).first()[0])
+    buckets), and the equi-join per table replaces the all-pairs scan.
+    Pass ``dim`` (embedding width) to skip the inference scan — at
+    production scale the width is known from the table schema."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, bits, tables, seed)
     q = _multi_table_buckets(queries, "query_id", vec_col, id_col, planes)
     c = _multi_table_buckets(corpus, "neighbor_id", vec_col, id_col, planes)
@@ -352,14 +356,17 @@ def cosine_near_duplicates(
     bits: int = 8,
     tables: int = 4,
     seed: int = 42,
+    dim: int = None,
 ) -> DataFrame:
     """Embedding near-dup pairs (cos ≥ threshold): random-hyperplane
     LSH candidates with multi-table OR-amplification, exact cosine
     verification on candidates only.  At cos ≥ 0.95 (angle ≤ ~18°) a
     single table of 8 planes already agrees with probability ≈
     (1-0.1)^8 ≈ 0.43; four tables push candidate recall ≈ 0.9+, and
-    the verification step means precision is exact regardless."""
-    dim = len(df.select(vec_col).first()[0])
+    the verification step means precision is exact regardless.  Pass
+    ``dim`` to skip the width-inference scan."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, bits, tables, seed)
     v = _multi_table_buckets(df, "doc", vec_col, id_col, planes)
     a, b = v.alias("a"), v.alias("b")

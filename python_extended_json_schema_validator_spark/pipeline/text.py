@@ -93,8 +93,7 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     # iterate in reverse-sorted order so earlier codes win ties via >
     for lang in sorted(scores, reverse=True):
         s = scores[lang]
-        cond = s >= best_score
-        # strictly-greater keeps the earlier (alphabetical) winner on tie
+        # >= lets the later (alphabetically earlier) candidate take ties
         best_lang = F.when(s >= best_score, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(s >= best_score, s).otherwise(best_score)
     return df.withColumn(out_col, F.when(best_score > 0, best_lang).otherwise(F.lit("und")))

@@ -404,7 +404,12 @@ class _Compiler:
             return ()
         base_uri = base_uri or self.uri
         if "$ref" in node:
-            key = (base_uri, node["$ref"], prefix)
+            # chain key is PREFIX-INDEPENDENT: with nested inlining the
+            # prefix grows every hop, so a cross-schema cycle (a→b→a)
+            # would never repeat a (base, ref, prefix) triple — the
+            # reference likewise de-cycles at URI level (visitedURIs,
+            # extensible_validator.py:631-651)
+            key = (base_uri, node["$ref"])
             if key in ref_chain:
                 self.warnings.append(
                     f"/{prefix}: circular $ref {node['$ref']!r} in combinator "
@@ -492,19 +497,41 @@ class _Compiler:
         can reuse the exact same keyword compilation."""
         out: List = []
         if "[]" in prefix:
-            # per-element (items) keywords need forall semantics over
-            # the element array — not yet compiled (reference suites
-            # exercise none); parent-level minItems/maxItems/uniqueItems
-            # cover array shapes.
-            per_el = [k for k in _CHECK_KEYWORDS if k in node] or (
-                ["required"] if "required" in node else []
-            )
-            if per_el:
+            # per-element (items) keywords: for a DIRECT element
+            # location (exactly one trailing "[]") the scalar subset
+            # compiles to a forall over the element-literal array with
+            # LEAF reasons (jsonschema descends into items).  Deeper
+            # shapes (properties of object elements, nested arrays)
+            # are recorded as warnings, never silently dropped.
+            direct = prefix.endswith("[]") and prefix.count("[]") == 1
+            scalar = {k: node[k] for k in _SCALAR_KWS if k in node}
+            if direct and scalar:
+                self._touch(prefix)
+                out.append(
+                    ColumnCheck(
+                        column=prefix,
+                        element_checks=tuple(
+                            (k, tuple(v) if isinstance(v, list) else v)
+                            for k, v in scalar.items()
+                        ),
+                    )
+                )
+            dropped = [
+                k
+                for k in (*_CHECK_KEYWORDS, "required")
+                if k in node and not (direct and k in scalar)
+            ]
+            if dropped:
                 self.warnings.append(
-                    f"/{prefix}: per-element keywords {per_el} are not "
+                    f"/{prefix}: per-element keywords {dropped} are not "
                     f"compiled — only partially enforced"
                 )
             return out
+        if isinstance(node.get("items"), list):
+            self.warnings.append(
+                f"/{prefix}: tuple-form items are not compiled — only "
+                f"partially enforced"
+            )
         kw = {k: node[k] for k in _CHECK_KEYWORDS if k in node}
         keys_col = (prefix + "#keys") if prefix else "#keys"
         # additionalProperties: false → the node's actual property
@@ -770,7 +797,12 @@ class _Compiler:
             return
         base_uri = base_uri or self.uri
         if "$ref" in node:
-            key = (base_uri, node["$ref"], prefix)
+            # chain key is PREFIX-INDEPENDENT: with nested inlining the
+            # prefix grows every hop, so a cross-schema cycle (a→b→a)
+            # would never repeat a (base, ref, prefix) triple — the
+            # reference likewise de-cycles at URI level (visitedURIs,
+            # extensible_validator.py:631-651)
+            key = (base_uri, node["$ref"])
             if key in ref_chain:
                 return  # circular $ref (reference detects and skips, :654-660)
             resolved = self._resolve_ref(node["$ref"], base_uri)
@@ -814,7 +846,12 @@ class _Compiler:
         if not isinstance(node, dict):
             return
         if "$ref" in node:
-            key = (base_uri, node["$ref"], prefix)
+            # chain key is PREFIX-INDEPENDENT: with nested inlining the
+            # prefix grows every hop, so a cross-schema cycle (a→b→a)
+            # would never repeat a (base, ref, prefix) triple — the
+            # reference likewise de-cycles at URI level (visitedURIs,
+            # extensible_validator.py:631-651)
+            key = (base_uri, node["$ref"])
             if key in ref_chain:
                 return
             resolved = self._resolve_ref(node["$ref"], base_uri)
@@ -892,6 +929,80 @@ def compile_schema(
         ),
         issues,
     )
+
+
+def export_resolved(
+    context_uri: str, schema: Any, cache: Mapping[str, Mapping],
+    _chain: frozenset = frozenset(),
+) -> Any:
+    """Consolidated-schema export: inline ``$ref``s for downstream
+    consumers — exact semantics of the reference's
+    ``export_resolved_references``
+    (extend_validator_helpers.py:405-471, exposed via
+    ``getValidSchemas(do_resolve=True)``,
+    extensible_validator.py:743-754), including its quirks:
+
+    - a dict containing ``$ref`` is REPLACED WHOLLY by the (recursively
+      resolved) target — sibling keys are discarded;
+    - recursion is chain-scoped on the context URI: re-entering a
+      context returns the raw target unresolved (the reference prints
+      ``RECURSION DETECTED`` and stops descending);
+    - a child resolution that comes back falsy (empty dict) or
+      unchanged does NOT replace the original value
+      (``if resolved_ref and resolved_ref != value``).
+
+    Raises ValueError when a $ref cannot be resolved (⇔ the
+    reference's ``Unable to finish resolution`` exception)."""
+    if isinstance(schema, dict):
+        if "$ref" in schema:
+            ref = schema["$ref"]
+            target, fragment = urldefrag(urljoin(context_uri, ref))
+            root = cache.get(target if target else urldefrag(context_uri)[0])
+            if root is None:
+                raise ValueError(
+                    f"Unable to finish resolution (related to {context_uri}): "
+                    f"$ref {ref!r}"
+                )
+            try:
+                node = _pointer_walk(root, fragment) if fragment else root
+            except (KeyError, IndexError, ValueError, TypeError):
+                raise ValueError(
+                    f"Unable to finish resolution (related to {context_uri}): "
+                    f"fragment of $ref {ref!r}"
+                )
+            if context_uri in _chain:
+                return node
+            new_ctx = target if target else context_uri
+            if fragment:
+                new_ctx = f"{new_ctx}#{fragment}"
+            return export_resolved(new_ctx, node, cache, _chain | {context_uri})
+        out = dict(schema)
+        for k, v in schema.items():
+            rv = export_resolved(context_uri, v, cache, _chain)
+            if rv and rv != v:
+                out[k] = rv
+        return out
+    if isinstance(schema, list):
+        out_l = list(schema)
+        for i, v in enumerate(schema):
+            rv = export_resolved(context_uri, v, cache, _chain)
+            if rv and rv != v:
+                out_l[i] = rv
+        return out_l
+    return schema
+
+
+def export_resolved_schemas(
+    registry: Mapping[str, "CompiledSchema"]
+) -> Dict[str, Any]:
+    """{uri: $ref-inlined schema} for every compiled schema — the
+    registry-level analogue of ``getValidSchemas(do_resolve=True)``
+    (SURVEY §3 entry point 3)."""
+    cache = {uri: cs.schema for uri, cs in registry.items()}
+    return {
+        uri: export_resolved(uri, cs.schema, cache)
+        for uri, cs in registry.items()
+    }
 
 
 def register_custom_formats(custom_formats) -> None:

@@ -144,6 +144,10 @@ class ColumnCheck:
     # `dependent_reason` carries the draft-appropriate validator name.
     dependent_on: Optional[str] = None
     dependent_reason: str = "dependencies"
+    # per-element `items` keywords (scalar subset): ((keyword, value),
+    # ...) applied to EVERY element literal of the array column via
+    # forall — leaf reasons, matching jsonschema's descend into items.
+    element_checks: Optional[tuple] = None
 
     def __post_init__(self):
         if self.enum is not None:

@@ -337,6 +337,7 @@ def run_suite(
     engine_config: Optional[EngineConfig] = None,
     guess_unmatched: Union[bool, Sequence[str]] = False,
     iterate_over_arrays: bool = False,
+    max_violations: int = 1_000_000,
 ) -> SuiteResult:
     """Run one suite.  ``schemas``: directory or [(file, schema dict)];
     ``docs``: directory or [(file, parsed doc)].  ``config``: the
@@ -441,7 +442,24 @@ def run_suite(
         specs, providers=providers_from_config(config, schema_uris=list(registry)), config=engine_config
     )
     result = engine.validate(tables)
-    rows = result.violations.collect() if tables else []
+    # Bounded collect: the per-file reason aggregation below is a
+    # driver-side reduction sized for the reference's CLI corpora
+    # (per-file documents).  A mispointed run against a huge corpus
+    # must not materialize unbounded rows on the driver — limit(n+1)
+    # detects overflow for the cost of one extra row, and the caller
+    # is told to raise the cap or use the fully-distributed path
+    # (validate_json_table keeps violations lazy end-to-end).
+    if tables:
+        rows = result.violations.limit(max_violations + 1).collect()
+        if len(rows) > max_violations:
+            raise ValueError(
+                f"run_suite: violation count exceeds max_violations="
+                f"{max_violations}; per-file reasons would be incomplete. "
+                f"Raise max_violations or use validate_json_table for the "
+                f"distributed path."
+            )
+    else:
+        rows = []
     for r in rows:
         per_file.setdefault(r.row_id, []).append(r.reason)
     per_file = {k: sorted(v) for k, v in per_file.items()}

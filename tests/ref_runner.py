@@ -55,6 +55,18 @@ def main() -> None:
     ev = ExtensibleValidator(config=config)
     n = ev.loadJSONSchemas(d)
     assert n == len(schemas), f"reference loaded {n}/{len(schemas)} schemas"
+    if payload.get("resolve"):
+        # export_resolved_references prints RECURSION DETECTED to
+        # stdout on cycles — divert so the JSON channel stays clean
+        import contextlib
+
+        with contextlib.redirect_stdout(sys.stderr):
+            vs = ev.getValidSchemas(do_resolve=True)
+            resolved = {
+                uri: obj["resolved_schema"] for uri, obj in vs.items()
+            }
+        json.dump(resolved, sys.stdout)
+        return
     if warm_up:
         ev.warmUpCaches()
     entries = [{"file": name, "json": doc, "errors": []} for name, doc in docs]

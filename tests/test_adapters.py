@@ -1,0 +1,91 @@
+"""Codec-adapter seam: real decoders (Pillow / soundfile) slot into
+the same decode signatures as the deterministic fakes, auto-detected
+at call time.  In this container the libraries are absent, so the
+real-codec cases SKIP and the auto-detectors must fall back to the
+fakes; on a production install the same tests exercise real media."""
+
+import numpy as np
+import pytest
+
+from python_extended_json_schema_validator_spark.payload import (
+    adapters,
+    codec,
+)
+from python_extended_json_schema_validator_spark.pipeline import (
+    multimodal as mm,
+)
+
+
+def test_auto_detectors_match_availability():
+    if adapters.pil_available():
+        assert adapters.auto_image_decoder() is adapters.pil_decode
+    else:
+        assert adapters.auto_image_decoder() is codec.decode
+    if adapters.soundfile_available():
+        assert adapters.auto_audio_decoder() is adapters.soundfile_decode
+    else:
+        assert adapters.auto_audio_decoder() is adapters.fake_audio_decode
+
+
+def test_fake_audio_decode_seam_contract():
+    buf = mm.encode_audio(3, 2000, 8000)
+    rate, x = adapters.fake_audio_decode(buf)
+    assert rate == 8000 and x.size == 2000
+    assert x.dtype == np.float64 and np.max(np.abs(x)) <= 1.0
+    for bad in (None, b"", b"WAT?", mm.encode_audio(3, 2000, 8000)[:6]):
+        with pytest.raises(ValueError):
+            adapters.fake_audio_decode(bad)
+
+
+def test_audio_features_with_explicit_seam(spark):
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "audio_id": [f"a{int(k)}" for k in pdf["id"]],
+                    "bytes": [
+                        mm.encode_audio(int(k), 1000, 8000) if k < 3 else b"junk"
+                        for k in pdf["id"]
+                    ],
+                }
+            )
+
+    clips = spark.range(0, 5, 1, 2).mapInPandas(
+        gen, "audio_id string, bytes binary"
+    )
+    out = mm.audio_features(clips, decoder=adapters.auto_audio_decoder())
+    rows = {r["audio_id"]: r for r in out.collect()}
+    assert len(rows) == 5
+    assert rows["a0"]["sample_rate"] == 8000
+    assert rows["a4"]["sample_rate"] is None  # junk → nulled, task lives
+
+
+def test_pil_decode_roundtrip():
+    PIL = pytest.importorskip("PIL")  # noqa: F841  (absent in sandbox)
+    import io
+
+    from PIL import Image
+
+    px = np.zeros((12, 16, 3), dtype=np.uint8)
+    px[:, :, 0] = 200
+    bio = io.BytesIO()
+    Image.fromarray(px).save(bio, format="PNG")
+    ok, fmt, w, h, got = adapters.pil_decode(bio.getvalue())
+    assert ok and fmt == "png" and (w, h) == (16, 12)
+    assert np.array_equal(got, px)
+    assert adapters.pil_decode(b"not an image")[0] is False
+
+
+def test_soundfile_decode_roundtrip():
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    x = (0.25 * np.sin(np.linspace(0, 40, 4000))).astype(np.float64)
+    bio = io.BytesIO()
+    sf.write(bio, x, 8000, format="WAV")
+    rate, got = adapters.soundfile_decode(bio.getvalue())
+    assert rate == 8000 and got.size == 4000
+    with pytest.raises(ValueError):
+        adapters.soundfile_decode(b"not audio")

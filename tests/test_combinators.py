@@ -445,3 +445,38 @@ def test_custom_format_reference_protocol(spark):
     viol = row_checks.row_violations(shredded, F.col("__file"), battery)
     got = {r.row_id: r.reason for r in viol.collect()}
     assert got == {"bad": "format"}
+
+
+def test_items_scalar_keywords_leaf_parity(spark):
+    """Direct per-element `items` keywords (scalar subset) compile to
+    forall over the element-literal array with LEAF reasons, exactly
+    like jsonschema's descend into items."""
+    schema = {
+        "$schema": DRAFT,
+        "$id": "comb://items/1.0",
+        "type": "object",
+        "properties": {
+            "tags": {
+                "type": "array",
+                "minItems": 1,
+                "items": {"type": "string", "pattern": "^t"},
+            },
+            "nums": {"items": {"type": "number", "minimum": 0, "multipleOf": 2}},
+        },
+    }
+    docs = [
+        ("ok", {"tags": ["ta", "tb"], "nums": [0, 4, 8]}),
+        ("tag_type", {"tags": ["ta", 7]}),
+        ("tag_pat", {"tags": ["ta", "xb"]}),
+        ("tags_empty", {"tags": []}),
+        ("num_neg", {"nums": [2, -4]}),
+        ("num_odd", {"nums": [2, 3]}),
+        ("num_both", {"nums": [-3]}),
+        ("not_array", {"nums": "na"}),  # items vacuous on non-arrays
+        ("absent", {}),
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["tag_type"] == ["type"]
+    assert got["tag_pat"] == ["pattern"]
+    assert got["num_both"] == ["minimum", "multipleOf"]
+    assert got["not_array"] == []

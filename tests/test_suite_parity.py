@@ -753,3 +753,25 @@ def test_shred_json_strings_null_document(spark):
     for r in result.violations.collect():
         got2.setdefault(r.row_id, []).append(r.reason)
     assert got2 == {"trunc": ["fatal"], "bad_type": ["type"]}
+
+
+def test_run_suite_violation_cap(spark):
+    """The CLI-path collect is bounded: exceeding max_violations raises
+    (limit(n+1) overflow probe) instead of materializing unbounded rows
+    on the driver; the distributed path (validate_json_table) stays
+    lazy and is the escape hatch."""
+    import pytest as _pytest
+
+    schema = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "cap://t/1.0",
+        "type": "object",
+        "required": ["must_have"],
+        "properties": {"must_have": {"type": "string"}},
+    }
+    docs = [(f"d{i}", {"@schema": "cap://t/1.0"}) for i in range(20)]
+    with _pytest.raises(ValueError, match="max_violations"):
+        run_suite(spark, [("s.json", schema)], docs, max_violations=5)
+    res = run_suite(spark, [("s.json", schema)], docs, max_violations=100)
+    assert res.exit_code == 2
+    assert sum(1 for v in res.per_file.values() if v) == 20
