@@ -770,6 +770,31 @@ def q_schema_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _viol(res)
 
 
+def q_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift assertion (north star 'value-distribution
+    assertions'): per-group normalized max decile shift between a
+    CURRENT batch (R-flag prices scaled 1.5×, injecting drift in one
+    group) and the BASELINE.  Exact path — every quantile, shift and
+    verdict is recomputed bit-for-bit by the DuckDB oracle
+    (quantile_cont ⇔ percentile).  The 10^12-row path is the same
+    operator with approx=True (t-digest), verdict-tested in
+    tests/test_drift.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    baseline = li.select("l_returnflag", F.col("l_extendedprice").alias("val"))
+    current = li.select(
+        "l_returnflag",
+        (
+            F.col("l_extendedprice")
+            * F.when(F.col("l_returnflag") == "R", F.lit(1.5)).otherwise(
+                F.lit(1.0)
+            )
+        ).alias("val"),
+    )
+    return stats_mod.decile_drift(
+        current, baseline, ["l_returnflag"], "val", threshold=0.1
+    )
+
+
 def q_combinator_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disjunctive combinator + extended-draft-keyword battery AT
     SCALE (⇔ the reference's jsonschema delegation,
@@ -942,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_dangling_runtime": q_fk_dangling_runtime,
         "ann_lsh": q_ann_lsh,
         "combinator_checks": q_combinator_checks,
+        "drift_check": q_drift_check,
         # contract-bounded approximates: the oracle hash-validates the
         # EXACT companion columns plus an always-true accuracy verdict
         # the Spark side computes (recall@5 ≥ 0.6 / |td−exact| ≤ 1%·range)
@@ -987,6 +1013,52 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'check:meta#entries:minimum', 'minimum', rid
             FROM d WHERE NOT (n_chars >= 50)
+        """,
+        "drift_check": """
+            WITH cur AS (
+              SELECT l_returnflag,
+                     l_extendedprice
+                       * (CASE WHEN l_returnflag = 'R' THEN 1.5 ELSE 1.0 END)
+                       AS val
+              FROM lineitem
+            ),
+            base AS (
+              SELECT l_returnflag, l_extendedprice AS val FROM lineitem
+            ),
+            qc AS (
+              SELECT l_returnflag,
+                     quantile_cont(val, 0.1) AS c10, quantile_cont(val, 0.2) AS c20,
+                     quantile_cont(val, 0.3) AS c30, quantile_cont(val, 0.4) AS c40,
+                     quantile_cont(val, 0.5) AS c50, quantile_cont(val, 0.6) AS c60,
+                     quantile_cont(val, 0.7) AS c70, quantile_cont(val, 0.8) AS c80,
+                     quantile_cont(val, 0.9) AS c90
+              FROM cur GROUP BY l_returnflag
+            ),
+            qb AS (
+              SELECT l_returnflag,
+                     quantile_cont(val, 0.1) AS b10, quantile_cont(val, 0.2) AS b20,
+                     quantile_cont(val, 0.3) AS b30, quantile_cont(val, 0.4) AS b40,
+                     quantile_cont(val, 0.5) AS b50, quantile_cont(val, 0.6) AS b60,
+                     quantile_cont(val, 0.7) AS b70, quantile_cont(val, 0.8) AS b80,
+                     quantile_cont(val, 0.9) AS b90
+              FROM base GROUP BY l_returnflag
+            ),
+            j AS (
+              SELECT qc.l_returnflag AS l_returnflag,
+                     greatest(
+                       abs(c10 - b10) / nullif(b90 - b10, 0.0),
+                       abs(c20 - b20) / nullif(b90 - b10, 0.0),
+                       abs(c30 - b30) / nullif(b90 - b10, 0.0),
+                       abs(c40 - b40) / nullif(b90 - b10, 0.0),
+                       abs(c50 - b50) / nullif(b90 - b10, 0.0),
+                       abs(c60 - b60) / nullif(b90 - b10, 0.0),
+                       abs(c70 - b70) / nullif(b90 - b10, 0.0),
+                       abs(c80 - b80) / nullif(b90 - b10, 0.0),
+                       abs(c90 - b90) / nullif(b90 - b10, 0.0)
+                     ) AS shift
+              FROM qc JOIN qb USING (l_returnflag)
+            )
+            SELECT l_returnflag, shift, shift > 0.1 AS drifted FROM j
         """,
         "ann_ivf": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

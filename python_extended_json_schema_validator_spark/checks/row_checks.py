@@ -33,8 +33,21 @@ from ..spec import ColumnCheck, CombinatorCheck, SpecError
 # regex can't express — kept vectorized by the caller).  Register via
 # register_format(); schemas.load_schemas(custom_formats=...) accepts
 # the reference's class protocol and funnels it here.
+def _date_format_pred(value: "Column") -> "Column":
+    """Full-CALENDAR date check (month 1-12, real day-of-month, leap
+    years) — jsonschema's date checker delegates to
+    datetime.date.fromisoformat, so '2024-02-31' must FAIL; a shape
+    regex can't express that, java.time via try_to_timestamp can.
+    The rlike guard pins the strict ISO shape (4-2-2 digits) since
+    the formatter alone is laxer about it.  Verified differential in
+    tests/test_random_differential.py."""
+    return value.rlike(r"^\d{4}-\d{2}-\d{2}$") & F.try_to_timestamp(
+        value, F.lit("yyyy-MM-dd")
+    ).isNotNull()
+
+
 FORMATS = {
-    "date": r"^\d{4}-\d{2}-\d{2}$",
+    "date": _date_format_pred,
     "time": r"^\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
     "date-time": r"^\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
     "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",
@@ -164,7 +177,10 @@ def _scalar_kw_pred(value: Column, kws: dict, literal_mode: bool) -> Column:
             ok = ok & p
         elif kw == "enum":
             vals = [_canon_dumps(v) for v in arg] if literal_mode else list(arg)
-            ok = ok & value.isin(*[F.lit(v) for v in vals])
+            # empty enum = nothing allowed (isin() with zero args throws)
+            ok = ok & (
+                value.isin(*[F.lit(v) for v in vals]) if vals else F.lit(False)
+            )
         elif kw == "const":
             ok = ok & (value == F.lit(_canon_dumps(arg) if literal_mode else arg))
         elif kw == "pattern":
@@ -288,7 +304,10 @@ def compile_check(
             # type (try_cast: ANSI cast throws on malformed input)
             add("type", c.isNull() | c.try_cast(check.dtype).isNotNull())
     if check.enum is not None:
-        if json_mode:
+        if not check.enum:
+            # empty enum = nothing allowed (isin() with no args throws)
+            add("enum", F.lit(False))
+        elif json_mode:
             add("enum", c.isin(*[F.lit(_canon_dumps(v)) for v in check.enum]))
         else:
             add("enum", c.isin(*[F.lit(v) for v in check.enum]))
@@ -501,13 +520,16 @@ def compile_dependent_schema(
             leaves.append(compile_combinator(chk, json_mode=json_mode))
         else:
             leaves.extend(compile_check(chk, json_mode=json_mode))
+    own_reason = cc.reason or "dependencies"
     out: List[Tuple[str, str, Column, Column]] = []
     for cid, reason, pred, obs in leaves:
         gated = F.coalesce(
             F.when(gate.isNull() | member.isNull(), F.lit(True)).otherwise(pred),
             F.lit(False),
         )
-        out.append((cid, reason, gated, obs))
+        # the `false`-branch sentinel compiles as sql_predicate —
+        # surface it under the dependency's own reason, not 'sql'
+        out.append((cid, own_reason if reason == "sql" else reason, gated, obs))
     return out
 
 

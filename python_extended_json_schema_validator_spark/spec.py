@@ -198,6 +198,10 @@ class CombinatorCheck:
             raise SpecError(f"unknown combinator kind {self.kind!r}")
         if self.kind in ("not", "dependentSchema") and len(self.branches) != 1:
             raise SpecError(f"{self.kind} takes exactly one branch")
+        if self.kind in ("anyOf", "oneOf") and not self.branches:
+            # the JSON Schema meta-schema requires ≥1 branch; an empty
+            # disjunction would compile to branch_oks[0] → IndexError
+            raise SpecError(f"{self.kind} needs at least one branch")
         if self.kind == "dependentSchema" and not self.gate_member:
             raise SpecError("dependentSchema needs gate_member")
         object.__setattr__(

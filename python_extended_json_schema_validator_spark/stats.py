@@ -135,3 +135,96 @@ def approx_quantiles(
     if group_by:
         return df.groupBy(*group_by).agg(*aggs)
     return df.agg(*aggs)
+
+
+DECILES = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def decile_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    group_by: Sequence[str],
+    column: str,
+    threshold: float = 0.1,
+    probs: Sequence[float] = DECILES,
+    approx: bool = False,
+) -> DataFrame:
+    """Distribution-drift check (the north star's 'value-distribution
+    assertions' / 'quantiles for w/h/phash drift'): per group, the
+    normalized maximum quantile shift between a CURRENT batch and a
+    BASELINE snapshot::
+
+        shift = max_p |q_current(p) - q_baseline(p)|
+                      / (q_baseline(0.9) - q_baseline(0.1))
+
+    → (group_by…, shift double, drifted boolean).  A location or
+    scale change in any part of the distribution moves at least one
+    decile; normalizing by the baseline's inter-decile range makes
+    the threshold unit-free (0.1 ⇒ a shift of 10% of the bulk range).
+
+    Scale shape: two grouped aggregations (one per side — map-side
+    partial agg, shuffle carries only (group, 9 doubles)) and ONE
+    broadcast join on the tiny per-group quantile frames; the row data
+    never joins.  ``approx=True`` swaps the exact sort-based
+    ``percentile`` for the mergeable t-digest sketch
+    (tdigest.quantile_sketch) — the 10^12-row path, same interface,
+    same downstream algebra.  With ``approx=False`` the whole check is
+    replicable bit-for-bit in SQL (quantile_cont ⇔ percentile, proven
+    by the quantiles_exact oracle), so the driver hash-checks it —
+    see __spark_entry__.q_drift_check.
+    """
+    if approx:
+        from .tdigest import quantile_sketch
+
+        qc = quantile_sketch(current, group_by, column, tuple(probs))
+        qb = quantile_sketch(baseline, group_by, column, tuple(probs))
+    else:
+        qc = exact_quantiles(current, group_by, column, probs)
+        qb = exact_quantiles(baseline, group_by, column, probs)
+    labels = [_plabel(p) for p in probs]
+    qc = qc.select(*group_by, *[F.col(l).alias(f"c_{l}") for l in labels])
+    qb = qb.select(*group_by, *[F.col(l).alias(f"b_{l}") for l in labels])
+    j = (
+        qc.join(F.broadcast(qb), list(group_by))
+        if group_by
+        else qc.crossJoin(F.broadcast(qb))  # both sides are 1 row
+    )
+    lo, hi = _plabel(min(probs)), _plabel(max(probs))
+    scale = F.nullif(F.col(f"b_{hi}") - F.col(f"b_{lo}"), F.lit(0.0))
+    shifts = [
+        F.abs(F.col(f"c_{l}") - F.col(f"b_{l}")) / scale for l in labels
+    ]
+    shift = F.greatest(*shifts) if len(shifts) > 1 else shifts[0]
+    return j.select(
+        *group_by,
+        shift.alias("shift"),
+        (shift > F.lit(threshold)).alias("drifted"),
+    )
+
+
+def drift_violations(
+    current: DataFrame,
+    baseline: DataFrame,
+    group_by: Sequence[str],
+    column: str,
+    threshold: float = 0.1,
+    probs: Sequence[float] = DECILES,
+    approx: bool = False,
+) -> DataFrame:
+    """Engine-shaped violation rows for drifted groups:
+    (constraint_id, reason='distribution_drift', row_id=group key,
+    observed_value=shift)."""
+    d = decile_drift(
+        current, baseline, group_by, column, threshold, probs, approx
+    )
+    key = (
+        F.concat_ws("|", *[F.col(g).cast("string") for g in group_by])
+        if group_by
+        else F.lit("(all)")
+    )
+    return d.where(F.col("drifted")).select(
+        F.lit(f"drift:{column}").alias("constraint_id"),
+        F.lit("distribution_drift").alias("reason"),
+        key.alias("row_id"),
+        F.col("shift").cast("string").alias("observed_value"),
+    )

@@ -480,3 +480,39 @@ def test_items_scalar_keywords_leaf_parity(spark):
     assert got["tag_pat"] == ["pattern"]
     assert got["num_both"] == ["minimum", "multipleOf"]
     assert got["not_array"] == []
+
+
+def test_edge_guards(spark):
+    """Edge hardening: empty enum compiles to always-fail instead of
+    crashing isin(); empty anyOf/oneOf rejected at spec level; a False
+    dependency schema surfaces as reason 'dependencies' (jsonschema
+    emits validator=None there — nothing mappable)."""
+    from python_extended_json_schema_validator_spark import (
+        CombinatorCheck, SpecError,
+    )
+
+    with pytest.raises(SpecError, match="at least one branch"):
+        CombinatorCheck(column="#root", kind="anyOf", branches=())
+
+    schema = {
+        "$schema": DRAFT,
+        "$id": "edge://guards/1.0",
+        "type": "object",
+        "properties": {"e": {"enum": []}},
+        "dependencies": {"trigger": False},
+    }
+    docs = [
+        ("empty_enum", {"e": 1}),
+        ("dep_false", {"trigger": 1}),
+        ("clean", {}),
+    ]
+    got = engine_reasons(spark, schema, docs)
+    assert got["empty_enum"] == ["enum"]
+    assert got["dep_false"] == ["dependencies"]
+    assert got["clean"] == []
+    # verdict parity with jsonschema (names aside)
+    import jsonschema
+
+    v = jsonschema.Draft7Validator(schema)
+    for name, doc in docs:
+        assert bool(got[name]) == (not v.is_valid(doc)), name
