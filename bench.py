@@ -22,13 +22,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# extras: round-2 operators, timed separately so `value` stays
+# extras: round-2/3 operators, timed separately so `value` stays
 # comparable across rounds (the flagship suite list is unchanged)
 EXTRA_QUERIES = [
     "schema_ingest",
     "key_array_fanout",
     "ann_lsh",
     "simhash_pairs",
+    "combinator_checks",
+    "drift_check",
+    "ann_ivf",
 ]
 
 BENCH_QUERIES = [

@@ -22,9 +22,16 @@ from pyspark.sql import functions as F
 
 from ..spec import ColumnCheck, CombinatorCheck, SpecError
 
-# P5 format checkers: the reference registers format-nongpl checkers
-# (extensible_validator.py:132-138).  Regex-expressible ones compile to
-# rlike; payload formats (image decode etc.) live in payload/.
+# P5 format checkers: the reference registers a plain
+# jsonschema.FormatChecker (extensible_validator.py:132-138) whose
+# ACTIVE checkers depend on installed extras (it pins
+# jsonschema[format-nongpl], requirements.txt:4 — rfc3339-validator
+# makes time/date-time REQUIRE an RFC3339 offset; fqdn/rfc3987 add
+# hostname/uri).  date/email/uuid/ipv4 below are differential-exact vs
+# jsonschema (tests/test_random_differential.py); time/date-time are
+# documented middle-ground shapes (offset OPTIONAL — between the
+# no-extras and format-nongpl behaviors); hostname/uri approximate the
+# format-nongpl checkers the no-extras install skips entirely.
 #
 # FORMATS is a REGISTRY (⇔ the reference's customFormats parameter,
 # extensible_validator.py:77-84,117-138: objects exposing FormatName +
@@ -50,7 +57,10 @@ FORMATS = {
     "date": _date_format_pred,
     "time": r"^\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
     "date-time": r"^\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
-    "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",
+    # jsonschema's built-in email checker is literally `"@" in instance`
+    # (same with or without format-nongpl) — rlike is a find, so an
+    # unanchored "@" IS containment.  Verified differential.
+    "email": r"@",
     "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
     "ipv4": r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$",
     "uri": r"^[a-zA-Z][a-zA-Z0-9+.-]*://\S+$",
@@ -385,6 +395,21 @@ def compile_check(
         for kw, arg in check.element_checks:
             reason = "items" if kw == "never" else kw
             add(reason, F.forall(c, _el_pred(kw, arg)), F.to_json(c))
+    if check.index_checks is not None:
+        # tuple-form items / prefixItems: the i-th element literal
+        # (F.get → NULL when out of bounds, never ANSI-throws) against
+        # that position's keyword set; absent elements pass vacuously
+        for idx, kwpairs in check.index_checks:
+            el = F.get(c, idx)
+            for kw, arg in kwpairs:
+                reason = "items" if kw == "never" else kw
+                add(
+                    reason,
+                    F.when(el.isNull(), F.lit(True)).otherwise(
+                        _scalar_kw_pred(el, {kw: arg}, literal_mode=True)
+                    ),
+                    el,
+                )
     if check.property_names is not None:
         # c is the property-name array (`<path>#keys`): every NAME is
         # a plain string instance validated by the subschema.  ONE

@@ -283,6 +283,11 @@ class _Compiler:
         self.uri = uri
         self.schema = schema
         self.cache = cache  # uri → schema (the $ref closure universe)
+        # prefixItems only exists from 2019-09 on; compiling it under
+        # draft-07 would over-validate vs jsonschema (which ignores
+        # unknown keywords)
+        draft = str(schema.get("$schema", ""))
+        self.draft_2019_plus = "2019-09" in draft or "2020-12" in draft
         self.checks: List[ColumnCheck] = []
         self.unique: List[KeySpec] = []
         self.primary_keys: List[KeySpec] = []
@@ -527,11 +532,39 @@ class _Compiler:
                     f"compiled — only partially enforced"
                 )
             return out
-        if isinstance(node.get("items"), list):
-            self.warnings.append(
-                f"/{prefix}: tuple-form items are not compiled — only "
-                f"partially enforced"
-            )
+        # tuple-form items (draft ≤07) / prefixItems (2019-09+):
+        # per-INDEX scalar keyword checks over the element array
+        tuple_items = (
+            node["items"] if isinstance(node.get("items"), list) else None
+        )
+        if (
+            tuple_items is None
+            and self.draft_2019_plus
+            and isinstance(node.get("prefixItems"), list)
+        ):
+            tuple_items = node["prefixItems"]
+            if isinstance(node.get("items"), dict):
+                # 2020-12: `items` then applies to the REST only; the
+                # direct element forall would over-apply it
+                self.warnings.append(
+                    f"/{prefix}: items-after-prefixItems applies to every "
+                    f"element here, not just the tail — only approximately "
+                    f"enforced"
+                )
+        if tuple_items is not None:
+            arr_path = (prefix + "[]") if prefix else "#root[]"
+            idx_checks = []
+            for i, sub in enumerate(tuple_items):
+                subkw = self._scalar_subset(
+                    sub, f"/{prefix or ''} items[{i}]"
+                )
+                if subkw:
+                    idx_checks.append((i, subkw))
+            if idx_checks:
+                self._touch(arr_path)
+                out.append(
+                    ColumnCheck(column=arr_path, index_checks=tuple(idx_checks))
+                )
         kw = {k: node[k] for k in _CHECK_KEYWORDS if k in node}
         keys_col = (prefix + "#keys") if prefix else "#keys"
         # additionalProperties: false → the node's actual property

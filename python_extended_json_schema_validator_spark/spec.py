@@ -148,6 +148,11 @@ class ColumnCheck:
     # ...) applied to EVERY element literal of the array column via
     # forall — leaf reasons, matching jsonschema's descend into items.
     element_checks: Optional[tuple] = None
+    # tuple-form `items` / 2020-12 `prefixItems` (scalar subset):
+    # ((index, ((keyword, value), ...)), ...) applied to the i-th
+    # element literal; absent elements pass vacuously (jsonschema
+    # ignores missing positions).
+    index_checks: Optional[tuple] = None
 
     def __post_init__(self):
         if self.enum is not None:

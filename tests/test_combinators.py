@@ -516,3 +516,40 @@ def test_edge_guards(spark):
     v = jsonschema.Draft7Validator(schema)
     for name, doc in docs:
         assert bool(got[name]) == (not v.is_valid(doc)), name
+
+
+def test_tuple_items_per_index_parity(spark):
+    """Draft-07 tuple-form items: per-INDEX scalar checks with leaf
+    reasons; absent positions vacuous; extra elements unconstrained
+    (no additionalItems declared)."""
+    schema = {
+        "$schema": DRAFT,
+        "$id": "comb://tuple/1.0",
+        "type": "object",
+        "properties": {
+            "pair": {
+                "type": "array",
+                "items": [
+                    {"type": "string", "pattern": "^k"},
+                    {"type": "integer", "minimum": 0},
+                ],
+            },
+        },
+    }
+    docs = [
+        ("ok", {"pair": ["key", 5]}),
+        ("short", {"pair": ["key"]}),
+        ("empty", {"pair": []}),
+        ("bad_first", {"pair": ["x", 5]}),
+        ("bad_second", {"pair": ["key", -2]}),
+        ("bad_both", {"pair": [3, "x"]}),
+        ("extra_free", {"pair": ["key", 5, "anything", None]}),
+        ("not_array", {"pair": "ka"}),
+        ("absent", {}),
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["bad_first"] == ["pattern"]
+    assert got["bad_second"] == ["minimum"]
+    assert sorted(got["bad_both"]) == ["type", "type"] or got["bad_both"] == ["type"]
+    assert got["extra_free"] == []
+    assert got["short"] == []

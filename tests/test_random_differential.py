@@ -36,6 +36,9 @@ SCHEMA = {
         "i": {"type": "integer", "enum": [1, 2, 3, 10, 2.0]},
         "c": {"const": "fixed"},
         "d": {"type": "string", "format": "date"},
+        "em": {"format": "email"},
+        "u": {"format": "uuid"},
+        "ip": {"format": "ipv4"},
         "arr": {
             "type": "array", "minItems": 1, "maxItems": 4,
             "uniqueItems": True,
@@ -80,6 +83,10 @@ POOL = [
     "", "x", "ab", "abc", "abcdefg", "ok", "okay", "bad", "fixed",
     "1", "1.0", "true", "héllo", "UPPER", "2024-01-02", "2024-13-99",
     "2024-02-31", "2024-02-29", "2023-02-29", "2024-1-2", "not a date",
+    "a@b", "a@b.c", "@", "a@", "user name@x",
+    "12345678-1234-1234-1234-123456789abc",
+    "zz345678-1234-1234-1234-123456789abc",
+    "1.2.3.4", "01.2.3.4", "256.1.1.1", "1.2.3",
     [], [1], [1, 2, 3], [1, 1], [1, 1.0], [True, 1], [0, -1], [2, "a"],
     [1, 2, 3, 4, 5], ["a", "a"], [[1], [1, 2]],
     {}, {"x": "s"}, {"x": 9}, {"nx": 5}, {"nz": -2}, {"n_a": 0.5},
@@ -87,7 +94,8 @@ POOL = [
     {"a_": 1, "b_": 2, "c_": 3, "d_": 4},
 ]
 
-PROPS = ["s", "n", "i", "c", "d", "arr", "obj", "v", "w", "z", "a", "b"]
+PROPS = ["s", "n", "i", "c", "d", "em", "u", "ip", "arr", "obj", "v", "w",
+         "z", "a", "b"]
 
 
 def gen_doc(rng: random.Random) -> dict:
