@@ -395,6 +395,29 @@ def compile_check(
         for kw, arg in check.element_checks:
             reason = "items" if kw == "never" else kw
             add(reason, F.forall(c, _el_pred(kw, arg)), F.to_json(c))
+    if check.contains_checks is not None:
+        # c is the element-literal array; `matched` counts elements
+        # satisfying the contains subschema.  Reason split verified
+        # differential: zero matches → `contains`; 1 ≤ matched < min →
+        # `minContains`; matched > max → `maxContains`; minContains 0
+        # silences `contains` entirely (2019-09 semantics).
+        kws = dict(check.contains_checks)
+
+        def _contains_pred(el: Column) -> Column:
+            return _scalar_kw_pred(el, kws, literal_mode=True)
+
+        matched = F.size(F.filter(c, _contains_pred))
+        minc = 1 if check.min_contains is None else check.min_contains
+        if minc > 0:
+            add("contains", matched > 0, F.to_json(c))
+            if minc > 1:
+                add(
+                    "minContains",
+                    (matched == 0) | (matched >= _lit(minc)),
+                    F.to_json(c),
+                )
+        if check.max_contains is not None:
+            add("maxContains", matched <= _lit(check.max_contains), F.to_json(c))
     if check.index_checks is not None:
         # tuple-form items / prefixItems: the i-th element literal
         # (F.get → NULL when out of bounds, never ANSI-throws) against
@@ -511,6 +534,8 @@ def compile_combinator(
         ok = cnt == 1
     elif cc.kind == "not":
         ok = ~branch_oks[0]
+    elif cc.kind == "ifThenElse":
+        ok = F.when(branch_oks[0], branch_oks[1]).otherwise(branch_oks[2])
     else:  # dependentSchema: branch must hold when the trigger member
         # is present (draft-07 `dependencies` schema form)
         member = flat_col(cc.gate_member) if json_mode else F.col(cc.gate_member)
@@ -558,6 +583,41 @@ def compile_dependent_schema(
     return out
 
 
+def compile_if_then_else(
+    cc: CombinatorCheck, json_mode: bool = False
+) -> List[Tuple[str, str, Column, Column]]:
+    """if/then/else at battery level: jsonschema evaluates `if` as a
+    pure condition and DESCENDS into whichever of then/else applies,
+    so failures carry the LEAF validator name — verified differential.
+    Each then-leaf is gated on if_ok, each else-leaf on NOT if_ok,
+    and the whole construct is vacuous when the instance is absent."""
+    from ..keys import flat_col
+
+    gate = flat_col(cc.column) if json_mode else F.col(cc.column)
+    if_ok = _branch_ok(cc.branches[0], json_mode)
+    out: List[Tuple[str, str, Column, Column]] = []
+    for branch, guard, lbl in (
+        (cc.branches[1], if_ok, "then"),
+        (cc.branches[2], ~if_ok, "else"),
+    ):
+        leaves: List[Tuple[str, str, Column, Column]] = []
+        for chk in branch:
+            if isinstance(chk, CombinatorCheck):
+                leaves.append(compile_combinator(chk, json_mode=json_mode))
+            else:
+                leaves.extend(compile_check(chk, json_mode=json_mode))
+        for cid, reason, pred, obs in leaves:
+            gated = F.coalesce(
+                F.when(gate.isNull(), F.lit(True)).otherwise(
+                    F.when(guard, pred).otherwise(F.lit(True))
+                ),
+                F.lit(False),
+            )
+            # `false`-branch sentinel ("sql") surfaces as then/else
+            out.append((cid, lbl if reason == "sql" else reason, gated, obs))
+    return out
+
+
 def compile_battery(
     checks: List[ColumnCheck], json_mode: bool = False
 ) -> List[Tuple[str, str, Column, Column]]:
@@ -566,6 +626,8 @@ def compile_battery(
         if isinstance(ch, CombinatorCheck):
             if ch.kind == "dependentSchema":
                 out.extend(compile_dependent_schema(ch, json_mode=json_mode))
+            elif ch.kind == "ifThenElse":
+                out.extend(compile_if_then_else(ch, json_mode=json_mode))
             else:
                 out.append(compile_combinator(ch, json_mode=json_mode))
         else:

@@ -288,6 +288,10 @@ class _Compiler:
         # unknown keywords)
         draft = str(schema.get("$schema", ""))
         self.draft_2019_plus = "2019-09" in draft or "2020-12" in draft
+        # if/then/else exists from draft-07 on (older drafts ignore it)
+        self.draft_07_plus = "draft-07" in draft or self.draft_2019_plus
+        # contains/const exist from draft-06 on
+        self.draft_06_plus = "draft-06" in draft or self.draft_07_plus
         self.checks: List[ColumnCheck] = []
         self.unique: List[KeySpec] = []
         self.primary_keys: List[KeySpec] = []
@@ -487,6 +491,27 @@ class _Compiler:
                     ),
                 )
             )
+        if (
+            self.draft_07_plus
+            and isinstance(node.get("if"), (dict, bool))
+            and ("then" in node or "else" in node)
+        ):
+            self._touch(gate)
+            out.append(
+                CombinatorCheck(
+                    column=gate,
+                    kind="ifThenElse",
+                    branches=(
+                        self._compile_branch(node["if"], prefix, base_uri, ref_chain),
+                        self._compile_branch(
+                            node.get("then", True), prefix, base_uri, ref_chain
+                        ),
+                        self._compile_branch(
+                            node.get("else", True), prefix, base_uri, ref_chain
+                        ),
+                    ),
+                )
+            )
         return out
 
     def _node_checks(
@@ -532,6 +557,25 @@ class _Compiler:
                     f"compiled — only partially enforced"
                 )
             return out
+        # contains / minContains / maxContains (contains: draft-06+;
+        # the bounds: 2019-09+, ignored by earlier drafts like
+        # jsonschema does)
+        contains = node.get("contains") if self.draft_06_plus else None
+        if isinstance(contains, (dict, bool)):
+            subkw = self._scalar_subset(contains, f"/{prefix or ''} contains")
+            if subkw is not None:
+                arr_path = (prefix + "[]") if prefix else "#root[]"
+                minc = node.get("minContains") if self.draft_2019_plus else None
+                maxc = node.get("maxContains") if self.draft_2019_plus else None
+                self._touch(arr_path)
+                out.append(
+                    ColumnCheck(
+                        column=arr_path,
+                        contains_checks=subkw,
+                        min_contains=minc if isinstance(minc, int) else None,
+                        max_contains=maxc if isinstance(maxc, int) else None,
+                    )
+                )
         # tuple-form items (draft ≤07) / prefixItems (2019-09+):
         # per-INDEX scalar keyword checks over the element array
         tuple_items = (

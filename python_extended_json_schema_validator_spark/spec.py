@@ -153,6 +153,13 @@ class ColumnCheck:
     # element literal; absent elements pass vacuously (jsonschema
     # ignores missing positions).
     index_checks: Optional[tuple] = None
+    # "contains" (scalar subset, () = any element counts): reason
+    # `contains` fires iff ZERO elements match; `minContains` blames
+    # partial matches below the bound (2019-09+; minContains 0 lets
+    # even zero matches pass); `maxContains` bounds the match count.
+    contains_checks: Optional[tuple] = None
+    min_contains: Optional[int] = None
+    max_contains: Optional[int] = None
 
     def __post_init__(self):
         if self.enum is not None:
@@ -199,7 +206,9 @@ class CombinatorCheck:
     reason: Optional[str] = None  # override the emitted reason
 
     def __post_init__(self):
-        if self.kind not in ("anyOf", "oneOf", "not", "dependentSchema"):
+        if self.kind not in (
+            "anyOf", "oneOf", "not", "dependentSchema", "ifThenElse"
+        ):
             raise SpecError(f"unknown combinator kind {self.kind!r}")
         if self.kind in ("not", "dependentSchema") and len(self.branches) != 1:
             raise SpecError(f"{self.kind} takes exactly one branch")
@@ -207,6 +216,10 @@ class CombinatorCheck:
             # the JSON Schema meta-schema requires ≥1 branch; an empty
             # disjunction would compile to branch_oks[0] → IndexError
             raise SpecError(f"{self.kind} needs at least one branch")
+        if self.kind == "ifThenElse" and len(self.branches) != 3:
+            # (if, then, else) — an absent then/else is the empty
+            # (always-true) branch
+            raise SpecError("ifThenElse takes exactly (if, then, else)")
         if self.kind == "dependentSchema" and not self.gate_member:
             raise SpecError("dependentSchema needs gate_member")
         object.__setattr__(

@@ -553,3 +553,94 @@ def test_tuple_items_per_index_parity(spark):
     assert sorted(got["bad_both"]) == ["type", "type"] or got["bad_both"] == ["type"]
     assert got["extra_free"] == []
     assert got["short"] == []
+
+
+def test_contains_and_bounds_parity(spark):
+    """contains (draft-07) reason split + 2020-12 min/maxContains:
+    zero matches → contains; partial → minContains; excess →
+    maxContains; minContains 0 silences contains."""
+    schema = {
+        "$schema": DRAFT,
+        "$id": "comb://contains/1.0",
+        "type": "object",
+        "properties": {
+            "a": {"type": "array",
+                  "contains": {"type": "integer", "minimum": 5}},
+        },
+    }
+    docs = [
+        ("hit", {"a": [1, 7]}),
+        ("none", {"a": [1, 2]}),
+        ("empty", {"a": []}),
+        ("nonarray", {"a": "x"}),
+        ("absent", {}),
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["none"] == ["contains"]
+    assert got["empty"] == ["contains"]
+    # contains itself vacuous on non-arrays; the declared type fires
+    assert got["nonarray"] == ["type"]
+
+
+def test_min_max_contains_2020_parity(spark):
+    import jsonschema
+
+    schema = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$id": "comb://contains2020/1.0",
+        "type": "object",
+        "properties": {
+            "a": {"contains": {"type": "integer"}, "minContains": 2,
+                  "maxContains": 3},
+            "z": {"contains": {"type": "integer"}, "minContains": 0},
+        },
+    }
+    docs = [
+        ("partial", {"a": [1]}),
+        ("ok", {"a": [1, 2]}),
+        ("excess", {"a": [1, 2, 3, 4]}),
+        ("zero", {"a": ["x"]}),
+        ("minzero_empty", {"z": []}),
+    ]
+    got = engine_reasons(spark, schema, docs)
+    v = jsonschema.Draft202012Validator(schema)
+    want = {n: sorted(e.validator for e in v.iter_errors(d)) for n, d in docs}
+    assert got == want, f"engine {got} != jsonschema {want}"
+    assert got["partial"] == ["minContains"]
+    assert got["excess"] == ["maxContains"]
+    assert got["zero"] == ["contains"]
+    assert got["minzero_empty"] == []
+
+
+def test_if_then_else_leaf_parity(spark):
+    schema = {
+        "$schema": DRAFT,
+        "$id": "comb://ite/1.0",
+        "type": "object",
+        "properties": {
+            "p": {
+                "if": {"type": "integer"},
+                "then": {"minimum": 10},
+                "else": {"type": "string", "minLength": 3},
+            },
+            "q": {"if": {"const": "x"}, "then": {"maxLength": 1}},
+            "r": {"if": {"type": "number"}, "else": {"enum": ["a"]}},
+        },
+    }
+    docs = [
+        ("then_ok", {"p": 20}),
+        ("then_fail", {"p": 5}),
+        ("else_ok", {"p": "abcd"}),
+        ("else_fail", {"p": "x"}),
+        ("bool_else", {"p": True}),
+        ("q_then", {"q": "x"}),
+        ("q_skip", {"q": "anything else entirely"}),
+        ("r_else_fail", {"r": "zz"}),
+        ("r_if_ok", {"r": 4.5}),
+        ("absent", {}),
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["then_fail"] == ["minimum"]
+    assert got["else_fail"] == ["minLength"]
+    assert got["bool_else"] == ["type"]
+    assert got["r_else_fail"] == ["enum"]

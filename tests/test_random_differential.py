@@ -66,6 +66,12 @@ SCHEMA = {
             ]
         },
         "z": {"not": {"enum": ["bad", 13]}},
+        "ite": {
+            "if": {"type": "integer"},
+            "then": {"minimum": 0},
+            "else": {"maxLength": 4},
+        },
+        "ca": {"contains": {"type": "string", "minLength": 2}},
         "a": {}, "b": {},
     },
     "required": ["s"],
@@ -95,7 +101,7 @@ POOL = [
 ]
 
 PROPS = ["s", "n", "i", "c", "d", "em", "u", "ip", "arr", "obj", "v", "w",
-         "z", "a", "b"]
+         "z", "ite", "ca", "a", "b"]
 
 
 def gen_doc(rng: random.Random) -> dict:
