@@ -20,9 +20,16 @@ point:
 - schema traversal recording trigger attributes at nested locations
   with absolute dotted/array paths (⇔ traverseJSONSchema,
   extend_validator_helpers.py:142-294);
-- standard keywords (type/enum/const/pattern/bounds/lengths/format +
-  object-scoped required) compiled to ColumnChecks in json-literal
-  mode;
+- the draft keyword set compiled to ColumnChecks/CombinatorChecks in
+  json-literal mode: type/enum/const/pattern/bounds/lengths/format/
+  multipleOf/uniqueItems/min-maxProperties + object-scoped required,
+  per-element and per-index items (tuple form / 2020-12 prefixItems,
+  draft-gated), contains with 2019-09 min/maxContains,
+  patternProperties / propertyNames (scalar subsets, leaf reasons),
+  dependencies / dependentRequired / dependentSchemas, and the
+  disjunctive combinators anyOf / oneOf / not / if-then-else;
+  anything uncompiled records a severity="warning" SchemaIssue —
+  never a silent drop;
 - ``GetNormalizedJSONHash`` parity for report entries
   (extensible_validator.py:832-839).
 

@@ -111,6 +111,10 @@ def main():
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
+        # per-run transparency: each side is already the median of 3
+        # measured runs after a warmup pass inside ONE JVM
+        "all_low": lo.get("all"),
+        "all_high": hi.get("all"),
     }
     print(json.dumps(result))
     with open(f"{REPO}/BENCH_SCALING.json", "w") as f:
