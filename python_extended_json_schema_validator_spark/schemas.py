@@ -564,6 +564,21 @@ class _Compiler:
                     f"compiled — only partially enforced"
                 )
             return out
+        # 2019-09+ unevaluatedProperties/Items need cross-subschema
+        # evaluation tracking this engine does not implement — warn,
+        # never silently weaken (under draft-07 jsonschema ignores
+        # them too, so no warning there)
+        if self.draft_2019_plus:
+            unev = [
+                k
+                for k in ("unevaluatedProperties", "unevaluatedItems")
+                if k in node
+            ]
+            if unev:
+                self.warnings.append(
+                    f"/{prefix}: {unev} not compiled — only partially "
+                    f"enforced"
+                )
         # contains / minContains / maxContains (contains: draft-06+;
         # the bounds: 2019-09+, ignored by earlier drafts like
         # jsonschema does)

@@ -386,6 +386,32 @@ def test_dropped_keywords_record_warnings():
     assert not [i for i in issues if i.severity == "error"]
 
 
+def test_unevaluated_keywords_warn_on_2019_plus_only():
+    # 2019-09+ unevaluatedProperties/Items: not implemented -> warn;
+    # under draft-07 jsonschema itself ignores them, so stay silent.
+    base = {
+        "type": "object",
+        "properties": {"a": {"type": "string"}},
+        "unevaluatedProperties": False,
+    }
+    new = dict(base, **{
+        "$schema": "https://json-schema.org/draft/2019-09/schema",
+        "$id": "warn://unev/1.0",
+    })
+    registry, issues = load_schemas([("s.json", new)])
+    assert "warn://unev/1.0" in registry  # warning, not rejection
+    warns = [i for i in issues if i.severity == "warning"]
+    assert any("unevaluatedProperties" in i.description for i in warns)
+
+    old = dict(base, **{
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "warn://unev7/1.0",
+    })
+    registry7, issues7 = load_schemas([("s.json", old)])
+    assert "warn://unev7/1.0" in registry7
+    assert not any("unevaluated" in i.description for i in issues7)
+
+
 # ---------------------------------------------------------------------------
 # custom format registry (⇔ customFormats, extensible_validator.py:77-84)
 # ---------------------------------------------------------------------------
