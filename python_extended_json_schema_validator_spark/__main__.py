@@ -8,7 +8,14 @@ changing the module name:
         [-C config.yaml] [--report out.json] [--error-report]
         [--quiet-report] [--guess-schema] [--use-schemas URI ...]
         [--iter-arrays] [--schema_id_path PATH] [--dot-report out.dot T]
-        [--master local[N]]
+        [--fix] [--master local[N]]
+
+``--fix`` (⇔ reference --fix, __main__.py:180-184,374-452): on any
+validation error, write an error-only report and launch ``$EDITOR``
+(default ``vi``) on the report plus the erroring files, then rescan
+and re-validate; the cycle repeats until everything passes or the
+user interrupts.  The editor is a subprocess seam — tests drive it
+with a scripted "editor" (tests/test_fix_loop.py).
 
 Exit codes match the reference: 0 clean, 1 no schema loaded, 2 any
 document validation error (__main__.py:302-471).  With only a schema
@@ -20,7 +27,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import re
+import shlex
+import signal
+import subprocess
 import sys
+import tempfile
 
 
 def main(argv=None) -> int:
@@ -42,6 +55,10 @@ def main(argv=None) -> int:
                     help="restrict --guess-schema to these URIs")
     ap.add_argument("--iter-arrays", action="store_true",
                     help="shred array inputs, one element per entry")
+    ap.add_argument("--fix", action="store_true", dest="do_fix",
+                    help="on validation errors, launch $EDITOR on the "
+                    "report + erroring files, then re-validate; repeats "
+                    "until clean (⇔ reference --fix, __main__.py:374-452)")
     ap.add_argument("--schema_id_path", default=None,
                     help="dotted path of the schema id inside each doc")
     ap.add_argument("--dot-report", nargs=2, metavar=("FILE", "TITLE"),
@@ -95,38 +112,80 @@ def main(argv=None) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = []
-    for path in args.json_files:
-        docs.extend(scan_documents(path, iterate_over_arrays=args.iter_arrays))
-    res = run_suite(
-        spark,
-        args.jsonSchemaDir,
-        [(f, d) for f, d, e in docs if e is None],
-        config=config,
-        probes=probes,
-        guess_unmatched=(args.use_schemas or args.guess_schema),
-    )
-    for f, _, e in docs:
-        if e is not None:
-            res.per_file.setdefault(f, []).append("fatal")
+    # --fix always writes a report for the editor to read; a temp one
+    # if --report was not given (⇔ reference __main__.py:376-382,452)
+    fix_report = args.report
+    temp_report = None
+    if args.do_fix and fix_report is None:
+        fd, temp_report = tempfile.mkstemp(suffix=".json")
+        os.close(fd)
+        fix_report = temp_report
+
+    while True:
+        docs = []
+        for path in args.json_files:
+            docs.extend(
+                scan_documents(path, iterate_over_arrays=args.iter_arrays)
+            )
+        res = run_suite(
+            spark,
+            args.jsonSchemaDir,
+            [(f, d) for f, d, e in docs if e is None],
+            config=config,
+            probes=probes,
+            guess_unmatched=(args.use_schemas or args.guess_schema),
+        )
+        for f, _, e in docs:
+            if e is not None:
+                res.per_file.setdefault(f, []).append("fatal")
+
+        if fix_report:
+            with open(fix_report, "w") as fh:
+                json.dump(
+                    res.report(
+                        quiet=args.quiet_report,
+                        # fix mode writes error-only entries, like the
+                        # reference's `elif args.doFix: continue` skip
+                        # (__main__.py:414-416)
+                        error_report=args.error_report or args.do_fix,
+                    ),
+                    fh,
+                    indent=4,
+                    sort_keys=True,
+                    default=str,
+                )
+
+        # array-shredded entries are named "file [i]" — the editor
+        # needs the real file, deduped, in a stable order
+        err_files = sorted(
+            {
+                re.sub(r" \[\d+\]$", "", f)
+                for f, v in res.per_file.items()
+                if v
+            }
+        )
+        if not (args.do_fix and err_files):
+            break
+        # ⇔ reference __main__.py:436-447: $EDITOR (default vi) gets
+        # the report first, then every erroring document, through the
+        # shell; ^C forwards SIGINT to the editor before re-raising
+        editor = os.environ.get("EDITOR", "vi")
+        cmdline = " ".join(shlex.quote(p) for p in [fix_report] + err_files)
+        fix_proc = subprocess.Popen(f"{editor} {cmdline}", shell=True)
+        try:
+            fix_proc.wait()
+        except KeyboardInterrupt:
+            fix_proc.send_signal(signal.SIGINT)
+            raise
+
+    if temp_report is not None:
+        os.unlink(temp_report)
 
     if args.dot_report and res.registry:
         from .graph import dot_from_registry
 
         with open(args.dot_report[0], "w") as fh:
             fh.write(dot_from_registry(res.registry, title=args.dot_report[1]))
-
-    if args.report:
-        with open(args.report, "w") as fh:
-            json.dump(
-                res.report(
-                    quiet=args.quiet_report, error_report=args.error_report
-                ),
-                fh,
-                indent=4,
-                sort_keys=True,
-                default=str,
-            )
 
     for i in res.schema_issues:
         print(f"{i.file}: {i.reason}: {i.description}", file=sys.stderr)
