@@ -329,6 +329,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_extended_json_schema_validator_spark.pipeline import text as textops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = textops.repetition_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_extended_json_schema_validator_spark.pipeline import text as textops
 
@@ -949,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_suite": q_image_suite,
         "stats_profile": q_stats_profile,
         "text_stats": q_text_stats,
+        "repetition_stats": q_repetition_stats,
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -1371,6 +1387,42 @@ def oracle_sql() -> dict[str, str]:
                                    * 1.0 / length(text), 6)
                         ELSE NULL END AS alpha_ratio
             FROM documents
+        """,
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ),
+            g1 AS (SELECT doc_id, unnest(w) AS g FROM w),
+            c1 AS (SELECT doc_id, g, count(*) AS c FROM g1 GROUP BY 1, 2),
+            p1 AS (
+              SELECT doc_id, sum(c) AS tot, max(c) AS top,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS rep
+              FROM c1 GROUP BY 1
+            ),
+            g2 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)),
+                                           i -> w[i] || ' ' || w[i + 1])) AS g
+              FROM w
+            ),
+            c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+            p2 AS (
+              SELECT doc_id, sum(c) AS tot, max(c) AS top,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS rep
+              FROM c2 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(p1.tot AS BIGINT) AS n_words,
+                   round(p1.top / p1.tot, 6) AS top_word_frac,
+                   round(p1.rep / p1.tot, 6) AS dup_word_frac,
+                   round(p2.top / p2.tot, 6) AS top_bigram_frac,
+                   round(p2.rep / p2.tot, 6) AS dup_bigram_frac
+            FROM documents d
+            LEFT JOIN p1 USING (doc_id)
+            LEFT JOIN p2 USING (doc_id)
         """,
         "lang_id": """
             WITH s AS (

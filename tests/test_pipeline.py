@@ -109,6 +109,36 @@ def test_quality_features(spark, docs):
     assert 0 < row.alpha_ratio < 1
 
 
+def test_ngram_repetition_hand_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a b"),          # words: a×2,b → top 2/3, dup 2/3
+            (2, "x"),              # one word: no bigrams at all
+            (3, "   "),            # no words: absent from both levels
+            (4, "c d c d c"),      # bigrams: "c d"×2,"d c"×2 → top 0.5, dup 1.0
+        ],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: r for r in textops.ngram_repetition(df, n=1).collect()}
+    assert w[1].n_grams == 3 and w[1].distinct_grams == 2
+    assert abs(w[1].top_ngram_frac - 2 / 3) < 1e-12
+    assert abs(w[1].dup_ngram_frac - 2 / 3) < 1e-12
+    assert w[2].n_grams == 1 and w[2].dup_ngram_frac == 0.0
+    assert 3 not in w
+
+    b = {r.doc_id: r for r in textops.ngram_repetition(df, n=2).collect()}
+    assert b[1].n_grams == 2  # "a a", "a b"
+    assert b[1].top_ngram_frac == 0.5 and b[1].dup_ngram_frac == 0.0
+    assert 2 not in b and 3 not in b
+    assert b[4].n_grams == 4
+    assert b[4].top_ngram_frac == 0.5 and b[4].dup_ngram_frac == 1.0
+
+    # joined convenience: NULLs where a level is absent
+    feats = {r.doc_id: r for r in textops.repetition_features(df).collect()}
+    assert feats[2].n_words == 1 and feats[2].top_bigram_frac is None
+    assert feats[3].n_words is None and feats[3].dup_word_frac is None
+
+
 def test_fingerprint_normalization(spark, docs):
     fps = {r.doc_id: r.fp for r in textops.fingerprint(docs).collect()}
     assert fps[1] == fps[2]
