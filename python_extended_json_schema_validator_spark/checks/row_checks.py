@@ -418,6 +418,17 @@ def compile_check(
                 )
         if check.max_contains is not None:
             add("maxContains", matched <= _lit(check.max_contains), F.to_json(c))
+    if check.max_unevaluated_items is not None:
+        # static "unevaluatedItems": false — only the first
+        # max_unevaluated_items positions are evaluated (by
+        # prefixItems / tuple items), so any longer array fails.
+        # NULL (absent / non-array) passes vacuously via the outer
+        # guard, matching jsonschema (arrays only).
+        add(
+            "unevaluatedItems",
+            F.size(c) <= _lit(check.max_unevaluated_items),
+            F.to_json(c),
+        )
     if check.index_checks is not None:
         # tuple-form items / prefixItems: the i-th element literal
         # (F.get → NULL when out of bounds, never ANSI-throws) against
@@ -491,7 +502,7 @@ def compile_check(
                 p = p | kk.rlike(rp)
             return p
 
-        add("additionalProperties", F.forall(c, _name_ok), F.to_json(c))
+        add(check.keys_reason, F.forall(c, _name_ok), F.to_json(c))
     if check.sql_predicate is not None:
         add("sql", F.expr(check.sql_predicate))
     return out

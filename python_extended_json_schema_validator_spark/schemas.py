@@ -295,6 +295,9 @@ class _Compiler:
         # unknown keywords)
         draft = str(schema.get("$schema", ""))
         self.draft_2019_plus = "2019-09" in draft or "2020-12" in draft
+        # 2020-12 swaps jsonschema's legacy unevaluated* annotation
+        # walk for the is_valid-based one — the static subsets differ
+        self.draft_2020 = "2020-12" in draft
         # if/then/else exists from draft-07 on (older drafts ignore it)
         self.draft_07_plus = "draft-07" in draft or self.draft_2019_plus
         # contains/const exist from draft-06 on
@@ -564,21 +567,6 @@ class _Compiler:
                     f"compiled — only partially enforced"
                 )
             return out
-        # 2019-09+ unevaluatedProperties/Items need cross-subschema
-        # evaluation tracking this engine does not implement — warn,
-        # never silently weaken (under draft-07 jsonschema ignores
-        # them too, so no warning there)
-        if self.draft_2019_plus:
-            unev = [
-                k
-                for k in ("unevaluatedProperties", "unevaluatedItems")
-                if k in node
-            ]
-            if unev:
-                self.warnings.append(
-                    f"/{prefix}: {unev} not compiled — only partially "
-                    f"enforced"
-                )
         # contains / minContains / maxContains (contains: draft-06+;
         # the bounds: 2019-09+, ignored by earlier drafts like
         # jsonschema does)
@@ -656,6 +644,127 @@ class _Compiler:
                     allowed_key_patterns=patterns or None,
                 )
             )
+        # 2019-09+ unevaluatedProperties / unevaluatedItems.  Parity
+        # target is the jsonschema LIBRARY's actual annotation walk
+        # (the engine the reference delegates to): legacy
+        # find_evaluated_property_keys_by_schema for 2019-09 vs the
+        # is_valid-based one for 2020-12 (jsonschema
+        # _legacy_keywords.py / _utils.py, probed on 4.26).  The
+        # STATIC subset — no in-place applicator at the node —
+        # compiles exactly; the dynamic remainder warns, never a
+        # silent drop.  Draft-07 ignores both keywords (so does
+        # jsonschema).  `not` is never a blocker: neither walk
+        # descends into it.
+        if self.draft_2019_plus:
+            in_place = [
+                k
+                for k in (
+                    "allOf",
+                    "anyOf",
+                    "oneOf",
+                    "if",
+                    "dependentSchemas",
+                    "$ref",
+                    "$dynamicRef",
+                    "$recursiveRef",
+                )
+                if k in node
+            ]
+            up = node.get("unevaluatedProperties")
+            ap = node.get("additionalProperties")
+            # AP=True evaluates everything in both walks; 2020-12
+            # additionally treats any value-accepting AP schema that
+            # way (AP={} accepts all values) → vacuous, exact silence
+            up_vacuous = (ap is True) or (
+                self.draft_2020 and ap == {} and "additionalProperties" in node
+            )
+            # 2020-12 decides AP coverage by VALIDATING each value
+            # against the AP schema — dynamic for a non-empty schema
+            up_dynamic = self.draft_2020 and isinstance(ap, dict) and ap
+            if up is False and not up_vacuous:
+                if in_place or up_dynamic:
+                    self.warnings.append(
+                        f"/{prefix}: unevaluatedProperties alongside "
+                        f"{in_place or ['schema-form additionalProperties']} "
+                        f"is not compiled — only partially enforced"
+                    )
+                else:
+                    allowed = set(
+                        node["properties"]
+                        if isinstance(node.get("properties"), dict)
+                        else ()
+                    )
+                    if not self.draft_2020 and isinstance(ap, dict):
+                        # legacy-walk quirk, [verified]: an object-form
+                        # additionalProperties contributes its OWN KEYS
+                        # as evaluated property names
+                        allowed |= set(ap)
+                    patterns = (
+                        tuple(sorted(node["patternProperties"]))
+                        if isinstance(node.get("patternProperties"), dict)
+                        else ()
+                    )
+                    self.props_paths.add(prefix)
+                    out.append(
+                        ColumnCheck(
+                            column=keys_col,
+                            allowed_keys=tuple(sorted(allowed)),
+                            allowed_key_patterns=patterns or None,
+                            keys_reason="unevaluatedProperties",
+                        )
+                    )
+            elif isinstance(up, dict) and up and not up_vacuous:
+                self.warnings.append(
+                    f"/{prefix}: schema-form unevaluatedProperties is not "
+                    f"compiled — only partially enforced"
+                )
+
+            ui = node.get("unevaluatedItems")
+            items = node.get("items")
+            # full-coverage items forms → unevaluatedItems can never
+            # fire: 2020-12 bails out for ANY `items`; the legacy walk
+            # for dict-form `items` or tuple+additionalItems
+            ui_vacuous = ("items" in node) and (
+                self.draft_2020
+                or isinstance(items, dict)
+                or "additionalItems" in node
+            )
+            if ui is False and not ui_vacuous:
+                # `contains` coverage is is_valid-per-element in BOTH
+                # walks → dynamic, warn
+                if in_place or "contains" in node:
+                    self.warnings.append(
+                        f"/{prefix}: unevaluatedItems alongside "
+                        f"{in_place or ['contains']} is not compiled — "
+                        f"only partially enforced"
+                    )
+                else:
+                    if self.draft_2020:
+                        # prefixItems covers its positions (2020-12)
+                        prefix_len = (
+                            len(node["prefixItems"])
+                            if isinstance(node.get("prefixItems"), list)
+                            else 0
+                        )
+                    else:
+                        # the legacy walk only honors tuple-form items
+                        # (prefixItems is not a 2019-09 keyword)
+                        prefix_len = (
+                            len(items) if isinstance(items, list) else 0
+                        )
+                    ui_arr = (prefix + "[]") if prefix else "#root[]"
+                    self._touch(ui_arr)
+                    out.append(
+                        ColumnCheck(
+                            column=ui_arr,
+                            max_unevaluated_items=prefix_len,
+                        )
+                    )
+            elif isinstance(ui, dict) and ui and not ui_vacuous:
+                self.warnings.append(
+                    f"/{prefix}: schema-form unevaluatedItems is not "
+                    f"compiled — only partially enforced"
+                )
         # patternProperties: every property whose name matches a regex
         # must carry a value satisfying that regex's (scalar-subset)
         # subschema — real per-key checks over the `#entries` map

@@ -160,6 +160,15 @@ class ColumnCheck:
     contains_checks: Optional[tuple] = None
     min_contains: Optional[int] = None
     max_contains: Optional[int] = None
+    # reason override for the allowed-keys machinery: the STATIC
+    # subset of 2019-09+ "unevaluatedProperties": false (no in-place
+    # applicators at the node) compiles to the identical predicate as
+    # "additionalProperties": false but reports its own validator name.
+    keys_reason: str = "additionalProperties"
+    # "unevaluatedItems": false where only prefixItems/tuple-items
+    # evaluate → the array may not extend past the prefix.  Column
+    # holds the element-literal array (`<path>[]`).
+    max_unevaluated_items: Optional[int] = None
 
     def __post_init__(self):
         if self.enum is not None:

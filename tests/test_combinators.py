@@ -386,9 +386,10 @@ def test_dropped_keywords_record_warnings():
     assert not [i for i in issues if i.severity == "error"]
 
 
-def test_unevaluated_keywords_warn_on_2019_plus_only():
-    # 2019-09+ unevaluatedProperties/Items: not implemented -> warn;
-    # under draft-07 jsonschema itself ignores them, so stay silent.
+def test_unevaluated_static_compiles_dynamic_warns():
+    # 2019-09+ unevaluatedProperties/Items: the static subset (no
+    # in-place applicators) COMPILES; dynamic shapes warn; draft-07
+    # ignores both keywords entirely (so does jsonschema).
     base = {
         "type": "object",
         "properties": {"a": {"type": "string"}},
@@ -396,20 +397,201 @@ def test_unevaluated_keywords_warn_on_2019_plus_only():
     }
     new = dict(base, **{
         "$schema": "https://json-schema.org/draft/2019-09/schema",
-        "$id": "warn://unev/1.0",
+        "$id": "unev://static/1.0",
     })
     registry, issues = load_schemas([("s.json", new)])
-    assert "warn://unev/1.0" in registry  # warning, not rejection
-    warns = [i for i in issues if i.severity == "warning"]
+    assert "unev://static/1.0" in registry
+    assert not any("unevaluated" in i.description for i in issues)
+    checks = registry["unev://static/1.0"].table_spec.checks
+    assert any(
+        getattr(c, "keys_reason", None) == "unevaluatedProperties"
+        for c in checks
+    )
+
+    dyn = dict(new, **{"$id": "unev://dyn/1.0",
+                       "anyOf": [{"required": ["a"]}]})
+    registry2, issues2 = load_schemas([("s.json", dyn)])
+    warns = [i for i in issues2 if i.severity == "warning"]
     assert any("unevaluatedProperties" in i.description for i in warns)
+    assert not any(
+        getattr(c, "keys_reason", None) == "unevaluatedProperties"
+        for c in registry2["unev://dyn/1.0"].table_spec.checks
+    )
 
     old = dict(base, **{
         "$schema": "http://json-schema.org/draft-07/schema#",
-        "$id": "warn://unev7/1.0",
+        "$id": "unev://d7/1.0",
     })
     registry7, issues7 = load_schemas([("s.json", old)])
-    assert "warn://unev7/1.0" in registry7
+    assert "unev://d7/1.0" in registry7
     assert not any("unevaluated" in i.description for i in issues7)
+    assert not any(
+        getattr(c, "keys_reason", None) == "unevaluatedProperties"
+        for c in registry7["unev://d7/1.0"].table_spec.checks
+    )
+
+
+D2019 = "https://json-schema.org/draft/2019-09/schema"
+D2020 = "https://json-schema.org/draft/2020-12/schema"
+
+
+def jsonschema_reasons_auto(schema, docs):
+    """Like jsonschema_reasons but draft-dispatched via validator_for
+    (2019-09/2020-12 unevaluated* semantics differ per draft)."""
+    import jsonschema
+
+    v = jsonschema.validators.validator_for(schema)(schema)
+    return {n: sorted(e.validator for e in v.iter_errors(d)) for n, d in docs}
+
+
+def assert_auto_parity(spark, schema, docs):
+    got = engine_reasons(spark, schema, docs)
+    want = jsonschema_reasons_auto(schema, docs)
+    assert got == want, f"engine {got} != jsonschema {want}"
+    return got
+
+
+def test_unevaluated_properties_static_parity_2019(spark):
+    schema = {
+        "$schema": D2019,
+        "$id": "unev://p19/1.0",
+        "type": "object",
+        "properties": {"a": {"type": "string"}},
+        "patternProperties": {"^x": {}},
+    }
+    docs = [
+        ("ok_decl", {"a": "v"}),
+        ("ok_pat", {"a": "v", "x9": 1}),
+        ("bad_extra", {"a": "v", "b": 1}),
+        ("bad_two", {"b": 1, "c": 2}),
+    ]
+    s = dict(schema, unevaluatedProperties=False)
+    got = assert_auto_parity(spark, s, docs)
+    assert got["bad_extra"] == ["unevaluatedProperties"]
+
+    # legacy-walk quirk: object-form additionalProperties contributes
+    # its OWN KEYS as evaluated names under 2019-09
+    # (values satisfy the AP subschema so the uncompiled schema-form
+    # AP validation stays silent on both sides)
+    s_ap = dict(s, additionalProperties={"type": "integer"})
+    docs_ap = [
+        ("key_named_type", {"a": "v", "type": 5}),
+        ("other_extra", {"a": "v", "zz": 1}),
+    ]
+    got = assert_auto_parity(spark, s_ap, docs_ap)
+    assert got["key_named_type"] == []
+    assert got["other_extra"] == ["unevaluatedProperties"]
+
+    # AP false: both validators fire on the same extra key
+    s_apf = dict(s, additionalProperties=False)
+    got = assert_auto_parity(spark, s_apf, [("bad", {"a": "v", "b": 1})])
+    assert got["bad"] == ["additionalProperties", "unevaluatedProperties"]
+
+    # AP true: unevaluatedProperties can never fire
+    s_apt = dict(s, additionalProperties=True)
+    assert_auto_parity(spark, s_apt, docs)
+
+
+def test_unevaluated_properties_static_parity_2020(spark):
+    schema = {
+        "$schema": D2020,
+        "$id": "unev://p20/1.0",
+        "type": "object",
+        "properties": {"a": {"type": "string"}},
+        "unevaluatedProperties": False,
+    }
+    docs = [
+        ("ok", {"a": "v"}),
+        ("bad", {"a": "v", "b": 1}),
+    ]
+    got = assert_auto_parity(spark, schema, docs)
+    assert got["bad"] == ["unevaluatedProperties"]
+
+    # 2020-12: AP={} accepts every value → everything evaluated
+    s_ap = dict(schema, additionalProperties={})
+    got = assert_auto_parity(spark, s_ap, docs)
+    assert got["bad"] == []
+
+    # 2020-12 object-form AP is value-dependent → warn, don't compile
+    s_dyn = dict(schema, **{"$id": "unev://p20d/1.0",
+                            "additionalProperties": {"type": "integer"}})
+    registry, issues = load_schemas([("s.json", s_dyn)])
+    assert any(
+        "unevaluatedProperties" in i.description
+        for i in issues
+        if i.severity == "warning"
+    )
+
+
+def test_unevaluated_items_static_parity(spark):
+    # 2019-09: tuple-form items evaluates its positions; longer fails
+    s19 = {
+        "$schema": D2019,
+        "$id": "unev://i19/1.0",
+        "type": "object",
+        "properties": {
+            "arr": {
+                "type": "array",
+                "items": [{"type": "integer"}],
+                "unevaluatedItems": False,
+            }
+        },
+    }
+    docs = [
+        ("ok_one", {"arr": [1]}),
+        ("ok_empty", {"arr": []}),
+        ("bad_long", {"arr": [1, 2]}),
+        ("absent", {}),
+    ]
+    got = assert_auto_parity(spark, s19, docs)
+    assert got["bad_long"] == ["unevaluatedItems"]
+
+    # no items at all: any element is unevaluated
+    s19n = {
+        "$schema": D2019,
+        "$id": "unev://i19n/1.0",
+        "type": "object",
+        "properties": {
+            "arr": {"type": "array", "unevaluatedItems": False}
+        },
+    }
+    got = assert_auto_parity(
+        spark, s19n, [("bad", {"arr": [1]}), ("ok", {"arr": []})]
+    )
+    assert got["bad"] == ["unevaluatedItems"]
+
+    # dict-form items evaluates everything → vacuous both sides
+    s19v = {
+        "$schema": D2019,
+        "$id": "unev://i19v/1.0",
+        "type": "object",
+        "properties": {
+            "arr": {
+                "type": "array",
+                "items": {"type": "integer"},
+                "unevaluatedItems": False,
+            }
+        },
+    }
+    assert_auto_parity(spark, s19v, [("ok", {"arr": [1, 2, 3]})])
+
+    # 2020-12: prefixItems covers its positions
+    s20 = {
+        "$schema": D2020,
+        "$id": "unev://i20/1.0",
+        "type": "object",
+        "properties": {
+            "arr": {
+                "type": "array",
+                "prefixItems": [{"type": "integer"}],
+                "unevaluatedItems": False,
+            }
+        },
+    }
+    got = assert_auto_parity(
+        spark, s20, [("ok", {"arr": [3]}), ("bad", {"arr": [3, 4]})]
+    )
+    assert got["bad"] == ["unevaluatedItems"]
 
 
 # ---------------------------------------------------------------------------
