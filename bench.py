@@ -32,6 +32,7 @@ EXTRA_QUERIES = [
     "combinator_checks",
     "drift_check",
     "ann_ivf",
+    "repetition_stats",
 ]
 
 BENCH_QUERIES = [

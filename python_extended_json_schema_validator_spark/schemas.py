@@ -556,9 +556,17 @@ class _Compiler:
                         ),
                     )
                 )
+            # constraining unevaluated* in an element subschema is
+            # also beyond the per-element subset (True/{} are vacuous)
+            unev_here = tuple(
+                k
+                for k in ("unevaluatedProperties", "unevaluatedItems")
+                if self.draft_2019_plus
+                and (node.get(k) is False or node.get(k) not in (None, True, {}))
+            )
             dropped = [
                 k
-                for k in (*_CHECK_KEYWORDS, "required")
+                for k in (*_CHECK_KEYWORDS, "required", *unev_here)
                 if k in node and not (direct and k in scalar)
             ]
             if dropped:

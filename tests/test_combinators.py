@@ -379,6 +379,26 @@ def test_dropped_keywords_record_warnings():
     assert "warn://drop/1.0" in registry  # warnings do NOT reject
     warns = [i for i in issues if i.severity == "warning"]
     assert warns, "dropped keywords must leave a trace"
+    # unevaluated* inside an ELEMENT subschema is also beyond the
+    # per-element subset -> must warn too (2019-09+ only)
+    el_schema = {
+        "$schema": "https://json-schema.org/draft/2019-09/schema",
+        "$id": "warn://eldrop/1.0",
+        "type": "object",
+        "properties": {
+            "arr": {
+                "type": "array",
+                "items": {"type": "object",
+                          "unevaluatedProperties": False},
+            }
+        },
+    }
+    _, el_issues = load_schemas([("s.json", el_schema)])
+    assert any(
+        "unevaluatedProperties" in i.description
+        for i in el_issues
+        if i.severity == "warning"
+    )
     assert all(i.reason == "schema_warning" for i in warns)
     text = " ".join(i.description for i in warns)
     assert "contains" in text
