@@ -116,6 +116,95 @@ def gen_doc(rng: random.Random) -> dict:
     return doc
 
 
+D2019 = "https://json-schema.org/draft/2019-09/schema"
+
+# 2019-09 battery: the unevaluated* static subset (tuple-items /
+# bare-array / root-object forms incl. the legacy AP-keys quirk),
+# minContains/maxContains, dependentRequired — randomized against the
+# draft-dispatched jsonschema validator
+SCHEMA19 = {
+    "$schema": D2019,
+    "$id": "rand://battery19/1.0",
+    "type": "object",
+    "properties": {
+        "s": {"type": "string", "minLength": 2},
+        "tup": {
+            "type": "array",
+            "items": [{"type": "integer"}, {"type": "string"}],
+            "unevaluatedItems": False,
+        },
+        "anyarr": {"type": "array", "unevaluatedItems": False},
+        "cb": {
+            "type": "array",
+            "contains": {"type": "string", "minLength": 2},
+            "minContains": 1,
+            "maxContains": 2,
+        },
+        "ob": {
+            "type": "object",
+            "properties": {"x": {}},
+            "patternProperties": {"^n": {}},
+            "unevaluatedProperties": False,
+        },
+        "ob2": {
+            "type": "object",
+            "properties": {"x": {}},
+            # legacy-walk quirk: this object-form AP contributes the
+            # key name "nx" as evaluated (and accepts any value)
+            "additionalProperties": {"nx": {}},
+            "unevaluatedProperties": False,
+        },
+        "a": {},
+        "b": {},
+    },
+    "required": ["s"],
+    "dependentRequired": {"a": ["b"]},
+    "unevaluatedProperties": False,
+}
+
+PROPS19 = ["s", "tup", "anyarr", "cb", "ob", "ob2", "a", "b"]
+
+
+def gen_doc19(rng: random.Random) -> dict:
+    doc = {}
+    for p in PROPS19:
+        if rng.random() < 0.35:
+            continue
+        doc[p] = rng.choice(POOL)
+    if rng.random() < 0.25:
+        doc["extra_key"] = rng.choice(POOL)  # root unevaluatedProperties
+    return doc
+
+
+def test_random_docs_match_jsonschema_2019(spark):
+    import jsonschema
+
+    rng = random.Random(20260817)
+    docs = [(f"r{i}", gen_doc19(rng)) for i in range(300)]
+
+    registry, issues = load_schemas([("s.json", SCHEMA19)])
+    assert [i for i in issues if i.severity == "error"] == [], issues
+    assert not [i for i in issues if i.severity == "warning"], (
+        "battery19 must stay inside the compiled static subset"
+    )
+    cs = registry["rand://battery19/1.0"]
+    shredded = shred_documents(spark, docs, cs)
+    battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
+    viol = row_checks.row_violations(shredded, F.col("__file"), battery)
+    mine = {n: set() for n, _ in docs}
+    for r in viol.collect():
+        mine[r.row_id].add(r.reason)
+
+    v = jsonschema.validators.validator_for(SCHEMA19)(SCHEMA19)
+    bad = []
+    for name, doc in docs:
+        want = {e.validator for e in v.iter_errors(doc)}
+        if mine[name] != want:
+            bad.append((name, json.dumps(doc, default=str),
+                        sorted(mine[name]), sorted(want)))
+    assert not bad, f"{len(bad)} mismatches; first 5: {bad[:5]}"
+
+
 def test_random_docs_match_jsonschema(spark):
     import jsonschema
 
