@@ -480,6 +480,57 @@ def compile_check(
                     F.forall(matching, _val_pred(kw, arg)),
                     F.to_json(matching),
                 )
+    if check.additional_entries is not None or check.unevaluated_entries is not None:
+
+        def _undeclared_filter(allowed, patterns):
+            lits = [F.lit(a) for a in allowed]
+
+            def _f(k, v):
+                p = k.isin(*lits) if lits else F.lit(False)
+                for rp in patterns:
+                    p = p | k.rlike(rp)
+                return ~p
+
+            return _f
+
+        def _entry_val_pred(kw, arg):
+            return lambda v: _scalar_kw_pred(v, {kw: arg}, literal_mode=True)
+
+    if check.additional_entries is not None:
+        # schema-form additionalProperties: values of undeclared,
+        # unpatterned properties against the scalar subset — LEAF
+        # reasons (jsonschema descends; same granularity note as
+        # propertyNames: multiple offending values collapse into one
+        # violation per keyword)
+        allowed, patterns, kwpairs = check.additional_entries
+        extra_vals = F.map_values(
+            F.map_filter(c, _undeclared_filter(allowed, patterns))
+        )
+        for kw, arg in kwpairs:
+            reason = "additionalProperties" if kw == "never" else kw
+            add(
+                reason,
+                F.forall(extra_vals, _entry_val_pred(kw, arg)),
+                F.to_json(extra_vals),
+            )
+    if check.unevaluated_entries is not None:
+        # 2020-12 unevaluatedProperties: false with object-form AP —
+        # a property passes iff declared, pattern-matched, or its
+        # value satisfies the AP subschema (then AP *evaluated* it)
+        allowed, patterns, kwpairs = check.unevaluated_entries
+        kws = dict(kwpairs)
+        name_ok = _undeclared_filter(allowed, patterns)
+
+        def _unevaluated(k, v):
+            return name_ok(k, v) & ~_scalar_kw_pred(
+                v, kws, literal_mode=True
+            )
+
+        add(
+            "unevaluatedProperties",
+            F.size(F.map_filter(c, _unevaluated)) == 0,
+            F.to_json(c),
+        )
     if check.dependent_on is not None:
         gate = (
             flat_col(check.dependent_on) if json_mode else F.col(check.dependent_on)

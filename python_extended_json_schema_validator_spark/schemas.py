@@ -629,29 +629,51 @@ class _Compiler:
                 )
         kw = {k: node[k] for k in _CHECK_KEYWORDS if k in node}
         keys_col = (prefix + "#keys") if prefix else "#keys"
+        entries_col = (prefix + "#entries") if prefix else "#entries"
+        node_allowed = tuple(
+            sorted(node.get("properties", {}))
+            if isinstance(node.get("properties"), dict)
+            else ()
+        )
+        node_patterns = (
+            tuple(sorted(node["patternProperties"]))
+            if isinstance(node.get("patternProperties"), dict)
+            else ()
+        )
         # additionalProperties: false → the node's actual property
         # names must all be declared or match a patternProperties
-        # regex (boolean form only; schema-form additionalProperties
-        # is an annotation we do not compile)
+        # regex
         if node.get("additionalProperties") is False:
-            allowed = tuple(
-                sorted(node.get("properties", {}))
-                if isinstance(node.get("properties"), dict)
-                else ()
-            )
-            patterns = (
-                tuple(sorted(node["patternProperties"]))
-                if isinstance(node.get("patternProperties"), dict)
-                else ()
-            )
             self.props_paths.add(prefix)
             out.append(
                 ColumnCheck(
                     column=keys_col,
-                    allowed_keys=allowed,
-                    allowed_key_patterns=patterns or None,
+                    allowed_keys=node_allowed,
+                    allowed_key_patterns=node_patterns or None,
                 )
             )
+        # schema-form additionalProperties: undeclared, unpatterned
+        # property VALUES validate against the subschema's scalar
+        # subset — leaf reasons like jsonschema's descent.  () = the
+        # subschema accepts everything → nothing to enforce.
+        ap_node = node.get("additionalProperties")
+        ap_sub = None
+        if isinstance(ap_node, dict) and ap_node:
+            ap_sub = self._scalar_subset(
+                ap_node, f"/{prefix or ''} additionalProperties"
+            )
+            if ap_sub:
+                self.entries_paths.add(prefix)
+                out.append(
+                    ColumnCheck(
+                        column=entries_col,
+                        additional_entries=(
+                            node_allowed,
+                            node_patterns,
+                            ap_sub,
+                        ),
+                    )
+                )
         # 2019-09+ unevaluatedProperties / unevaluatedItems.  Parity
         # target is the jsonschema LIBRARY's actual annotation walk
         # (the engine the reference delegates to): legacy
@@ -687,15 +709,44 @@ class _Compiler:
                 self.draft_2020 and ap == {} and "additionalProperties" in node
             )
             # 2020-12 decides AP coverage by VALIDATING each value
-            # against the AP schema — dynamic for a non-empty schema
+            # against the AP schema — value-dependent for a non-empty
+            # schema, compiled via the #entries map when the AP
+            # subschema is scalar-expressible
             up_dynamic = self.draft_2020 and isinstance(ap, dict) and ap
             if up is False and not up_vacuous:
-                if in_place or up_dynamic:
+                if in_place:
                     self.warnings.append(
                         f"/{prefix}: unevaluatedProperties alongside "
-                        f"{in_place or ['schema-form additionalProperties']} "
-                        f"is not compiled — only partially enforced"
+                        f"{in_place} is not compiled — only partially "
+                        f"enforced"
                     )
+                elif up_dynamic:
+                    if ap_sub:
+                        # exact up to the (warned) scalar subset: a
+                        # property passes iff declared, pattern-
+                        # matched, or its value satisfies AP
+                        self.entries_paths.add(prefix)
+                        out.append(
+                            ColumnCheck(
+                                column=entries_col,
+                                unevaluated_entries=(
+                                    node_allowed,
+                                    node_patterns,
+                                    ap_sub,
+                                ),
+                            )
+                        )
+                    elif ap_sub == ():
+                        # AP's compiled subset accepts every value →
+                        # everything evaluated (any dropped keywords
+                        # were already warned by _scalar_subset)
+                        pass
+                    else:
+                        self.warnings.append(
+                            f"/{prefix}: unevaluatedProperties alongside "
+                            f"malformed additionalProperties is not "
+                            f"compiled — only partially enforced"
+                        )
                 else:
                     allowed = set(
                         node["properties"]

@@ -160,6 +160,19 @@ class ColumnCheck:
     contains_checks: Optional[tuple] = None
     min_contains: Optional[int] = None
     max_contains: Optional[int] = None
+    # schema-form "additionalProperties": every property whose name is
+    # neither declared in `properties` nor matched by a
+    # patternProperties regex must carry a VALUE (canonical JSON
+    # literal) satisfying this scalar keyword set — LEAF reasons, like
+    # jsonschema's descent into the subschema.  Column holds
+    # `<path>#entries`.  (allowed_names, name_patterns, kw_pairs).
+    additional_entries: Optional[tuple] = None
+    # 2020-12 unevaluatedProperties: false with OBJECT-FORM
+    # additionalProperties: a property counts as evaluated iff its
+    # VALUE satisfies the AP subschema (jsonschema's is_valid-based
+    # walk), so the guard needs the name sets AND the value predicate.
+    # Column holds `<path>#entries`.  Same tuple shape as above.
+    unevaluated_entries: Optional[tuple] = None
     # reason override for the allowed-keys machinery: the STATIC
     # subset of 2019-09+ "unevaluatedProperties": false (no in-place
     # applicators at the node) compiles to the identical predicate as

@@ -532,15 +532,42 @@ def test_unevaluated_properties_static_parity_2020(spark):
     got = assert_auto_parity(spark, s_ap, docs)
     assert got["bad"] == []
 
-    # 2020-12 object-form AP is value-dependent → warn, don't compile
+    # 2020-12 object-form AP is value-dependent: a property counts as
+    # evaluated iff its value satisfies AP — compiled via #entries.
+    # int value → evaluated, no error; string value → AP leaf error
+    # (schema-form AP values are validated too) AND unevaluated.
     s_dyn = dict(schema, **{"$id": "unev://p20d/1.0",
                             "additionalProperties": {"type": "integer"}})
-    registry, issues = load_schemas([("s.json", s_dyn)])
-    assert any(
-        "unevaluatedProperties" in i.description
-        for i in issues
-        if i.severity == "warning"
-    )
+    got = assert_auto_parity(spark, s_dyn, [
+        ("ap_valid", {"a": "v", "b": 1}),
+        ("ap_invalid", {"a": "v", "b": "x"}),
+    ])
+    assert got["ap_valid"] == []
+    assert got["ap_invalid"] == ["type", "unevaluatedProperties"]
+
+
+def test_schema_form_additional_properties_values(spark):
+    # schema-form additionalProperties validates undeclared property
+    # VALUES with leaf reasons (all drafts) — previously annotation-only
+    schema = {
+        "$schema": DRAFT,
+        "$id": "apv://d7/1.0",
+        "type": "object",
+        "properties": {"x": {}},
+        "patternProperties": {"^n": {}},
+        "additionalProperties": {"type": "integer", "minimum": 0},
+    }
+    docs = [
+        ("ok_declared", {"x": "anything"}),
+        ("ok_pattern", {"nfoo": "anything"}),
+        ("ok_extra_int", {"y": 3}),
+        ("bad_extra_str", {"y": "s"}),
+        ("bad_extra_neg", {"y": -2}),
+        ("bad_both", {"y": "s", "z": -1}),
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["bad_extra_str"] == ["type"]
+    assert got["bad_extra_neg"] == ["minimum"]
 
 
 def test_unevaluated_items_static_parity(spark):

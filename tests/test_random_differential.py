@@ -184,9 +184,11 @@ def test_random_docs_match_jsonschema_2019(spark):
 
     registry, issues = load_schemas([("s.json", SCHEMA19)])
     assert [i for i in issues if i.severity == "error"] == [], issues
-    assert not [i for i in issues if i.severity == "warning"], (
-        "battery19 must stay inside the compiled static subset"
-    )
+    assert not [
+        i
+        for i in issues
+        if i.severity == "warning" and "unevaluated" in i.description
+    ], "battery19 must stay inside the compiled unevaluated* subset"
     cs = registry["rand://battery19/1.0"]
     shredded = shred_documents(spark, docs, cs)
     battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
