@@ -418,6 +418,27 @@ def compile_check(
                 )
         if check.max_contains is not None:
             add("maxContains", matched <= _lit(check.max_contains), F.to_json(c))
+    if check.unevaluated_item_checks is not None:
+        # schema-form unevaluatedItems: every element past the
+        # evaluated prefix must satisfy the subschema; reason is the
+        # single name "unevaluatedItems" (jsonschema's UI descent
+        # collapses like the UP one)
+        ui_prefix_len, ui_kwpairs = check.unevaluated_item_checks
+        ui_kws = dict(ui_kwpairs)
+        tail = F.slice(
+            c,
+            ui_prefix_len + 1,
+            F.greatest(F.size(c) - ui_prefix_len, F.lit(0)),
+        )
+
+        def _ui_pred(el: Column) -> Column:
+            return _scalar_kw_pred(el, ui_kws, literal_mode=True)
+
+        add(
+            "unevaluatedItems",
+            F.forall(tail, _ui_pred),
+            F.to_json(tail),
+        )
     if check.max_unevaluated_items is not None:
         # static "unevaluatedItems": false — only the first
         # max_unevaluated_items positions are evaluated (by
@@ -514,17 +535,22 @@ def compile_check(
                 F.to_json(extra_vals),
             )
     if check.unevaluated_entries is not None:
-        # 2020-12 unevaluatedProperties: false with object-form AP —
-        # a property passes iff declared, pattern-matched, or its
-        # value satisfies the AP subschema (then AP *evaluated* it)
-        allowed, patterns, kwpairs = check.unevaluated_entries
-        kws = dict(kwpairs)
-        name_ok = _undeclared_filter(allowed, patterns)
+        # value-dependent unevaluatedProperties: an entry violates iff
+        # undeclared AND un-evaluated by AP's value predicate (2020-12
+        # walk) AND failing the schema-form UP subschema (UP false =
+        # no up_kws = nothing passes)
+        allowed, patterns, ap_kws, up_kws = check.unevaluated_entries
+        apd = dict(ap_kws) if ap_kws is not None else None
+        upd = dict(up_kws) if up_kws is not None else None
+        undeclared = _undeclared_filter(allowed, patterns)
 
         def _unevaluated(k, v):
-            return name_ok(k, v) & ~_scalar_kw_pred(
-                v, kws, literal_mode=True
-            )
+            bad = undeclared(k, v)
+            if apd is not None:
+                bad = bad & ~_scalar_kw_pred(v, apd, literal_mode=True)
+            if upd is not None:
+                bad = bad & ~_scalar_kw_pred(v, upd, literal_mode=True)
+            return bad
 
         add(
             "unevaluatedProperties",

@@ -713,18 +713,38 @@ class _Compiler:
             # schema, compiled via the #entries map when the AP
             # subschema is scalar-expressible
             up_dynamic = self.draft_2020 and isinstance(ap, dict) and ap
-            if up is False and not up_vacuous:
+            if (up is False or (isinstance(up, dict) and up)) and not up_vacuous:
+                # up_sub: None ⇔ UP is false (nothing passes);
+                # up_state: True = compilable, None = vacuous (UP
+                # accepts every value), False = not compilable
+                up_sub = None
+                up_state = True
+                if isinstance(up, dict):
+                    up_sub = self._scalar_subset(
+                        up, f"/{prefix or ''} unevaluatedProperties"
+                    )
+                    if up_sub is None:
+                        up_state = False
+                    elif up_sub == ():
+                        up_state = None
                 if in_place:
                     self.warnings.append(
                         f"/{prefix}: unevaluatedProperties alongside "
                         f"{in_place} is not compiled — only partially "
                         f"enforced"
                     )
+                elif up_state is None:
+                    pass  # UP accepts everything → never fires
+                elif up_state is False:
+                    self.warnings.append(
+                        f"/{prefix}: schema-form unevaluatedProperties is "
+                        f"not compiled — only partially enforced"
+                    )
                 elif up_dynamic:
+                    # 2020-12 with object-form AP: a property passes
+                    # iff declared, pattern-matched, AP-valid
+                    # (evaluated), or — schema-form — UP-valid
                     if ap_sub:
-                        # exact up to the (warned) scalar subset: a
-                        # property passes iff declared, pattern-
-                        # matched, or its value satisfies AP
                         self.entries_paths.add(prefix)
                         out.append(
                             ColumnCheck(
@@ -733,6 +753,7 @@ class _Compiler:
                                     node_allowed,
                                     node_patterns,
                                     ap_sub,
+                                    up_sub,
                                 ),
                             )
                         )
@@ -747,36 +768,46 @@ class _Compiler:
                             f"malformed additionalProperties is not "
                             f"compiled — only partially enforced"
                         )
-                else:
-                    allowed = set(
-                        node["properties"]
-                        if isinstance(node.get("properties"), dict)
-                        else ()
+                elif isinstance(up, dict):
+                    # schema-form UP, no value-based evaluator: names
+                    # outside the evaluated set must carry UP-valid
+                    # values; the legacy walk additionally counts AP's
+                    # and UP's OWN KEYS as evaluated names ([verified]
+                    # quirk)
+                    allowed = set(node_allowed)
+                    if not self.draft_2020:
+                        if isinstance(ap, dict):
+                            allowed |= set(ap)
+                        allowed |= set(up)
+                    self.entries_paths.add(prefix)
+                    out.append(
+                        ColumnCheck(
+                            column=entries_col,
+                            unevaluated_entries=(
+                                tuple(sorted(allowed)),
+                                node_patterns,
+                                None,
+                                up_sub,
+                            ),
+                        )
                     )
+                else:
+                    # UP false, fully static → cheap keys-array check
+                    allowed = set(node_allowed)
                     if not self.draft_2020 and isinstance(ap, dict):
                         # legacy-walk quirk, [verified]: an object-form
                         # additionalProperties contributes its OWN KEYS
                         # as evaluated property names
                         allowed |= set(ap)
-                    patterns = (
-                        tuple(sorted(node["patternProperties"]))
-                        if isinstance(node.get("patternProperties"), dict)
-                        else ()
-                    )
                     self.props_paths.add(prefix)
                     out.append(
                         ColumnCheck(
                             column=keys_col,
                             allowed_keys=tuple(sorted(allowed)),
-                            allowed_key_patterns=patterns or None,
+                            allowed_key_patterns=node_patterns or None,
                             keys_reason="unevaluatedProperties",
                         )
                     )
-            elif isinstance(up, dict) and up and not up_vacuous:
-                self.warnings.append(
-                    f"/{prefix}: schema-form unevaluatedProperties is not "
-                    f"compiled — only partially enforced"
-                )
 
             ui = node.get("unevaluatedItems")
             items = node.get("items")
@@ -788,7 +819,17 @@ class _Compiler:
                 or isinstance(items, dict)
                 or "additionalItems" in node
             )
-            if ui is False and not ui_vacuous:
+            if (ui is False or (isinstance(ui, dict) and ui)) and not ui_vacuous:
+                ui_sub = None  # None ⇔ UI is false (nothing passes)
+                ui_state = True
+                if isinstance(ui, dict):
+                    ui_sub = self._scalar_subset(
+                        ui, f"/{prefix or ''} unevaluatedItems"
+                    )
+                    if ui_sub is None:
+                        ui_state = False
+                    elif ui_sub == ():
+                        ui_state = None
                 # `contains` coverage is is_valid-per-element in BOTH
                 # walks → dynamic, warn
                 if in_place or "contains" in node:
@@ -796,6 +837,13 @@ class _Compiler:
                         f"/{prefix}: unevaluatedItems alongside "
                         f"{in_place or ['contains']} is not compiled — "
                         f"only partially enforced"
+                    )
+                elif ui_state is None:
+                    pass  # UI accepts everything → never fires
+                elif ui_state is False:
+                    self.warnings.append(
+                        f"/{prefix}: schema-form unevaluatedItems is not "
+                        f"compiled — only partially enforced"
                     )
                 else:
                     if self.draft_2020:
@@ -818,12 +866,12 @@ class _Compiler:
                             column=ui_arr,
                             max_unevaluated_items=prefix_len,
                         )
+                        if ui_sub is None
+                        else ColumnCheck(
+                            column=ui_arr,
+                            unevaluated_item_checks=(prefix_len, ui_sub),
+                        )
                     )
-            elif isinstance(ui, dict) and ui and not ui_vacuous:
-                self.warnings.append(
-                    f"/{prefix}: schema-form unevaluatedItems is not "
-                    f"compiled — only partially enforced"
-                )
         # patternProperties: every property whose name matches a regex
         # must carry a value satisfying that regex's (scalar-subset)
         # subschema — real per-key checks over the `#entries` map

@@ -167,12 +167,20 @@ class ColumnCheck:
     # jsonschema's descent into the subschema.  Column holds
     # `<path>#entries`.  (allowed_names, name_patterns, kw_pairs).
     additional_entries: Optional[tuple] = None
-    # 2020-12 unevaluatedProperties: false with OBJECT-FORM
-    # additionalProperties: a property counts as evaluated iff its
-    # VALUE satisfies the AP subschema (jsonschema's is_valid-based
-    # walk), so the guard needs the name sets AND the value predicate.
-    # Column holds `<path>#entries`.  Same tuple shape as above.
+    # value-dependent unevaluatedProperties guard over the
+    # `<path>#entries` map: (allowed_names, name_patterns,
+    # ap_kws | None, up_kws | None).  An entry VIOLATES iff its name
+    # is neither declared nor pattern-matched, its value fails the
+    # ap_kws evaluator (2020-12 walk: AP-valid values count as
+    # evaluated; None = no value evaluator), and fails up_kws (the
+    # schema-form unevaluatedProperties subschema; None = UP false —
+    # nothing passes).  Reason is always "unevaluatedProperties"
+    # (jsonschema's UP descent collapses to that name, probed 4.26).
     unevaluated_entries: Optional[tuple] = None
+    # schema-form "unevaluatedItems": elements past the evaluated
+    # prefix must satisfy the subschema — (prefix_len, kw_pairs) over
+    # the element-literal array; single reason "unevaluatedItems".
+    unevaluated_item_checks: Optional[tuple] = None
     # reason override for the allowed-keys machinery: the STATIC
     # subset of 2019-09+ "unevaluatedProperties": false (no in-place
     # applicators at the node) compiles to the identical predicate as

@@ -570,6 +570,107 @@ def test_schema_form_additional_properties_values(spark):
     assert got["bad_extra_neg"] == ["minimum"]
 
 
+def test_unevaluated_properties_schema_form_parity(spark):
+    up = {"type": "integer", "minimum": 0}
+    for draft, sid in ((D2019, "unev://sf19/1.0"), (D2020, "unev://sf20/1.0")):
+        schema = {
+            "$schema": draft,
+            "$id": sid,
+            "type": "object",
+            "properties": {"a": {}},
+            "patternProperties": {"^n": {}},
+            "unevaluatedProperties": up,
+        }
+        docs = [
+            ("ok_int", {"a": 1, "b": 3}),
+            ("bad_str", {"a": 1, "b": "s"}),
+            ("bad_neg", {"a": 1, "b": -1}),
+            ("ok_pattern", {"nx": "whatever"}),
+            # legacy-walk quirk: UP's OWN keys count as evaluated
+            # names under 2019-09, but not 2020-12
+            ("key_named_type", {"a": 1, "type": "zz"}),
+        ]
+        got = assert_auto_parity(spark, schema, docs)
+        assert got["bad_str"] == ["unevaluatedProperties"]
+        assert got["key_named_type"] == (
+            [] if draft == D2019 else ["unevaluatedProperties"]
+        )
+
+        # alongside schema-form AP: AP-valid values are evaluated
+        # under 2020-12 only; AP leaf errors fire in both
+        s_ap = dict(schema, **{"$id": sid + "ap",
+                               "additionalProperties": {"type": "string"}})
+        docs_ap = [
+            ("extra_str", {"b": "s"}),
+            ("extra_int", {"b": 2}),
+            ("extra_bool", {"b": True}),
+        ]
+        got = assert_auto_parity(spark, s_ap, docs_ap)
+        assert got["extra_bool"] == ["type", "unevaluatedProperties"]
+        assert got["extra_str"] == (
+            ["unevaluatedProperties"] if draft == D2019 else []
+        )
+
+
+def test_unevaluated_items_schema_form_parity(spark):
+    # 2019-09 tuple-items prefix + UI subschema over the tail
+    s19 = {
+        "$schema": D2019,
+        "$id": "unev://isf19/1.0",
+        "type": "object",
+        "properties": {
+            "arr": {
+                "type": "array",
+                "items": [{"type": "integer"}],
+                "unevaluatedItems": {"type": "string"},
+            }
+        },
+    }
+    got = assert_auto_parity(spark, s19, [
+        ("ok_prefix", {"arr": [1]}),
+        ("ok_tail", {"arr": [1, "x", "y"]}),
+        ("bad_tail", {"arr": [1, 2]}),
+        ("bad_prefix", {"arr": ["a"]}),
+        ("empty", {"arr": []}),
+    ])
+    assert got["bad_tail"] == ["unevaluatedItems"]
+    assert got["bad_prefix"] == ["type"]  # prefix position is evaluated
+
+    # no prefix at all: every element must satisfy the UI subschema
+    s19n = {
+        "$schema": D2019,
+        "$id": "unev://isf19n/1.0",
+        "type": "object",
+        "properties": {
+            "arr": {"type": "array", "unevaluatedItems": {"type": "string"}}
+        },
+    }
+    got = assert_auto_parity(spark, s19n, [
+        ("ok", {"arr": ["a", "b"]}),
+        ("bad", {"arr": ["a", 1]}),
+    ])
+    assert got["bad"] == ["unevaluatedItems"]
+
+    # 2020-12 prefixItems form
+    s20 = {
+        "$schema": D2020,
+        "$id": "unev://isf20/1.0",
+        "type": "object",
+        "properties": {
+            "arr": {
+                "type": "array",
+                "prefixItems": [{"type": "integer"}],
+                "unevaluatedItems": {"type": "string"},
+            }
+        },
+    }
+    got = assert_auto_parity(spark, s20, [
+        ("ok", {"arr": [1, "x"]}),
+        ("bad", {"arr": [1, 2]}),
+    ])
+    assert got["bad"] == ["unevaluatedItems"]
+
+
 def test_unevaluated_items_static_parity(spark):
     # 2019-09: tuple-form items evaluates its positions; longer fails
     s19 = {

@@ -154,6 +154,16 @@ SCHEMA19 = {
             "additionalProperties": {"nx": {}},
             "unevaluatedProperties": False,
         },
+        "obsf": {
+            "type": "object",
+            "properties": {"x": {}},
+            "unevaluatedProperties": {"type": "integer", "minimum": 0},
+        },
+        "tupsf": {
+            "type": "array",
+            "items": [{"type": "integer"}],
+            "unevaluatedItems": {"type": "string"},
+        },
         "a": {},
         "b": {},
     },
@@ -162,7 +172,7 @@ SCHEMA19 = {
     "unevaluatedProperties": False,
 }
 
-PROPS19 = ["s", "tup", "anyarr", "cb", "ob", "ob2", "a", "b"]
+PROPS19 = ["s", "tup", "anyarr", "cb", "ob", "ob2", "obsf", "tupsf", "a", "b"]
 
 
 def gen_doc19(rng: random.Random) -> dict:
