@@ -282,6 +282,68 @@ def q_image_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viol.select("constraint_id", "reason", "row_id")
 
 
+def q_image_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star 'quantiles for w/h/phash drift' ON THE IMAGE TABLE:
+    per-fmt decile drift of declared width and phash between a current
+    batch (png widths +6 — a resize-pipeline change; jpeg phashes
+    compressed into the lower hash half — an encoder change shifting the
+    hash distribution) and the baseline.  The metadata columns
+    are derived from part keys by the synth injection arithmetic
+    (payload/synth.py rules) in PURE column algebra — at 10^12 rows a
+    metadata-drift check must never touch `bytes`, so there is no
+    decode, no mapInPandas, just two grouped aggregations per metric.
+    Oracle recomputes everything from `part` arithmetically."""
+    from python_extended_json_schema_validator_spark.payload.synth import (
+        PHASH_MOD,
+        PHASH_MULT,
+    )
+
+    k = F.col("p_partkey")
+    w_real = F.lit(8) + k % 25
+    w_decl = (
+        F.when(k % 101 == 0, -w_real)
+        .when(k % 89 == 0, w_real + 1)
+        .otherwise(w_real)
+    )
+    fmt = F.when(k % 103 == 0, F.lit("tiff")).otherwise(
+        F.element_at(F.array(F.lit("jpeg"), F.lit("png"), F.lit("webp")), (k % 3 + 1).cast("int"))
+    )
+    ph_src = F.when((k % 71 == 0) & (k >= 71), k - 3).otherwise(k)
+    phash = (ph_src * F.lit(PHASH_MULT)) % F.lit(PHASH_MOD)
+    img = _t(spark, sf_dir, "part").select(
+        fmt.alias("fmt"), w_decl.alias("w"), phash.alias("phash")
+    )
+
+    base_w = img.select("fmt", F.col("w").cast("double").alias("val"))
+    cur_w = img.select(
+        "fmt",
+        (
+            F.col("w")
+            + F.when(F.col("fmt") == "png", F.lit(6)).otherwise(F.lit(0))
+        ).cast("double").alias("val"),
+    )
+    base_p = img.select("fmt", F.col("phash").cast("double").alias("val"))
+    cur_p = img.select(
+        "fmt",
+        F.when(
+            F.col("fmt") == "jpeg", F.col("phash") % F.lit(500000003)
+        )
+        .otherwise(F.col("phash"))
+        .cast("double")
+        .alias("val"),
+    )
+    d_w = stats_mod.decile_drift(cur_w, base_w, ["fmt"], "val", threshold=0.1)
+    d_p = stats_mod.decile_drift(cur_p, base_p, ["fmt"], "val", threshold=0.1)
+    return (
+        d_w.select(F.lit("w").alias("metric"), "fmt",
+                   F.round("shift", 6).alias("shift"), "drifted")
+        .unionByName(
+            d_p.select(F.lit("phash").alias("metric"), "fmt",
+                       F.round("shift", 6).alias("shift"), "drifted")
+        )
+    )
+
+
 def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-group column profile (nulls/min/max/distinct)
     — the engine's stats pass with exact distinct for oracle parity."""
@@ -984,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "combinator_checks": q_combinator_checks,
         "drift_check": q_drift_check,
+        "image_drift": q_image_drift,
         # contract-bounded approximates: the oracle hash-validates the
         # EXACT companion columns plus an always-true accuracy verdict
         # the Spark side computes (recall@5 ≥ 0.6 / |td−exact| ≤ 1%·range)
@@ -1075,6 +1138,66 @@ def oracle_sql() -> dict[str, str]:
               FROM qc JOIN qb USING (l_returnflag)
             )
             SELECT l_returnflag, shift, shift > 0.1 AS drifted FROM j
+        """,
+        "image_drift": """
+            WITH img AS (
+              SELECT CASE WHEN p_partkey % 103 = 0 THEN 'tiff'
+                          WHEN p_partkey % 3 = 0 THEN 'jpeg'
+                          WHEN p_partkey % 3 = 1 THEN 'png'
+                          ELSE 'webp' END AS fmt,
+                     CASE WHEN p_partkey % 101 = 0 THEN -(8 + p_partkey % 25)
+                          WHEN p_partkey % 89 = 0 THEN 8 + p_partkey % 25 + 1
+                          ELSE 8 + p_partkey % 25 END AS w,
+                     CASE WHEN p_partkey % 71 = 0 AND p_partkey >= 71
+                          THEN ((p_partkey - 3) * 2654435761) % 1000000007
+                          ELSE (p_partkey * 2654435761) % 1000000007
+                          END AS phash
+              FROM part
+            ),
+            src AS (
+              SELECT 'w' AS metric, fmt, CAST(w AS DOUBLE) AS bval,
+                     CAST(w + CASE WHEN fmt = 'png' THEN 6 ELSE 0 END
+                          AS DOUBLE) AS cval
+              FROM img
+              UNION ALL
+              SELECT 'phash', fmt, CAST(phash AS DOUBLE),
+                     CAST(CASE WHEN fmt = 'jpeg'
+                               THEN phash % 500000003
+                               ELSE phash END AS DOUBLE)
+              FROM img
+            ),
+            q AS (
+              SELECT metric, fmt,
+                     quantile_cont(bval, 0.1) AS b10, quantile_cont(bval, 0.2) AS b20,
+                     quantile_cont(bval, 0.3) AS b30, quantile_cont(bval, 0.4) AS b40,
+                     quantile_cont(bval, 0.5) AS b50, quantile_cont(bval, 0.6) AS b60,
+                     quantile_cont(bval, 0.7) AS b70, quantile_cont(bval, 0.8) AS b80,
+                     quantile_cont(bval, 0.9) AS b90,
+                     quantile_cont(cval, 0.1) AS c10, quantile_cont(cval, 0.2) AS c20,
+                     quantile_cont(cval, 0.3) AS c30, quantile_cont(cval, 0.4) AS c40,
+                     quantile_cont(cval, 0.5) AS c50, quantile_cont(cval, 0.6) AS c60,
+                     quantile_cont(cval, 0.7) AS c70, quantile_cont(cval, 0.8) AS c80,
+                     quantile_cont(cval, 0.9) AS c90
+              FROM src GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT metric, fmt,
+                     greatest(
+                       abs(c10 - b10) / nullif(b90 - b10, 0.0),
+                       abs(c20 - b20) / nullif(b90 - b10, 0.0),
+                       abs(c30 - b30) / nullif(b90 - b10, 0.0),
+                       abs(c40 - b40) / nullif(b90 - b10, 0.0),
+                       abs(c50 - b50) / nullif(b90 - b10, 0.0),
+                       abs(c60 - b60) / nullif(b90 - b10, 0.0),
+                       abs(c70 - b70) / nullif(b90 - b10, 0.0),
+                       abs(c80 - b80) / nullif(b90 - b10, 0.0),
+                       abs(c90 - b90) / nullif(b90 - b10, 0.0)
+                     ) AS shift
+              FROM q
+            )
+            SELECT metric, fmt, round(shift, 6) AS shift,
+                   shift > 0.1 AS drifted
+            FROM j
         """,
         "ann_ivf": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -33,6 +33,7 @@ EXTRA_QUERIES = [
     "drift_check",
     "ann_ivf",
     "repetition_stats",
+    "image_drift",
 ]
 
 BENCH_QUERIES = [
