@@ -36,6 +36,32 @@ import sys
 import tempfile
 
 
+def _pkg_version() -> str:
+    from . import __version__
+
+    return __version__
+
+
+def _setup_logging(args) -> None:
+    """⇔ reference logging flags (__main__.py:106-140): -d > -v > -q >
+    default WARNING for the engine's own messages."""
+    import logging
+
+    level = logging.WARNING
+    if args.debug:
+        level = logging.DEBUG
+    elif args.verbose:
+        level = logging.INFO
+    elif args.quiet:
+        level = logging.ERROR
+    kwargs = {"level": level}
+    if args.log_format:
+        kwargs["format"] = args.log_format
+    if args.log_file:
+        kwargs["filename"] = args.log_file
+    logging.basicConfig(**kwargs)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="python_extended_json_schema_validator_spark",
@@ -59,15 +85,35 @@ def main(argv=None) -> int:
                     help="on validation errors, launch $EDITOR on the "
                     "report + erroring files, then re-validate; repeats "
                     "until clean (⇔ reference --fix, __main__.py:374-452)")
+    ap.add_argument("--annotation", default=None,
+                    help="dotted/indexed path (e.g. $._id) extracted from "
+                    "each validated doc into the report entry's 'annot' key")
+    ap.add_argument("-c", "--continue", action="store_true", dest="do_continue",
+                    help="accepted for reference-CLI compatibility; the "
+                    "distributed engine always evaluates every violation, "
+                    "so this is the only behavior")
+    ap.add_argument("-q", "--quiet", action="store_true",
+                    help="only engine warnings and errors")
+    ap.add_argument("-v", "--verbose", action="store_true",
+                    help="informational messages")
+    ap.add_argument("-d", "--debug", action="store_true",
+                    help="debug messages")
+    ap.add_argument("--log-file", default=None,
+                    help="send log messages to this file")
+    ap.add_argument("--log-format", default=None,
+                    help="logging format string")
+    ap.add_argument("-V", "--version", action="version",
+                    version="%(prog)s version " + _pkg_version())
     ap.add_argument("--schema_id_path", default=None,
                     help="dotted path of the schema id inside each doc")
     ap.add_argument("--dot-report", nargs=2, metavar=("FILE", "TITLE"),
                     help="write a DOT graph of the loaded schemas")
     ap.add_argument("--master", default="local[*]")
     args = ap.parse_args(argv)
+    _setup_logging(args)
 
     from .schemas import SCHEMA_KEY_PROBES, load_schemas, parse_json_or_yaml
-    from .suite import run_suite, scan_documents
+    from .suite import extract_annotation, run_suite, scan_documents
 
     probes = (
         (args.schema_id_path,) if args.schema_id_path else SCHEMA_KEY_PROBES
@@ -140,9 +186,18 @@ def main(argv=None) -> int:
                 res.per_file.setdefault(f, []).append("fatal")
 
         if fix_report:
+            annmap = None
+            if args.annotation:
+                annmap = {}
+                for f, d, e in docs:
+                    if e is None:
+                        found, val = extract_annotation(d, args.annotation)
+                        if found:
+                            annmap[f] = val
             with open(fix_report, "w") as fh:
                 json.dump(
                     res.report(
+                        annot=annmap,
                         quiet=args.quiet_report,
                         # fix mode writes error-only entries, like the
                         # reference's `elif args.doFix: continue` skip

@@ -25,6 +25,7 @@ semantics follow ``allow_provider_duplicates`` (pk_check.py:216-240).
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple, Union
 
@@ -53,7 +54,12 @@ class SuiteResult:
     unmatched: List[str] = field(default_factory=list)  # files with no schema
     doc_schema: Dict[str, str] = field(default_factory=dict)  # file → schema uri
 
-    def report(self, quiet: bool = False, error_report: bool = False) -> list:
+    def report(
+        self,
+        quiet: bool = False,
+        error_report: bool = False,
+        annot: Optional[Dict[str, Any]] = None,
+    ) -> list:
         """Reference-shaped JSON report (⇔ __main__.py:311-338 +
         ParsedContentEntry): leading entries one per loaded schema
         ``{file, uri, id_key, schema_hash, errors[, schema]}``
@@ -109,15 +115,46 @@ class SuiteResult:
                 continue
             uri = self.doc_schema.get(fname)
             cs = self.registry.get(uri) if uri else None
-            out.append(
-                {
-                    "file": fname,
-                    "schema_id": uri,
-                    "schema_hash": cs.schema_hash if cs else None,
-                    "errors": errs,
-                }
-            )
+            entry = {
+                "file": fname,
+                "schema_id": uri,
+                "schema_hash": cs.schema_hash if cs else None,
+                "errors": errs,
+            }
+            # ⇔ --annotation (__main__.py:418-421): first JSONPath
+            # match per DOCUMENT entry lands under the "annot" key;
+            # no match → no key
+            if annot is not None and fname in annot:
+                entry["annot"] = annot[fname]
+            out.append(entry)
         return out
+
+
+def extract_annotation(doc: Any, path: str) -> Tuple[bool, Any]:
+    """Driver-side annotation extraction for the CLI report
+    (⇔ --annotation with jsonpath-ng, reference __main__.py:340-345,
+    418-421).  Supports the dotted/indexed subset this engine compiles
+    everywhere else (`$.a.b`, `$._id`, `a.b`, `a[0].c`); returns
+    (found, value) so a missing member differs from a None value."""
+    p = path[2:] if path.startswith("$.") else path.lstrip("$")
+    cur = doc
+    if not p:
+        return False, None
+    for raw in p.split("."):
+        m = re.match(r"^([^\[\]]*)((\[\d+\])*)$", raw)
+        if not m:
+            return False, None
+        name, idxs = m.group(1), re.findall(r"\[(\d+)\]", raw)
+        if name:
+            if not isinstance(cur, Mapping) or name not in cur:
+                return False, None
+            cur = cur[name]
+        for i in idxs:
+            i = int(i)
+            if not isinstance(cur, (list, tuple)) or i >= len(cur):
+                return False, None
+            cur = cur[i]
+    return True, cur
 
 
 def _describe(r, fkmap: Mapping) -> str:

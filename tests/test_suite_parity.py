@@ -372,6 +372,48 @@ def test_cli_exit_codes_and_report(spark, tmp_path):
     assert rc == 1
 
 
+def test_cli_annotation_and_version(spark, tmp_path, capsys):
+    """--annotation extracts a dotted path into each doc entry's
+    'annot' key (⇔ reference __main__.py:340-345,418-421); -V prints
+    the version string."""
+    from python_extended_json_schema_validator_spark.__main__ import main
+    from python_extended_json_schema_validator_spark.suite import (
+        extract_annotation,
+    )
+
+    # unit: the dotted/indexed subset
+    doc = {"_id": "d1", "a": {"b": [10, {"c": 7}]}}
+    assert extract_annotation(doc, "$._id") == (True, "d1")
+    assert extract_annotation(doc, "a.b[1].c") == (True, 7)
+    assert extract_annotation(doc, "$.missing") == (False, None)
+    assert extract_annotation(doc, "a.b[9]") == (False, None)
+
+    rep = str(tmp_path / "rep.json")
+    rc = main([
+        f"{BASE}/fk_simple_example/schemas",
+        f"{BASE}/fk_simple_example/bad_validation",
+        "--report", rep, "--quiet-report",
+        "--annotation", "$.something.ref_local_id",
+    ])
+    assert rc == 2
+    entries = json.load(open(rep))
+    docs = [e for e in entries if "schema_id" in e]
+    with_annot = [e for e in docs if "annot" in e]
+    assert with_annot, "ref_* docs carry something.ref_local_id"
+    # every annot value equals the member in the source file
+    for e in with_annot:
+        src = json.load(open(e["file"]))
+        assert e["annot"] == src["something"]["ref_local_id"]
+    assert any("annot" not in e for e in docs), "no-match docs skip the key"
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as ei:
+        main(["-V"])
+    assert ei.value.code == 0
+    assert "version" in capsys.readouterr().out
+
+
 def test_iter_arrays_suite(spark, tmp_path):
     """--iter-arrays: an array file shreds into `file [i]` entries;
     duplicate keys ACROSS elements of one file flag normally."""
