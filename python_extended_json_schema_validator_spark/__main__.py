@@ -102,6 +102,19 @@ def main(argv=None) -> int:
                     help="send log messages to this file")
     ap.add_argument("--log-format", default=None,
                     help="logging format string")
+    ap.add_argument("--cache-dir", dest="cache_dir", default=None,
+                    help="disk cache for remote key-provider responses "
+                    "(⇔ extension caches)")
+    ap.add_argument("--invalidate", action="store_true",
+                    help="drop cached provider responses on startup")
+    ap.add_argument("--read-only", dest="cache_read_only",
+                    action="store_true",
+                    help="use the cache but never write to it")
+    ap.add_argument("--warm-up", action="store_true",
+                    help="accepted for compatibility: providers are "
+                    "always fetched once, eagerly, per run")
+    ap.add_argument("--lazy-load", action="store_true",
+                    help="accepted for compatibility (see --warm-up)")
     ap.add_argument("-V", "--version", action="version",
                     version="%(prog)s version " + _pkg_version())
     ap.add_argument("--schema_id_path", default=None,
@@ -111,6 +124,10 @@ def main(argv=None) -> int:
     ap.add_argument("--master", default="local[*]")
     args = ap.parse_args(argv)
     _setup_logging(args)
+    if args.invalidate and args.cache_dir:
+        from .providers import invalidate_cache
+
+        invalidate_cache(args.cache_dir)
 
     from .schemas import SCHEMA_KEY_PROBES, load_schemas, parse_json_or_yaml
     from .suite import extract_annotation, run_suite, scan_documents
@@ -180,6 +197,8 @@ def main(argv=None) -> int:
             config=config,
             probes=probes,
             guess_unmatched=(args.use_schemas or args.guess_schema),
+            cache_dir=args.cache_dir,
+            cache_read_only=args.cache_read_only,
         )
         for f, _, e in docs:
             if e is not None:

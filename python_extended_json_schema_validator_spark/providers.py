@@ -110,6 +110,50 @@ def fetch_remote_provider(
     )
 
 
+def cached_opener(cache_dir: str, base_opener, read_only: bool = False):
+    """Disk cache around a provider ``url -> (status, text)`` opener
+    (⇔ the reference's extension cache controlled by --cache-dir /
+    --read-only, abstract_check.py:118-160): responses persist as
+    ``<cache_dir>/<sha1(url)>.json`` so repeated validation runs skip
+    the network.  Only 200s are cached (failures retry next run);
+    ``read_only`` uses existing entries but never writes."""
+    import hashlib
+    import json as _json
+    import os
+
+    if not read_only:
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def opener(url: str):
+        path = os.path.join(
+            cache_dir, hashlib.sha1(url.encode()).hexdigest() + ".json"
+        )
+        if os.path.exists(path):
+            with open(path) as fh:
+                hit = _json.load(fh)
+            return hit["status"], hit["text"]
+        code, body = base_opener(url)
+        if code == 200 and not read_only:
+            with open(path, "w") as fh:
+                _json.dump({"url": url, "status": code, "text": body}, fh)
+        return code, body
+
+    return opener
+
+
+def invalidate_cache(cache_dir: str) -> int:
+    """⇔ --invalidate: drop every cached provider response; returns
+    the number of entries removed."""
+    import glob
+    import os
+
+    n = 0
+    for f in glob.glob(os.path.join(cache_dir, "*.json")):
+        os.unlink(f)
+        n += 1
+    return n
+
+
 @dataclass
 class TableProvider:
     """External dimension table provider (⇔ the remote HTTP provider,

@@ -236,6 +236,8 @@ def providers_from_config(
     config: Optional[Mapping],
     schema_uris: Sequence[str] = (),
     opener=None,
+    cache_dir: Optional[str] = None,
+    cache_read_only: bool = False,
 ) -> List[InlineProvider]:
     """primary_key.inline_provider → InlineProviders (YAML grammar of
     test-data/fk_with_inline/ejv_inline.yaml; duplicate flag
@@ -260,14 +262,30 @@ def providers_from_config(
     accept = pk_cfg.get("accept")
     url_bases = pk_cfg.get("provider")
     if accept is not None and url_bases:
-        from .providers import fetch_remote_provider
+        from .providers import cached_opener, fetch_remote_provider
 
+        eff_opener = opener
+        if eff_opener is None and cache_dir:
+            # the cache wrapper needs an explicit base opener —
+            # replicate fetch_remote_provider's default
+            from urllib.request import Request, urlopen
+
+            def eff_opener(url: str, _accept=accept):  # pragma: no cover
+                req = Request(url, headers={"Accept": _accept})
+                with urlopen(req) as f:
+                    return f.getcode(), str(f.read(), "utf-8")
+
+        if cache_dir and eff_opener is not None:
+            eff_opener = cached_opener(
+                cache_dir, eff_opener, read_only=cache_read_only
+            )
         prefix = pk_cfg.get("schema_prefix")
         for uri in schema_uris:
             if prefix == uri:
                 continue
             prov = fetch_remote_provider(
-                uri, url_bases, accept, allow_duplicates=allow, opener=opener
+                uri, url_bases, accept, allow_duplicates=allow,
+                opener=eff_opener,
             )
             if prov.keys:
                 out.append(prov)
@@ -375,6 +393,8 @@ def run_suite(
     guess_unmatched: Union[bool, Sequence[str]] = False,
     iterate_over_arrays: bool = False,
     max_violations: int = 1_000_000,
+    cache_dir: Optional[str] = None,
+    cache_read_only: bool = False,
 ) -> SuiteResult:
     """Run one suite.  ``schemas``: directory or [(file, schema dict)];
     ``docs``: directory or [(file, parsed doc)].  ``config``: the
@@ -476,7 +496,14 @@ def run_suite(
     }
     specs = [cs.table_spec for cs in registry.values()]
     engine = ValidationEngine(
-        specs, providers=providers_from_config(config, schema_uris=list(registry)), config=engine_config
+        specs,
+        providers=providers_from_config(
+            config,
+            schema_uris=list(registry),
+            cache_dir=cache_dir,
+            cache_read_only=cache_read_only,
+        ),
+        config=engine_config,
     )
     result = engine.validate(tables)
     # Bounded collect: the per-file reason aggregation below is a

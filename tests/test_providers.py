@@ -169,3 +169,46 @@ def test_remote_provider_via_suite_config(spark):
     )
     assert len(provs) == 1 and provs[0].table == "remote://dim/1.0"
     assert provs[0].keys == ["uno", "dos"]
+
+
+def test_provider_cache_dir(tmp_path):
+    """--cache-dir semantics: 200-responses persist across runs,
+    --invalidate drops them, --read-only never writes."""
+    from python_extended_json_schema_validator_spark.providers import (
+        invalidate_cache,
+    )
+    from python_extended_json_schema_validator_spark.suite import (
+        providers_from_config,
+    )
+
+    calls = []
+
+    def opener(url):
+        calls.append(url)
+        return 200, "k1\nk2\n"
+
+    cfg = {"primary_key": {"accept": "text/plain",
+                           "provider": "http://cache.test/base/"}}
+    uris = ["x://dim/1.0"]
+    cache = str(tmp_path / "c")
+
+    p1 = providers_from_config(cfg, uris, opener=opener, cache_dir=cache)
+    assert len(p1) == 1 and p1[0].keys == ["k1", "k2"]
+    assert len(calls) == 1
+
+    p2 = providers_from_config(cfg, uris, opener=opener, cache_dir=cache)
+    assert len(calls) == 1, "second run must hit the disk cache"
+    assert p2[0].keys == p1[0].keys
+
+    assert invalidate_cache(cache) == 1
+    providers_from_config(cfg, uris, opener=opener, cache_dir=cache)
+    assert len(calls) == 2, "invalidate forces a refetch"
+
+    ro = str(tmp_path / "ro")
+    providers_from_config(cfg, uris, opener=opener, cache_dir=ro,
+                          cache_read_only=True)
+    providers_from_config(cfg, uris, opener=opener, cache_dir=ro,
+                          cache_read_only=True)
+    assert len(calls) == 4, "read-only never populates the cache"
+    import os
+    assert not os.path.exists(ro)
