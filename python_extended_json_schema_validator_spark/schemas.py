@@ -601,7 +601,10 @@ class _Compiler:
         )
         if (
             tuple_items is None
-            and self.draft_2019_plus
+            # prefixItems exists only from 2020-12 — Draft201909Validator
+            # ignores it entirely ([verified] probe), so compiling it
+            # under 2019-09 would over-validate
+            and self.draft_2020
             and isinstance(node.get("prefixItems"), list)
         ):
             tuple_items = node["prefixItems"]

@@ -1000,3 +1000,30 @@ def test_if_then_else_leaf_parity(spark):
     assert got["else_fail"] == ["minLength"]
     assert got["bool_else"] == ["type"]
     assert got["r_else_fail"] == ["enum"]
+
+
+def test_prefix_items_ignored_under_2019(spark):
+    # prefixItems is a 2020-12 keyword; Draft201909Validator ignores
+    # it — compiling it under 2019-09 would over-validate (probe:
+    # jsonschema 4.26 emits NO error for a violating element)
+    s19 = {
+        "$schema": D2019,
+        "$id": "pfx://ig19/1.0",
+        "type": "object",
+        "properties": {
+            "arr": {"type": "array", "prefixItems": [{"type": "integer"}]}
+        },
+    }
+    got = assert_auto_parity(spark, s19, [("doc", {"arr": ["not-int"]})])
+    assert got["doc"] == []
+
+    s20 = {
+        "$schema": D2020,
+        "$id": "pfx://en20/1.0",
+        "type": "object",
+        "properties": {
+            "arr": {"type": "array", "prefixItems": [{"type": "integer"}]}
+        },
+    }
+    got = assert_auto_parity(spark, s20, [("doc", {"arr": ["not-int"]})])
+    assert got["doc"] == ["type"]
