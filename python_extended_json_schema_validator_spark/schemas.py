@@ -914,8 +914,14 @@ class _Compiler:
                     max_properties=node.get("maxProperties"),
                 )
             )
-        # dependencies / dependentRequired / dependentSchemas
+        # dependencies / dependentRequired / dependentSchemas —
+        # draft-split like jsonschema ([verified] probes): legacy
+        # `dependencies` is DROPPED from the 2019-09/2020-12 metas,
+        # and the split keywords don't exist before 2019-09; compiling
+        # either out of its draft would over-validate
         for dep_kw in ("dependencies", "dependentRequired", "dependentSchemas"):
+            if (dep_kw == "dependencies") == self.draft_2019_plus:
+                continue
             deps = node.get(dep_kw)
             if not isinstance(deps, dict):
                 continue

@@ -1027,3 +1027,27 @@ def test_prefix_items_ignored_under_2019(spark):
     }
     got = assert_auto_parity(spark, s20, [("doc", {"arr": ["not-int"]})])
     assert got["doc"] == ["type"]
+
+
+def test_dependencies_family_draft_split(spark):
+    # jsonschema ignores dependentRequired/dependentSchemas under
+    # draft-07 and legacy `dependencies` under 2019-09+ — so must we
+    d7 = {
+        "$schema": DRAFT,
+        "$id": "deps://d7split/1.0",
+        "type": "object",
+        "dependentRequired": {"a": ["b"]},
+        "dependentSchemas": {"a": {"required": ["c"]}},
+    }
+    got = assert_auto_parity(spark, d7, [("trig", {"a": 1})])
+    assert got["trig"] == []
+
+    d19 = {
+        "$schema": D2019,
+        "$id": "deps://d19split/1.0",
+        "type": "object",
+        "dependencies": {"a": ["b"]},
+        "dependentRequired": {"a": ["d"]},
+    }
+    got = assert_auto_parity(spark, d19, [("trig", {"a": 1})])
+    assert got["trig"] == ["dependentRequired"]
