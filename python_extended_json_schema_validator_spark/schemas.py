@@ -90,6 +90,23 @@ _CHECK_KEYWORDS = (
     "format",
 )
 
+# first draft LEVEL whose jsonschema validator enforces each keyword
+# ([verified] probes: Draft3/4 ignore const; Draft3/4 treat
+# exclusiveMinimum as the boolean minimum-modifier, never standalone;
+# Draft3 has divisibleBy, not multipleOf, and no min/maxProperties).
+# Compiling a keyword below its level would over-validate vs the
+# validator the reference's PLAIN_VALIDATOR_MAPPER picks.
+_KW_MIN_LEVEL = {
+    "const": 6,
+    "contains": 6,
+    "propertyNames": 6,
+    "multipleOf": 4,
+    "minProperties": 4,
+    "maxProperties": 4,
+}
+# (exclusiveMinimum/Maximum are draft-split by VALUE ROLE instead —
+# see the bounds-compilation block)
+
 # keywords expressible as a predicate over ONE scalar value — the
 # subset compiled inside propertyNames / patternProperties subschemas
 _SCALAR_KWS = (
@@ -294,14 +311,32 @@ class _Compiler:
         # draft-07 would over-validate vs jsonschema (which ignores
         # unknown keywords)
         draft = str(schema.get("$schema", ""))
-        self.draft_2019_plus = "2019-09" in draft or "2020-12" in draft
+        # numeric draft level, matching the validator the reference's
+        # PLAIN_VALIDATOR_MAPPER would pick (extend_validator_helpers
+        # .py:50-64) — including its quirk of mapping the draft-06
+        # HYPER schema to Draft4Validator
+        if "2020-12" in draft:
+            self.draft_level = 20
+        elif "2019-09" in draft:
+            self.draft_level = 19
+        elif "draft-07" in draft:
+            self.draft_level = 7
+        elif "draft-06/hyper" in draft:
+            self.draft_level = 4
+        elif "draft-06" in draft:
+            self.draft_level = 6
+        elif "draft-04" in draft:
+            self.draft_level = 4
+        else:
+            self.draft_level = 3
+        self.draft_2019_plus = self.draft_level >= 19
         # 2020-12 swaps jsonschema's legacy unevaluated* annotation
         # walk for the is_valid-based one — the static subsets differ
-        self.draft_2020 = "2020-12" in draft
+        self.draft_2020 = self.draft_level >= 20
         # if/then/else exists from draft-07 on (older drafts ignore it)
-        self.draft_07_plus = "draft-07" in draft or self.draft_2019_plus
+        self.draft_07_plus = self.draft_level >= 7
         # contains/const exist from draft-06 on
-        self.draft_06_plus = "draft-06" in draft or self.draft_07_plus
+        self.draft_06_plus = self.draft_level >= 6
         self.checks: List[ColumnCheck] = []
         self.unique: List[KeySpec] = []
         self.primary_keys: List[KeySpec] = []
@@ -373,6 +408,11 @@ class _Compiler:
 
     # -- keyword compilation --------------------------------------------------
 
+    def _kw_ok(self, k: str) -> bool:
+        """False for keywords this draft's jsonschema validator
+        IGNORES (compiling them would over-validate)."""
+        return self.draft_level >= _KW_MIN_LEVEL.get(k, 0)
+
     def _scalar_subset(self, sub: Any, where: str) -> Optional[Tuple]:
         """Scalar-keyword pairs for a propertyNames / patternProperties
         subschema (row_checks._scalar_kw_pred consumes them).  Boolean
@@ -390,7 +430,10 @@ class _Compiler:
         dropped: List[str] = []
         for k, v in sub.items():
             if k in _SCALAR_KWS:
-                out.append((k, tuple(v) if isinstance(v, list) else v))
+                # below-draft keywords are EXACTLY ignored (matching
+                # this draft's jsonschema validator) — no warning
+                if self._kw_ok(k):
+                    out.append((k, tuple(v) if isinstance(v, list) else v))
             elif k not in _ANNOTATION_KWS:
                 dropped.append(k)
         if dropped:
@@ -544,7 +587,11 @@ class _Compiler:
             # shapes (properties of object elements, nested arrays)
             # are recorded as warnings, never silently dropped.
             direct = prefix.endswith("[]") and prefix.count("[]") == 1
-            scalar = {k: node[k] for k in _SCALAR_KWS if k in node}
+            scalar = {
+                k: node[k]
+                for k in _SCALAR_KWS
+                if k in node and self._kw_ok(k)
+            }
             if direct and scalar:
                 self._touch(prefix)
                 out.append(
@@ -567,7 +614,9 @@ class _Compiler:
             dropped = [
                 k
                 for k in (*_CHECK_KEYWORDS, "required", *unev_here)
-                if k in node and not (direct and k in scalar)
+                if k in node
+                and self._kw_ok(k)  # below-draft = exactly ignored
+                and not (direct and k in scalar)
             ]
             if dropped:
                 self.warnings.append(
@@ -630,7 +679,11 @@ class _Compiler:
                 out.append(
                     ColumnCheck(column=arr_path, index_checks=tuple(idx_checks))
                 )
-        kw = {k: node[k] for k in _CHECK_KEYWORDS if k in node}
+        kw = {
+            k: node[k]
+            for k in _CHECK_KEYWORDS
+            if k in node and self._kw_ok(k)
+        }
         keys_col = (prefix + "#keys") if prefix else "#keys"
         entries_col = (prefix + "#entries") if prefix else "#entries"
         node_allowed = tuple(
@@ -895,16 +948,17 @@ class _Compiler:
                         pattern_properties=tuple(entries),
                     )
                 )
-        # propertyNames: subschema over every property NAME
-        pn = node.get("propertyNames")
+        # propertyNames: subschema over every property NAME (draft-06+)
+        pn = node.get("propertyNames") if self.draft_06_plus else None
         if isinstance(pn, (dict, bool)):
             subkw = self._scalar_subset(pn, f"/{prefix or ''} propertyNames")
             if subkw:
                 self.props_paths.add(prefix)
                 out.append(ColumnCheck(column=keys_col, property_names=subkw))
-        # minProperties / maxProperties: property-count bounds
-        if isinstance(node.get("minProperties"), int) or isinstance(
-            node.get("maxProperties"), int
+        # minProperties / maxProperties: property-count bounds (04+)
+        if self._kw_ok("minProperties") and (
+            isinstance(node.get("minProperties"), int)
+            or isinstance(node.get("maxProperties"), int)
         ):
             self.props_paths.add(prefix)
             out.append(
@@ -1002,25 +1056,30 @@ class _Compiler:
             args["const"] = kw["const"]
         if "pattern" in kw:
             args["pattern"] = kw["pattern"]
-        # draft-04 boolean exclusiveMinimum/Maximum modify minimum/maximum;
-        # draft-06+ they are standalone numerics
+        # exclusiveMinimum/Maximum are draft-SPLIT by LEVEL, matching
+        # jsonschema's validators ([verified]): under draft-03/04 any
+        # TRUTHY exclusiveMinimum (the legacy `minimum` validator does
+        # `schema.get("exclusiveMinimum", False)` — numerics count!)
+        # tightens the paired bound to strict and has no standalone
+        # effect; draft-06+ they are standalone numerics (the boolean
+        # form is meta-rejected there)
         emin, emax = kw.get("exclusiveMinimum"), kw.get("exclusiveMaximum")
-        if isinstance(emin, bool):
-            if emin and "minimum" in kw:
-                args["exclusive_minimum"] = kw["minimum"]
-            elif "minimum" in kw:
-                args["minimum"] = kw["minimum"]
+        if self.draft_level < 6:
+            if "minimum" in kw:
+                if emin:
+                    args["exclusive_minimum"] = kw["minimum"]
+                else:
+                    args["minimum"] = kw["minimum"]
+            if "maximum" in kw:
+                if emax:
+                    args["exclusive_maximum"] = kw["maximum"]
+                else:
+                    args["maximum"] = kw["maximum"]
         else:
             if "minimum" in kw:
                 args["minimum"] = kw["minimum"]
             if emin is not None:
                 args["exclusive_minimum"] = emin
-        if isinstance(emax, bool):
-            if emax and "maximum" in kw:
-                args["exclusive_maximum"] = kw["maximum"]
-            elif "maximum" in kw:
-                args["maximum"] = kw["maximum"]
-        else:
             if "maximum" in kw:
                 args["maximum"] = kw["maximum"]
             if emax is not None:

@@ -60,7 +60,7 @@ def engine_reasons(spark, schema, docs):
     {doc name: sorted leaf reasons}."""
     registry, issues = load_schemas([("s.json", schema)])
     assert [i for i in issues if i.severity == "error"] == [], issues
-    cs = registry[schema["$id"]]
+    cs = registry[schema.get("$id") or schema["id"]]
     shredded = shred_documents(spark, docs, cs)
     battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
     viol = row_checks.row_violations(shredded, F.col("__file"), battery)
@@ -1051,3 +1051,67 @@ def test_dependencies_family_draft_split(spark):
     }
     got = assert_auto_parity(spark, d19, [("trig", {"a": 1})])
     assert got["trig"] == ["dependentRequired"]
+
+
+D4 = "http://json-schema.org/draft-04/schema#"
+D3 = "http://json-schema.org/draft-03/schema#"
+
+
+def test_draft4_keyword_gates(spark):
+    """Draft4Validator ignores const/contains/propertyNames and treats
+    exclusiveMinimum as the boolean minimum-modifier — compiling them
+    draft-blind would over-validate ([verified] probes)."""
+    schema = {
+        "$schema": D4,
+        "id": "old://d4/1.0",
+        "type": "object",
+        "properties": {
+            "c": {"const": "x"},
+            "m": {"type": "number", "multipleOf": 3},
+            "nb": {"type": "number", "minimum": 5},
+            "obj": {"type": "object", "minProperties": 2},
+            "pn": {"type": "object", "propertyNames": {"pattern": "^a"}},
+            "ca": {"type": "array", "contains": {"type": "string"}},
+        },
+    }
+    docs = [
+        ("const_ign", {"c": "zzz"}),
+        ("mult_bad", {"m": 4}),
+        ("nb_edge", {"nb": 5}),
+        ("nb_low", {"nb": 4}),
+        ("minprops", {"obj": {"a": 1}}),
+        ("pn_ign", {"pn": {"zzz": 1}}),
+        ("ca_ign", {"ca": [1]}),
+    ]
+    got = assert_auto_parity(spark, schema, docs)
+    assert got["const_ign"] == []
+    assert got["mult_bad"] == ["multipleOf"]
+    assert got["nb_edge"] == []
+    assert got["minprops"] == ["minProperties"]
+    assert got["pn_ign"] == [] and got["ca_ign"] == []
+
+    # boolean exclusiveMinimum tightens the bound; VERDICT matches
+    # jsonschema, the reason name alone diverges (engine says
+    # exclusiveMinimum, Draft4 reports it under `minimum`)
+    s_ex = dict(schema, **{
+        "id": "old://d4ex/1.0",
+        "properties": {"b": {"type": "number", "minimum": 5,
+                             "exclusiveMinimum": True}},
+    })
+    mine = engine_reasons(spark, s_ex, [("edge", {"b": 5}),
+                                        ("above", {"b": 6})])
+    ref = jsonschema_reasons_auto(s_ex, [("edge", {"b": 5}),
+                                         ("above", {"b": 6})])
+    assert mine["edge"] == ["exclusiveMinimum"] and ref["edge"] == ["minimum"]
+    assert mine["above"] == [] == ref["above"]
+
+
+def test_draft3_ignores_multiple_of(spark):
+    schema = {
+        "$schema": D3,
+        "id": "old://d3/1.0",
+        "type": "object",
+        "properties": {"m": {"type": "number", "multipleOf": 3}},
+    }
+    got = assert_auto_parity(spark, schema, [("m_ign", {"m": 4})])
+    assert got["m_ign"] == []
