@@ -600,6 +600,49 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING with true transitivity: corpus = docs <25
+    plus two mutants per doc (one / two appended marker tokens).  The
+    edge rule is shingle-set symmetric difference ≤ 1, so A—B and B—C
+    are edges but A—C (diff 2) is NOT — the component {k, k+100000,
+    k+200000} only forms through label propagation.  The oracle
+    replicates the graph AND the components with a recursive CTE
+    (min reachable id per node).  The all-pairs candidate set is for
+    oracle tractability; at scale edges come from the minhash/simhash
+    candidate generators."""
+    from python_extended_json_schema_validator_spark.pipeline import dedup
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 25)
+        .select("doc_id", "text")
+    )
+    b = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq1")).alias("text"),
+    )
+    c = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq1 zq2")).alias("text"),
+    )
+    corpus = docs.unionByName(b).unionByName(c)
+    sh = dedup.word_shingles(corpus, "doc_id", k=3)
+    ids_a = corpus.select(F.col("doc_id").alias("doc_a"))
+    ids_b = corpus.select(F.col("doc_id").alias("doc_b"))
+    pairs = ids_a.crossJoin(ids_b).where(F.col("doc_a") < F.col("doc_b"))
+    jac = dedup.jaccard_on_pairs(pairs, sh)
+    edges = jac.where(
+        (F.col("sz_a") + F.col("sz_b") - 2 * F.col("inter")) <= 1
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = dedup.connected_components(
+        edges, corpus.select("doc_id"), id_col="doc_id"
+    )
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 # -- rows-only entries (no SQL-expressible oracle; driver records a
 #    weaker rows-only check) ------------------------------------------------
 
@@ -1039,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_counts": q_salted_counts,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "key_array_fanout": q_key_array_fanout,
         "schema_ingest": q_schema_ingest,
         "fk_scoped": q_fk_scoped,
@@ -1775,6 +1819,52 @@ def oracle_sql() -> dict[str, str]:
                        for i in range(16)
                    )
                    + """) <= 2
+        """,
+        "dedup_components": """
+            WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 25
+              UNION ALL
+              SELECT doc_id + 100000, text || ' zq1'
+              FROM documents WHERE doc_id < 25
+              UNION ALL
+              SELECT doc_id + 200000, text || ' zq1 zq2'
+              FROM documents WHERE doc_id < 25
+            ), toks AS (
+              SELECT doc_id AS doc,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM corpus
+            ), sh AS (
+              SELECT DISTINCT doc,
+                     CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+                          ELSE array_to_string(t, ' ') END AS shingle
+              FROM toks,
+                   LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+            ), sizes AS (
+              SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+            ), inter AS (
+              SELECT sa.doc AS doc_a, sb.doc AS doc_b, COUNT(*) AS i
+              FROM sh sa JOIN sh sb
+                ON sb.shingle = sa.shingle AND sa.doc < sb.doc
+              GROUP BY 1, 2
+            ), und AS (
+              SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes za ON za.doc = i.doc_a
+              JOIN sizes zb ON zb.doc = i.doc_b
+              WHERE za.sz + zb.sz - 2 * i.i <= 1
+            ), edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM und
+              UNION ALL
+              SELECT doc_b, doc_a FROM und
+            ), walk AS (
+              SELECT doc_id AS id, doc_id AS label FROM corpus
+              UNION
+              SELECT e.dst, w.label
+              FROM walk w JOIN edges e ON e.src = w.id
+            )
+            SELECT CAST(id AS BIGINT) AS doc_id,
+                   CAST(min(label) AS BIGINT) AS component
+            FROM walk GROUP BY id
         """,
         "ngram_jaccard": """
             WITH docs AS (

@@ -34,6 +34,7 @@ EXTRA_QUERIES = [
     "ann_ivf",
     "repetition_stats",
     "image_drift",
+    "dedup_components",
 ]
 
 BENCH_QUERIES = [

@@ -156,6 +156,67 @@ def jaccard_on_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    ids: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTERING: connected components over a
+    candidate-pair graph by min-label propagation — the
+    group-then-keep-one step of a dedup pipeline.  A near-dup chain
+    A~B~C collapses into ONE component even when (A, C) was never a
+    candidate pair, which pairwise dedup alone cannot do.
+
+    ``edges``: (src, dst) undirected pairs (e.g. from
+    minhash_near_duplicates / simhash banding); ``ids``: one row per
+    node.  Returns (id, component) with component = the smallest
+    reachable node id — the canonical survivor of each group.
+
+    Scale shape: one narrow shuffle per iteration (edges⋈labels on
+    id + groupBy min over (id, label) longs — the texts/vectors never
+    enter the loop), converging in O(graph diameter) iterations;
+    near-dup clusters are shallow (a few hops), which is why plain
+    propagation is used instead of the large-star/small-star dance.
+    Each iteration ends in localCheckpoint() to cut the join lineage,
+    and convergence is a limit(1) probe, not a full count."""
+    sym = edges.select(
+        F.col("src").alias("s"), F.col("dst").alias("d")
+    ).unionByName(
+        edges.select(F.col("dst").alias("s"), F.col("src").alias("d"))
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["d"] == labels["id"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, labels["id"] == nbr["s"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,

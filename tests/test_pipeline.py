@@ -178,3 +178,22 @@ def test_cosine_near_duplicates(spark, vecs):
     assert {(r.doc_a, r.doc_b) for r in out} == {(1, 2)}
     out2 = similarity.cosine_near_duplicates(vecs, threshold=0.995, bits=4).collect()
     assert {(r.doc_a, r.doc_b) for r in out2} == set()
+
+
+def test_connected_components_chains_and_singletons(spark):
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src long, dst long"
+    )  # chain {1,2,3}, pair {5,6}, singletons {4}, {7}
+    out = {r.id: r.component
+           for r in dedup.connected_components(edges, ids).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+    # a longer chain exercises multi-iteration propagation
+    ids2 = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    edges2 = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    out2 = {r.id: r.component
+            for r in dedup.connected_components(edges2, ids2).collect()}
+    assert set(out2.values()) == {0}
