@@ -8,7 +8,9 @@ changing the module name:
         [-C config.yaml] [--report out.json] [--error-report]
         [--quiet-report] [--guess-schema] [--use-schemas URI ...]
         [--iter-arrays] [--schema_id_path PATH] [--dot-report out.dot T]
-        [--fix] [--master local[N]]
+        [--fix] [--annotation PATH] [-c] [-q|-v|-d] [--log-file F]
+        [--cache-dir D] [--invalidate] [--read-only] [--warm-up]
+        [--lazy-load] [-V] [--master local[N]]
 
 ``--fix`` (⇔ reference --fix, __main__.py:180-184,374-452): on any
 validation error, write an error-only report and launch ``$EDITOR``
