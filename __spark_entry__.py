@@ -600,6 +600,36 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed sampling (~25% of documents keyed
+    on doc_id): the kept set is a pure function of content, so the
+    oracle recomputes the identical md5-prefix filter — and the same
+    rows survive a re-run at any cluster size (what df.sample cannot
+    promise)."""
+    from python_extended_json_schema_validator_spark.pipeline import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sampling.deterministic_sample(
+        docs, ["doc_id"], fraction=0.25, salt="s1"
+    )
+    return out.select(F.col("doc_id").cast("long"), "lang")
+
+
+def q_quality_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quality quota: the 5 longest documents per language
+    (n_chars desc, doc_id asc tiebreak) — the 'keep N best per
+    domain' curation step as ONE window shuffle."""
+    from python_extended_json_schema_validator_spark.pipeline import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = sampling.top_n_per_group(
+        docs, ["lang"], "n_chars", n=5, tiebreak="doc_id"
+    )
+    return out.select(
+        "lang", F.col("doc_id").cast("long"), F.col("n_chars").cast("long")
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING with true transitivity: corpus = docs <25
     plus two mutants per doc (one / two appended marker tokens).  The
@@ -1083,6 +1113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "sample_quota": q_sample_quota,
+        "quality_topn": q_quality_topn,
         "key_array_fanout": q_key_array_fanout,
         "schema_ingest": q_schema_ingest,
         "fk_scoped": q_fk_scoped,
@@ -1819,6 +1851,26 @@ def oracle_sql() -> dict[str, str]:
                        for i in range(16)
                    )
                    + """) <= 2
+        """,
+        "sample_quota": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+            FROM documents
+            WHERE substr(md5(concat_ws(chr(31), 's1',
+                                       CAST(doc_id AS VARCHAR))), 1, 4)
+                  < '4000'
+        """,
+        "quality_topn": """
+            WITH r AS (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC
+                     ) AS rn
+              FROM documents
+            )
+            SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM r WHERE rn <= 5
         """,
         "dedup_components": """
             WITH RECURSIVE corpus AS (

@@ -1,0 +1,79 @@
+"""Deterministic sampling and per-group quota operators for
+training-data curation: pick a reproducible fraction of a corpus, or
+keep the N best documents per group (domain / language / source).
+
+Both are pure column algebra (md5 / window built-ins — JVM-side,
+whole-stage codegen) and deliberately ANSI-SQL-replicable so the
+DuckDB oracle checks them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Content-keyed deterministic sampling: keep a row iff the first
+    16 bits of ``md5(salt ⊕ key)`` fall below ``fraction``.
+
+    Unlike ``df.sample()`` (seeded per partition-split, so the kept
+    set changes with partitioning, retries, and cluster size), this
+    is a pure function of row CONTENT: the same rows survive on every
+    run of every cluster — which is what an incremental corpus
+    pipeline needs for its sample to be append-stable.  A different
+    ``salt`` draws an independent sample; granularity is 1/65536.
+
+    Scale shape: map-only filter, no shuffle, pushes past column
+    pruning (only ``key_cols`` are read for the predicate).
+    """
+    v = max(0, min(65536, round(fraction * 65536)))
+    # hex digits top out at 'f', so "g" is an above-everything
+    # sentinel (format(65536) would be 5 chars and string-compare
+    # BELOW most 4-char prefixes)
+    thr = "g" if v == 65536 else format(v, "04x")
+    key = F.concat_ws(
+        "\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+    )
+    bucket = F.substring(F.md5(key.cast("binary")), 1, 4)
+    return df.where(bucket < F.lit(thr))
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    n: int,
+    descending: bool = True,
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Per-group quota — "keep the N best documents per domain":
+    hash-partitioned ``row_number`` window.  ``tiebreak`` (e.g. the
+    document id) makes the kept set deterministic when scores tie;
+    without one, ties at the cut line are partition-order dependent.
+
+    Scale shape: ONE shuffle on ``group_cols``; only the projected
+    columns move.  A skewed group bounds its reduce partition at the
+    group size — for pathological groups pre-filter with a per-group
+    score threshold (computed via approximate quantiles) before the
+    exact window.
+    """
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -197,3 +197,36 @@ def test_connected_components_chains_and_singletons(spark):
     out2 = {r.id: r.component
             for r in dedup.connected_components(edges2, ids2).collect()}
     assert set(out2.values()) == {0}
+
+
+def test_deterministic_sample_stability(spark):
+    from python_extended_json_schema_validator_spark.pipeline import sampling
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    kept1 = {r.doc_id for r in
+             sampling.deterministic_sample(df, ["doc_id"], 0.25).collect()}
+    # partitioning-invariant: same rows survive any repartition
+    kept2 = {r.doc_id for r in sampling.deterministic_sample(
+        df.repartition(17), ["doc_id"], 0.25).collect()}
+    assert kept1 == kept2
+    assert 0.20 < len(kept1) / 2000 < 0.30
+    # different salt draws an independent sample
+    kept3 = {r.doc_id for r in sampling.deterministic_sample(
+        df, ["doc_id"], 0.25, salt="other").collect()}
+    assert kept3 != kept1
+    # edges
+    assert sampling.deterministic_sample(df, ["doc_id"], 0.0).count() == 0
+    assert sampling.deterministic_sample(df, ["doc_id"], 1.0).count() == 2000
+
+
+def test_top_n_per_group_with_ties(spark):
+    from python_extended_json_schema_validator_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 10), ("a", 3, 9), ("b", 4, 5)],
+        "g string, id long, score long",
+    )
+    out = sampling.top_n_per_group(df, ["g"], "score", n=2, tiebreak="id")
+    got = {(r.g, r.id) for r in out.collect()}
+    # tie at 10 broken by id asc -> ids 1,2 kept; 3 cut
+    assert got == {("a", 1), ("a", 2), ("b", 4)}
