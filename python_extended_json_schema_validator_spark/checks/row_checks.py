@@ -24,14 +24,19 @@ from ..spec import ColumnCheck, CombinatorCheck, SpecError
 
 # P5 format checkers: the reference registers a plain
 # jsonschema.FormatChecker (extensible_validator.py:132-138) whose
-# ACTIVE checkers depend on installed extras (it pins
-# jsonschema[format-nongpl], requirements.txt:4 — rfc3339-validator
-# makes time/date-time REQUIRE an RFC3339 offset; fqdn/rfc3987 add
-# hostname/uri).  date/email/uuid/ipv4 below are differential-exact vs
-# jsonschema (tests/test_random_differential.py); time/date-time are
-# documented middle-ground shapes (offset OPTIONAL — between the
-# no-extras and format-nongpl behaviors); hostname/uri approximate the
-# format-nongpl checkers the no-extras install skips entirely.
+# ACTIVE checkers depend on installed extras.  Every format below that
+# is active in THIS jsonschema install (date, time, date-time, email,
+# idn-email, uuid, ipv4, ipv6, json-pointer, relative-json-pointer,
+# regex, idn-hostname) is differential-exact against the library's
+# checker function, probed + tested (tests/test_formats_differential
+# .py): `time` is the strptime('%H:%M:%S') legacy checker (1-2 digit
+# fields, no fraction/offset, no leap second); `date-time` is
+# rfc3339-validator strictness (T/t separator only, offset REQUIRED,
+# calendar-exact, seconds ≤59); ipv6 mirrors ipaddress acceptance
+# (compression, embedded v4, no zone-id, no leading-zero v4 octets).
+# hostname/uri are ENGINE EXTRAS: they approximate the format-nongpl
+# checkers (fqdn/rfc3987) this bare install leaves unchecked —
+# remove them via FORMATS.pop() for bit parity with a bare install.
 #
 # FORMATS is a REGISTRY (⇔ the reference's customFormats parameter,
 # extensible_validator.py:77-84,117-138: objects exposing FormatName +
@@ -53,16 +58,105 @@ def _date_format_pred(value: "Column") -> "Column":
     ).isNotNull()
 
 
+def _datetime_format_pred(value: "Column") -> "Column":
+    """rfc3339-validator-exact date-time: strict shape + hour/minute/
+    second ranges by regex, calendar-exact date via the same
+    try_to_timestamp trick as `date`."""
+    shape = value.rlike(
+        r"^\d{4}-\d{2}-\d{2}[Tt]([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]"
+        r"(\.\d+)?([Zz]|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$"
+    )
+    return shape & F.try_to_timestamp(
+        F.substring(value, 1, 10), F.lit("yyyy-MM-dd")
+    ).isNotNull()
+
+
+def _python_pred(fn):
+    """Arrow-batched Python fallback for formats only a Python library
+    can decide (regex compilability, IDNA encodability).  fn: str →
+    bool; NULLs pass through.  Slow path by design — these formats are
+    rare and per-value."""
+
+    def pred(value: "Column") -> "Column":
+        import pandas as pd
+
+        def _ok_fn(s):
+            return s.map(lambda x: None if x is None else fn(x))
+
+        # real class objects, not strings — this module's
+        # `from __future__ import annotations` would otherwise leave
+        # pandas_udf unresolvable 'pd.Series' hints
+        _ok_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return F.pandas_udf(_ok_fn, "boolean")(value)
+
+    return pred
+
+
+def _re_compiles(x: str) -> bool:
+    import re as _re
+
+    try:
+        _re.compile(x)
+        return True
+    except _re.error:
+        return False
+
+
+def _idna_encodes(x: str) -> bool:
+    try:
+        import idna
+    except ImportError:  # jsonschema skips the checker without idna
+        return True
+    try:
+        idna.encode(x)
+        return True
+    except (idna.IDNAError, UnicodeError):
+        return False
+
+
+_V4 = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}"
+_G = r"[0-9A-Fa-f]{1,4}"
+# ipaddress.IPv6Address acceptance: full 8 groups, :: compression
+# anywhere, embedded IPv4 (with or without compression), no zone-id,
+# no leading-zero v4 octets — differential-tested on a 60-case battery
+_IPV6 = (
+    r"^("
+    rf"({_G}:){{7}}{_G}"
+    rf"|({_G}:){{1,7}}:"
+    rf"|({_G}:){{1,6}}:{_G}"
+    rf"|({_G}:){{1,5}}(:{_G}){{2}}"
+    rf"|({_G}:){{1,4}}(:{_G}){{3}}"
+    rf"|({_G}:){{1,3}}(:{_G}){{4}}"
+    rf"|({_G}:){{1,2}}(:{_G}){{5}}"
+    rf"|{_G}:(:{_G}){{6}}"
+    rf"|:((:{_G}){{1,7}}|:)"
+    rf"|({_G}:){{6}}{_V4}"
+    rf"|({_G}:){{1,5}}:{_V4}"
+    rf"|({_G}:){{1,4}}:({_G}:){{1}}{_V4}"
+    rf"|::({_G}:){{0,5}}{_V4}"
+    r")$"
+)
+
 FORMATS = {
     "date": _date_format_pred,
-    "time": r"^\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
-    "date-time": r"^\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
+    # the plain FormatChecker's `time` is the legacy strptime checker:
+    # EVERY field 1-2 digits (strptime), in-range, nothing after
+    "time": r"^([0-9]|0[0-9]|1[0-9]|2[0-3]):([0-9]|[0-5][0-9]):([0-9]|[0-5][0-9])$",
+    "date-time": _datetime_format_pred,
     # jsonschema's built-in email checker is literally `"@" in instance`
     # (same with or without format-nongpl) — rlike is a find, so an
     # unanchored "@" IS containment.  Verified differential.
     "email": r"@",
+    "idn-email": r"@",  # same library function as email
     "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
     "ipv4": r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$",
+    "ipv6": _IPV6,
+    # RFC 6901 / 'relative' draft, matching the jsonpointer library's
+    # acceptance exactly (empty ok, ~ must precede 0/1)
+    "json-pointer": r"^(/([^/~]|~[01])*)*$",
+    "relative-json-pointer": r"^(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)$",
+    "regex": _python_pred(_re_compiles),
+    "idn-hostname": _python_pred(_idna_encodes),
     "uri": r"^[a-zA-Z][a-zA-Z0-9+.-]*://\S+$",
     "hostname": r"^[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?(\.[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?)*$",
 }
