@@ -302,6 +302,46 @@ def _pointer_walk(schema: Any, fragment: str) -> Any:
     return node
 
 
+def _find_anchor(
+    root: Any, name: str, dynamic_only: bool = False, _is_root: bool = True
+) -> Optional[Mapping]:
+    """The subschema of ``root``'s resource declaring ``$anchor: name``
+    (or ``$dynamicAnchor: name``); ``dynamic_only`` restricts to
+    dynamic anchors.  Embedded resources (non-root nodes carrying
+    their own ``$id``) are anchor-scope boundaries and are skipped,
+    per the 2019-09/2020-12 resource model."""
+    if isinstance(root, dict):
+        if not _is_root and "$id" in root:
+            return None
+        if root.get("$dynamicAnchor") == name or (
+            not dynamic_only and root.get("$anchor") == name
+        ):
+            return root
+        for v in root.values():
+            found = _find_anchor(v, name, dynamic_only, _is_root=False)
+            if found is not None:
+                return found
+    elif isinstance(root, list):
+        for v in root:
+            found = _find_anchor(v, name, dynamic_only, _is_root=False)
+            if found is not None:
+                return found
+    return None
+
+
+def _contains_kv(obj: Any, key: str, value: Any) -> bool:
+    """True when ``key: value`` appears anywhere in ``obj`` (used to
+    decide whether a dynamic-scope override of a lexical
+    $recursiveRef/$dynamicRef target is POSSIBLE)."""
+    if isinstance(obj, dict):
+        if obj.get(key) == value:
+            return True
+        return any(_contains_kv(v, key, value) for v in obj.values())
+    if isinstance(obj, list):
+        return any(_contains_kv(v, key, value) for v in obj)
+    return False
+
+
 class _Compiler:
     def __init__(self, uri: str, schema: Mapping, cache: Mapping[str, Mapping]):
         self.uri = uri
@@ -389,7 +429,10 @@ class _Compiler:
         return [_join_path(prefix, m) for m in members]
 
     def _resolve_ref(self, ref: str, base_uri: str) -> Optional[Tuple[Any, str]]:
-        """→ (target node, its base uri) or None when unresolvable."""
+        """→ (target node, its base uri) or None when unresolvable.
+        Fragments are JSON pointers (``#/a/b``) or plain anchor names
+        (``#name`` ⇔ 2019-09+ ``$anchor``/``$dynamicAnchor``, which
+        jsonschema resolves for plain ``$ref`` too — probed 4.26)."""
         target, fragment = urldefrag(urljoin(base_uri, ref))
         if target in ("", base_uri):
             root: Any = self.cache.get(base_uri, self.schema)
@@ -400,11 +443,148 @@ class _Compiler:
             if root is None:
                 self.errors.append(f"unresolvable $ref {ref!r}")
                 return None
+        if fragment and not fragment.startswith("/"):
+            node = _find_anchor(root, fragment)
+            if node is None:
+                self.errors.append(f"unresolvable $ref anchor {ref!r}")
+                return None
+            return node, new_base
         try:
             return _pointer_walk(root, fragment) if fragment else root, new_base
         except (KeyError, IndexError, ValueError, TypeError):
             self.errors.append(f"unresolvable $ref fragment {ref!r}")
             return None
+
+    def _resolve_dynamic(
+        self, kw: str, val: str, base_uri: str, prefix: str
+    ) -> Optional[Tuple[Any, str]]:
+        """Lexical-scope resolution of ``$dynamicRef`` (2020-12) /
+        ``$recursiveRef`` (2019-09) — the jsonschema-delegation path the
+        reference inherits (extend_validator_helpers.py:50-64, invoked
+        extensible_validator.py:1163-1194).  With no same-named
+        ``$dynamicAnchor`` (resp. no ``$recursiveAnchor: true``) in any
+        OTHER loaded resource, the dynamic scope cannot override the
+        lexical target, so the fallback is EXACT ([verified] probes:
+        ``$recursiveRef: "#"`` ≡ ``$ref: "#"``, ``$dynamicRef: "#a"`` ≡
+        ``$ref: "#a"`` in a single resource).  When an override is
+        possible the lexical target still compiles but a schema_warning
+        records the partial enforcement — never a silent drop."""
+        if kw == "$recursiveRef":
+            if val != "#":
+                self.warnings.append(
+                    f"/{prefix}: $recursiveRef {val!r} (not '#') is not "
+                    f"compiled — only partially enforced"
+                )
+                return None
+            root = self.cache.get(base_uri, self.schema)
+            if any(
+                _contains_kv(s, "$recursiveAnchor", True)
+                for s in self.cache.values()
+                if s is not root
+            ):
+                self.warnings.append(
+                    f"/{prefix}: $recursiveRef '#' compiled as its lexical "
+                    f"root; a $recursiveAnchor elsewhere in the dynamic "
+                    f"scope could override it — only partially enforced"
+                )
+            return root, base_uri
+        target, fragment = urldefrag(urljoin(base_uri, val))
+        if target in ("", base_uri):
+            root, new_base = self.cache.get(base_uri, self.schema), base_uri
+        else:
+            root, new_base = self.cache.get(target), target
+            if root is None:
+                self.warnings.append(
+                    f"/{prefix}: unresolvable $dynamicRef {val!r} is not "
+                    f"compiled — only partially enforced"
+                )
+                return None
+        anchor_name = None
+        if fragment and not fragment.startswith("/"):
+            node = _find_anchor(root, fragment)
+            if node is None:
+                self.warnings.append(
+                    f"/{prefix}: unresolvable $dynamicRef anchor {val!r} is "
+                    f"not compiled — only partially enforced"
+                )
+                return None
+            if node.get("$dynamicAnchor") == fragment:
+                anchor_name = fragment
+        else:
+            try:
+                node = _pointer_walk(root, fragment) if fragment else root
+            except (KeyError, IndexError, ValueError, TypeError):
+                self.warnings.append(
+                    f"/{prefix}: unresolvable $dynamicRef fragment {val!r} "
+                    f"is not compiled — only partially enforced"
+                )
+                return None
+        # per 2020-12 §8.2.3.2 the dynamic dance only happens when the
+        # initial target IS a $dynamicAnchor; pointer/static-anchor
+        # targets behave exactly like $ref
+        if anchor_name is not None and any(
+            _find_anchor(s, anchor_name, dynamic_only=True) is not None
+            for s in self.cache.values()
+            if s is not root
+        ):
+            self.warnings.append(
+                f"/{prefix}: $dynamicRef {val!r} compiled via its lexical "
+                f"$dynamicAnchor; a same-named $dynamicAnchor elsewhere in "
+                f"the dynamic scope could override it — only partially "
+                f"enforced"
+            )
+        return node, new_base
+
+    def _ref_expansions(
+        self,
+        node: Mapping,
+        prefix: str,
+        base_uri: str,
+        ref_chain: Tuple,
+        warn_cycles: bool = False,
+    ) -> Tuple[list, bool]:
+        """Resolved ``(target, new_base, new_chain)`` expansions for the
+        reference keywords at this node, plus whether the node's OWN
+        sibling keywords still apply (2019-09+ ``$ref`` keeps siblings,
+        [verified] probe; drafts ≤07 replace the node wholly —
+        jsonschema parity)."""
+        exps: list = []
+        consumed = False
+        if "$ref" in node:
+            consumed = True
+            key = (base_uri, "$ref", node["$ref"])
+            if key in ref_chain:
+                if warn_cycles:
+                    self.warnings.append(
+                        f"/{prefix}: circular $ref {node['$ref']!r} in "
+                        f"combinator branch treated as always-true"
+                    )
+            else:
+                resolved = self._resolve_ref(node["$ref"], base_uri)
+                if resolved is not None:
+                    t, nb = resolved
+                    exps.append((t, nb, ref_chain + (key,)))
+        dyn_kw = None
+        if self.draft_2020 and isinstance(node.get("$dynamicRef"), str):
+            dyn_kw = "$dynamicRef"  # 2020-12 only ([verified] gating)
+        elif self.draft_level == 19 and isinstance(node.get("$recursiveRef"), str):
+            dyn_kw = "$recursiveRef"  # 2019-09 only
+        if dyn_kw is not None:
+            key = (base_uri, dyn_kw, node[dyn_kw])
+            if key in ref_chain:
+                # one level of self-recursion is inlined; deeper
+                # levels stop at the cycle guard — recorded, not silent
+                self.warnings.append(
+                    f"/{prefix}: recursive {dyn_kw} {node[dyn_kw]!r} beyond "
+                    f"one level is not compiled — only partially enforced"
+                )
+            else:
+                res = self._resolve_dynamic(dyn_kw, node[dyn_kw], base_uri, prefix)
+                if res is not None:
+                    t, nb = res
+                    exps.append((t, nb, ref_chain + (key,)))
+        siblings = self.draft_2019_plus or not consumed
+        return exps, siblings
 
     # -- keyword compilation --------------------------------------------------
 
@@ -465,25 +645,25 @@ class _Compiler:
             )
             return ()
         base_uri = base_uri or self.uri
-        if "$ref" in node:
-            # chain key is PREFIX-INDEPENDENT: with nested inlining the
-            # prefix grows every hop, so a cross-schema cycle (a→b→a)
-            # would never repeat a (base, ref, prefix) triple — the
-            # reference likewise de-cycles at URI level (visitedURIs,
-            # extensible_validator.py:631-651)
-            key = (base_uri, node["$ref"])
-            if key in ref_chain:
-                self.warnings.append(
-                    f"/{prefix}: circular $ref {node['$ref']!r} in combinator "
-                    f"branch treated as always-true"
-                )
-                return ()
-            resolved = self._resolve_ref(node["$ref"], base_uri)
-            if resolved is None:
-                return ()
-            target, new_base = resolved
-            return self._compile_branch(target, prefix, new_base, ref_chain + (key,))
-        checks: List = list(self._node_checks(node, prefix, base_uri, ref_chain))
+        # chain keys are PREFIX-INDEPENDENT: with nested inlining the
+        # prefix grows every hop, so a cross-schema cycle (a→b→a) would
+        # never repeat a (base, kw, ref) triple — the reference likewise
+        # de-cycles at URI level (visitedURIs,
+        # extensible_validator.py:631-651)
+        exps, siblings = self._ref_expansions(
+            node, prefix, base_uri, ref_chain, warn_cycles=True
+        )
+        ref_checks: List = []
+        for target, new_base, new_chain in exps:
+            ref_checks.extend(
+                self._compile_branch(target, prefix, new_base, new_chain)
+            )
+        if not siblings:
+            # drafts ≤07: $ref replaces the node wholly (jsonschema
+            # ignores siblings, [verified] probe)
+            return tuple(ref_checks)
+        checks: List = ref_checks
+        checks.extend(self._node_checks(node, prefix, base_uri, ref_chain))
         props = node.get("properties")
         if isinstance(props, dict):
             for name, child in props.items():
@@ -1179,19 +1359,15 @@ class _Compiler:
         if not isinstance(node, dict):
             return
         base_uri = base_uri or self.uri
-        if "$ref" in node:
-            # chain key is PREFIX-INDEPENDENT: with nested inlining the
-            # prefix grows every hop, so a cross-schema cycle (a→b→a)
-            # would never repeat a (base, ref, prefix) triple — the
-            # reference likewise de-cycles at URI level (visitedURIs,
-            # extensible_validator.py:631-651)
-            key = (base_uri, node["$ref"])
-            if key in ref_chain:
-                return  # circular $ref (reference detects and skips, :654-660)
-            resolved = self._resolve_ref(node["$ref"], base_uri)
-            if resolved is not None:
-                target, new_base = resolved
-                self.walk(target, prefix, new_base, ref_chain + (key,))
+        # $ref / $dynamicRef / $recursiveRef inline their (lexically)
+        # resolved targets; 2019-09+ keeps walking the node's own
+        # sibling keywords afterwards while drafts ≤07 stop (jsonschema
+        # parity, [verified] probes).  Cycles skip (reference detects
+        # and skips, extensible_validator.py:654-660).
+        exps, siblings = self._ref_expansions(node, prefix, base_uri, ref_chain)
+        for target, new_base, new_chain in exps:
+            self.walk(target, prefix, new_base, new_chain)
+        if not siblings:
             return
         self._compile_triggers(node, prefix)
         self.checks.extend(self._node_checks(node, prefix, base_uri, ref_chain))
@@ -1228,21 +1404,11 @@ class _Compiler:
     ) -> None:
         if not isinstance(node, dict):
             return
-        if "$ref" in node:
-            # chain key is PREFIX-INDEPENDENT: with nested inlining the
-            # prefix grows every hop, so a cross-schema cycle (a→b→a)
-            # would never repeat a (base, ref, prefix) triple — the
-            # reference likewise de-cycles at URI level (visitedURIs,
-            # extensible_validator.py:631-651)
-            key = (base_uri, node["$ref"])
-            if key in ref_chain:
-                return
-            resolved = self._resolve_ref(node["$ref"], base_uri)
-            if resolved is not None:
-                target, new_base = resolved
-                self._walk_triggers_only(
-                    target, prefix, new_base, ref_chain + (key,)
-                )
+        base_uri = base_uri or self.uri
+        exps, siblings = self._ref_expansions(node, prefix, base_uri, ref_chain)
+        for target, new_base, new_chain in exps:
+            self._walk_triggers_only(target, prefix, new_base, new_chain)
+        if not siblings:
             return
         self._compile_triggers(node, prefix)
         props = node.get("properties")
@@ -1279,6 +1445,11 @@ def compile_schema(
     comp.walk(schema)
     for attr in ("unique", "primary_keys", "indexes", "foreign_keys", "join_keys"):
         setattr(comp, attr, _dedup(getattr(comp, attr)))
+    # a node visited along several walk paths (combinator branch +
+    # triggers-only pass, $ref diamonds) would record the same warning
+    # repeatedly — one trace per distinct issue is enough
+    comp.warnings = _dedup(comp.warnings)
+    comp.errors = _dedup(comp.errors)
     issues = [SchemaIssue(file, "schema_error", e) for e in comp.errors]
     issues.extend(
         SchemaIssue(file, "schema_warning", w, severity="warning")
