@@ -950,7 +950,9 @@ def q_combinator_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE (⇔ the reference's jsonschema delegation,
     extensible_validator.py:1163-1194): anyOf / oneOf / not /
     property-form dependencies / uniqueItems over a derived array /
-    patternProperties leaf checks, all over the shredded documents
+    patternProperties leaf checks / combinators INSIDE items
+    subschemas (anyOf/oneOf/not/if-then-else compiled per element via
+    forall — element_combinators), all over the shredded documents
     table via the distributed mapInPandas shredder.  Presence
     variation for the dependency check comes from conditionally
     omitted JSON fields (to_json drops NULLs)."""
@@ -982,12 +984,22 @@ def q_combinator_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "type": "object",
                 "patternProperties": {"^n": {"type": "integer", "minimum": 50}},
             },
+            # combinators inside items subschemas — per-element forall
+            "tok_lens": {"items": {"anyOf": [{"maximum": 4},
+                                             {"multipleOf": 5}]}},
+            "toks_one": {"items": {"oneOf": [{"maxLength": 3},
+                                             {"pattern": "e"}]}},
+            "toks_not": {"items": {"not": {"enum": ["the", "and"]}}},
+            "toks_ite": {"items": {"if": {"pattern": "^t"},
+                                   "then": {"minLength": 3},
+                                   "else": {"maxLength": 10}}},
         },
         "dependencies": {"alt_src": ["alt_lang"]},
     }
     registry, issues = load_schemas([("inline.json", schema)])
     assert not [i for i in issues if i.severity == "error"], issues
     cs = registry["comb://documents/1.0"]
+    words = F.slice(F.split(F.col("text"), " "), 1, 4)
     docs = _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("file"),
         F.to_json(
@@ -995,7 +1007,11 @@ def q_combinator_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_chars",
                 "lang",
                 "text",
-                F.slice(F.split(F.col("text"), " "), 1, 4).alias("words"),
+                words.alias("words"),
+                F.transform(words, F.length).alias("tok_lens"),
+                words.alias("toks_one"),
+                words.alias("toks_not"),
+                words.alias("toks_ite"),
                 F.struct(F.col("n_chars").alias("nc")).alias("meta"),
                 F.when(F.col("n_chars") % 3 == 0, F.col("source")).alias(
                     "alt_src"
@@ -1168,6 +1184,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'check:meta#entries:minimum', 'minimum', rid
             FROM d WHERE NOT (n_chars >= 50)
+            UNION ALL
+            SELECT 'check:tok_lens[]:anyOf', 'anyOf', rid
+            FROM d WHERE len(list_filter(
+                list_transform(words, w -> length(w)),
+                x -> NOT (x <= 4 OR x % 5 = 0))) > 0
+            UNION ALL
+            SELECT 'check:toks_one[]:oneOf', 'oneOf', rid
+            FROM d WHERE len(list_filter(words, w ->
+                (CASE WHEN length(w) <= 3 THEN 1 ELSE 0 END
+                 + CASE WHEN regexp_matches(w, 'e') THEN 1 ELSE 0 END)
+                <> 1)) > 0
+            UNION ALL
+            SELECT 'check:toks_not[]:not', 'not', rid
+            FROM d WHERE len(list_filter(words, w ->
+                w IN ('the', 'and'))) > 0
+            UNION ALL
+            SELECT 'check:toks_ite[]:minLength', 'minLength', rid
+            FROM d WHERE len(list_filter(words, w ->
+                regexp_matches(w, '^t') AND length(w) < 3)) > 0
+            UNION ALL
+            SELECT 'check:toks_ite[]:maxLength', 'maxLength', rid
+            FROM d WHERE len(list_filter(words, w ->
+                NOT regexp_matches(w, '^t') AND length(w) > 10)) > 0
         """,
         "drift_check": """
             WITH cur AS (

@@ -489,6 +489,70 @@ def compile_check(
         for kw, arg in check.element_checks:
             reason = "items" if kw == "never" else kw
             add(reason, F.forall(c, _el_pred(kw, arg)), F.to_json(c))
+    if check.element_combinators is not None:
+        # combinators inside an `items` subschema, applied per element
+        # literal.  Closure FACTORIES throughout — PySpark derives HOF
+        # arity from the lambda's parameter count, so default-arg
+        # closures would break forall.
+        def _make_conj(kwpairs):
+            def conj(el: Column) -> Column:
+                ok = F.lit(True)
+                for kw, arg in kwpairs:
+                    ok = ok & _scalar_kw_pred(el, {kw: arg}, literal_mode=True)
+                return ok
+
+            return conj
+
+        def _make_combo(kind, branches):
+            conjs = [_make_conj(b) for b in branches]
+
+            def combo(el: Column) -> Column:
+                oks = [cj(el) for cj in conjs]
+                if kind == "anyOf":
+                    ok = oks[0]
+                    for b in oks[1:]:
+                        ok = ok | b
+                    return ok
+                if kind == "oneOf":
+                    cnt = F.lit(0)
+                    for b in oks:
+                        cnt = cnt + F.when(b, F.lit(1)).otherwise(F.lit(0))
+                    return cnt == F.lit(1)
+                return ~oks[0]  # not
+
+            return combo
+
+        def _make_ite_leaf(if_kwpairs, kw, arg, on_if_true):
+            if_conj = _make_conj(if_kwpairs)
+
+            def leaf(el: Column) -> Column:
+                cond = if_conj(el)
+                gate = cond if on_if_true else ~cond
+                return F.when(
+                    gate, _scalar_kw_pred(el, {kw: arg}, literal_mode=True)
+                ).otherwise(F.lit(True))
+
+            return leaf
+
+        for kind, branches in check.element_combinators:
+            if kind == "ifThenElse":
+                # jsonschema descends into whichever of then/else
+                # applies per ELEMENT → leaf keyword reasons
+                # ([verified] probe); the `false`-branch sentinel
+                # surfaces as then/else like the battery-level compile
+                if_b, then_b, else_b = branches
+                for kwpairs, on_true, lbl in (
+                    (then_b, True, "then"),
+                    (else_b, False, "else"),
+                ):
+                    for kw, arg in kwpairs:
+                        add(
+                            lbl if kw == "never" else kw,
+                            F.forall(c, _make_ite_leaf(if_b, kw, arg, on_true)),
+                            F.to_json(c),
+                        )
+            else:
+                add(kind, F.forall(c, _make_combo(kind, branches)), F.to_json(c))
     if check.contains_checks is not None:
         # c is the element-literal array; `matched` counts elements
         # satisfying the contains subschema.  Reason split verified

@@ -692,12 +692,7 @@ class _Compiler:
         anyOf branch FAILS validation with reason 'anyOf')."""
         out: List = []
         if "[]" in prefix:
-            if any(k in node for k in ("anyOf", "oneOf", "not")):
-                self.warnings.append(
-                    f"/{prefix}: combinators under an array-element location "
-                    f"are not compiled — only partially enforced"
-                )
-            return out
+            return self._element_combinators(node, prefix)
         gate = prefix if prefix else "#root"
         for kind in ("anyOf", "oneOf"):
             raw = node.get(kind)
@@ -744,6 +739,92 @@ class _Compiler:
                         ),
                     ),
                 )
+            )
+        return out
+
+    def _scalar_subset_exact(self, sub: Any, where: str) -> Optional[Tuple]:
+        """_scalar_subset, but ONLY when it loses nothing: any dropped
+        keyword disqualifies the branch (probed against a throwaway
+        warning list).  A weaker branch must never compile inside a
+        combinator — under `not`/`oneOf` it would OVER-validate (flag
+        conforming documents), strictly worse than the recorded-warning
+        fallback."""
+        saved = self.warnings
+        self.warnings = []
+        try:
+            out = self._scalar_subset(sub, where)
+            dropped = bool(self.warnings)
+        finally:
+            self.warnings = saved
+        return None if dropped else out
+
+    def _element_combinators(self, node: Mapping, prefix: str) -> List:
+        """Combinators inside an `items` subschema → per-element
+        compilation over the element-literal array (ColumnCheck
+        .element_combinators), the same forall trick the scalar `items`
+        subset uses.  Compiled ONLY when every branch is exactly
+        scalar-expressible; anything else records a warning — never a
+        silent drop.  Reasons match jsonschema's items descent
+        ([verified] probes): anyOf/oneOf/not report the combinator
+        name, if/then/else reports leaf keyword names."""
+        out: List = []
+        direct = prefix.endswith("[]") and prefix.count("[]") == 1
+        combos: List = []
+        warn_kinds: List[str] = []
+        has_ite = (
+            self.draft_07_plus
+            and isinstance(node.get("if"), (dict, bool))
+            and ("then" in node or "else" in node)
+        )
+        for kind in ("anyOf", "oneOf"):
+            raw = node.get(kind)
+            if not (isinstance(raw, list) and raw):
+                continue
+            if not direct:
+                warn_kinds.append(kind)
+                continue
+            branches = [
+                self._scalar_subset_exact(b, f"/{prefix} {kind} branch")
+                for b in raw
+            ]
+            if all(b is not None for b in branches):
+                combos.append((kind, tuple(branches)))
+            else:
+                warn_kinds.append(kind)
+        if "not" in node and isinstance(node["not"], (dict, bool)):
+            b = (
+                self._scalar_subset_exact(node["not"], f"/{prefix} not")
+                if direct
+                else None
+            )
+            if b is not None:
+                combos.append(("not", (b,)))
+            else:
+                warn_kinds.append("not")
+        if has_ite:
+            parts = (
+                [
+                    self._scalar_subset_exact(
+                        node.get(k, True), f"/{prefix} {k}"
+                    )
+                    for k in ("if", "then", "else")
+                ]
+                if direct
+                else [None]
+            )
+            if all(p is not None for p in parts):
+                combos.append(("ifThenElse", tuple(parts)))
+            else:
+                warn_kinds.append("if/then/else")
+        if combos:
+            self._touch(prefix)
+            out.append(
+                ColumnCheck(column=prefix, element_combinators=tuple(combos))
+            )
+        if warn_kinds:
+            self.warnings.append(
+                f"/{prefix}: combinators {warn_kinds} under an array-element "
+                f"location are not compiled — only partially enforced"
             )
         return out
 

@@ -181,6 +181,14 @@ class ColumnCheck:
     # prefix must satisfy the subschema — (prefix_len, kw_pairs) over
     # the element-literal array; single reason "unevaluatedItems".
     unevaluated_item_checks: Optional[tuple] = None
+    # combinators INSIDE an `items` subschema, applied per element of
+    # the element-literal array: ((kind, branches), ...) with kind in
+    # anyOf|oneOf|not|ifThenElse and each branch a scalar-subset
+    # keyword tuple ((keyword, value), ...).  anyOf/oneOf/not report
+    # the combinator name (jsonschema's items descent surfaces the
+    # combinator validator itself, [verified] probe); ifThenElse
+    # branches carry exactly (if, then, else) and report LEAF names.
+    element_combinators: Optional[tuple] = None
     # reason override for the allowed-keys machinery: the STATIC
     # subset of 2019-09+ "unevaluatedProperties": false (no in-place
     # applicators at the node) compiles to the identical predicate as

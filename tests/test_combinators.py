@@ -369,8 +369,11 @@ def test_dropped_keywords_record_warnings():
             "arr": {
                 "type": "array",
                 "items": {
-                    # combinator under array-element location -> warning
-                    "anyOf": [{"type": "string"}],
+                    # combinator branch OUTSIDE the scalar subset under
+                    # an array-element location -> warning (a scalar
+                    # branch like {"type": "string"} now compiles)
+                    "anyOf": [{"properties": {"x": {"type": "string"}},
+                               "required": ["x"]}],
                 },
             },
         },
@@ -402,7 +405,7 @@ def test_dropped_keywords_record_warnings():
     assert all(i.reason == "schema_warning" for i in warns)
     text = " ".join(i.description for i in warns)
     assert "contains" in text
-    assert "combinators under an array-element location" in text
+    assert "under an array-element location" in text and "anyOf" in text
     assert not [i for i in issues if i.severity == "error"]
 
 
@@ -1115,3 +1118,43 @@ def test_draft3_ignores_multiple_of(spark):
     }
     got = assert_auto_parity(spark, schema, [("m_ign", {"m": 4})])
     assert got["m_ign"] == []
+
+
+def test_element_combinator_parity_and_fallback(spark):
+    # direct items-level combinators compile per element (leaf probe
+    # parity covered by test_random_differential); this pins the exact
+    # fallback boundary: a branch outside the scalar subset must WARN
+    # and not compile (a weaker `not`/`oneOf` branch would
+    # over-validate)
+    schema = {
+        "$schema": DRAFT,
+        "$id": "elc://t/1.0",
+        "type": "object",
+        "properties": {
+            "good": {"items": {"anyOf": [
+                {"type": "integer", "minimum": 10},
+                {"type": "string", "pattern": "^ok"},
+            ]}},
+            "deep": {"items": {"not": {"properties": {"x": {"type": "integer"}},
+                                       "required": ["x"]}}},
+        },
+    }
+    registry, issues = load_schemas([("s.json", schema)])
+    assert [i for i in issues if i.severity == "error"] == [], issues
+    warns = [i.description for i in issues if i.severity == "warning"]
+    assert any("array-element location" in w and "'not'" in w for w in warns), warns
+    assert not any("anyOf" in w for w in warns), warns
+    got = assert_auto_parity(
+        spark,
+        schema,
+        [
+            ("ok1", {"good": [15, "okay"]}),
+            ("bad1", {"good": [5]}),
+            ("bad2", {"good": ["nope", 20]}),
+            ("vac", {"good": "not-an-array"}),
+            # `deep` is only partially enforced (warned) — docs where
+            # the uncompiled branch decides are excluded from parity
+        ],
+    )
+    assert got["bad1"] == ["anyOf"] and got["bad2"] == ["anyOf"]
+    assert got["ok1"] == [] and got["vac"] == []

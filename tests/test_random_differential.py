@@ -72,6 +72,21 @@ SCHEMA = {
             "else": {"maxLength": 4},
         },
         "ca": {"contains": {"type": "string", "minLength": 2}},
+        # combinators INSIDE items subschemas (compiled per element)
+        "ae": {"items": {"anyOf": [
+            {"type": "integer", "minimum": 10},
+            {"type": "string", "pattern": "^ok"},
+        ]}},
+        "oe": {"items": {"oneOf": [
+            {"type": "number", "multipleOf": 3},
+            {"type": "number", "minimum": 50},
+        ]}},
+        "ne": {"items": {"not": {"enum": ["bad", 13]}}},
+        "ie": {"items": {
+            "if": {"type": "integer"},
+            "then": {"minimum": 0},
+            "else": {"maxLength": 4},
+        }},
         "a": {}, "b": {},
     },
     "required": ["s"],
@@ -101,7 +116,7 @@ POOL = [
 ]
 
 PROPS = ["s", "n", "i", "c", "d", "em", "u", "ip", "arr", "obj", "v", "w",
-         "z", "ite", "ca", "a", "b"]
+         "z", "ite", "ca", "ae", "oe", "ne", "ie", "a", "b"]
 
 
 def gen_doc(rng: random.Random) -> dict:
@@ -225,6 +240,9 @@ def test_random_docs_match_jsonschema(spark):
 
     registry, issues = load_schemas([("s.json", SCHEMA)])
     assert [i for i in issues if i.severity == "error"] == [], issues
+    assert not [
+        i for i in issues if "array-element location" in i.description
+    ], "items-level combinators must compile, not warn"
     cs = registry["rand://battery/1.0"]
     shredded = shred_documents(spark, docs, cs)
     battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
