@@ -175,9 +175,18 @@ def register_format(name: str, checker) -> None:
     FORMATS[name] = checker
 
 
-def _format_pred(fmt: str, value: Column) -> Column:
+def _fmt_checker(fmt: str, formats=None):
+    """Resolve a format checker: the per-compilation overlay (scoped
+    customFormats, ⇔ the reference's per-ExtensibleValidator-instance
+    scoping) shadows the process-global FORMATS registry."""
+    if formats and fmt in formats:
+        return formats[fmt]
+    return FORMATS.get(fmt)
+
+
+def _format_pred(fmt: str, value: Column, formats=None) -> Column:
     """ok-Column for a registered format applied to a STRING value."""
-    checker = FORMATS[fmt]
+    checker = _fmt_checker(fmt, formats)
     if isinstance(checker, str):
         return value.rlike(checker)
     return checker(value)
@@ -245,7 +254,9 @@ def _num_tag(el: Column) -> Column:
     ).otherwise(el)
 
 
-def _scalar_kw_pred(value: Column, kws: dict, literal_mode: bool) -> Column:
+def _scalar_kw_pred(
+    value: Column, kws: dict, literal_mode: bool, formats=None
+) -> Column:
     """ok-Column for the scalar-expressible keyword subset applied to
     one value: ``literal_mode`` treats ``value`` as a canonical JSON
     literal (patternProperties values), else as a plain string instance
@@ -294,8 +305,8 @@ def _scalar_kw_pred(value: Column, kws: dict, literal_mode: bool) -> Column:
         elif kw == "maxLength":
             ok = ok & strk(F.length(s) <= F.lit(arg))
         elif kw == "format":
-            if arg in FORMATS:
-                ok = ok & strk(_format_pred(arg, s))
+            if _fmt_checker(arg, formats) is not None:
+                ok = ok & strk(_format_pred(arg, s, formats))
         elif kw == "minimum":
             ok = ok & numk(num >= F.lit(arg))
         elif kw == "maximum":
@@ -305,7 +316,18 @@ def _scalar_kw_pred(value: Column, kws: dict, literal_mode: bool) -> Column:
         elif kw == "exclusiveMaximum":
             ok = ok & numk(num < F.lit(arg))
         elif kw == "multipleOf":
-            ok = ok & numk(num % F.lit(arg) == 0)
+            p = num % F.lit(arg) == 0
+            if literal_mode and isinstance(arg, int) and not isinstance(arg, bool):
+                # jsonschema does EXACT int % int for integer instances
+                # — double arithmetic diverges past 2^53 (e.g.
+                # 10000000000000001 % 10); decimal(38,0) matches up to
+                # 38 digits, the double path remains for the rest
+                dec = value.try_cast("decimal(38,0)")
+                p = F.when(
+                    value.rlike("^-?[0-9]+$") & dec.isNotNull(),
+                    dec % F.lit(arg) == 0,
+                ).otherwise(p)
+            ok = ok & numk(p)
         elif kw == "never":
             # the `false` subschema: no value is acceptable
             ok = ok & F.lit(False)
@@ -315,7 +337,7 @@ def _scalar_kw_pred(value: Column, kws: dict, literal_mode: bool) -> Column:
 
 
 def compile_check(
-    check: ColumnCheck, json_mode: bool = False
+    check: ColumnCheck, json_mode: bool = False, formats=None
 ) -> List[Tuple[str, str, Column, Column]]:
     """Compile one ColumnCheck into ``(constraint_id, reason,
     ok_predicate, observed)`` tuples, one per active keyword.
@@ -450,19 +472,26 @@ def compile_check(
         add("maxItems", F.size(c) <= _lit(check.max_items),
             F.to_json(c) if json_mode else None)
     if check.format is not None:
-        if check.format not in FORMATS:
+        if _fmt_checker(check.format, formats) is None:
             raise SpecError(f"unknown format {check.format!r}")
         if json_mode:
-            add("format", _strk(_format_pred(check.format, decoded)))
+            add("format", _strk(_format_pred(check.format, decoded, formats)))
         else:
-            add("format", _format_pred(check.format, c))
+            add("format", _format_pred(check.format, c, formats))
     if check.multiple_of is not None:
-        add(
-            "multipleOf",
-            _numk(num % _lit(check.multiple_of) == 0)
-            if json_mode
-            else c.cast("double") % _lit(check.multiple_of) == 0,
-        )
+        m = check.multiple_of
+        if json_mode:
+            pred = num % _lit(m) == 0
+            if isinstance(m, int) and not isinstance(m, bool):
+                # exact integer semantics (see _scalar_kw_pred)
+                dec = c.try_cast("decimal(38,0)")
+                pred = F.when(
+                    c.rlike("^-?[0-9]+$") & dec.isNotNull(),
+                    dec % _lit(m) == 0,
+                ).otherwise(pred)
+            add("multipleOf", _numk(pred))
+        else:
+            add("multipleOf", c.try_cast("double") % _lit(m) == 0)
     if check.unique_items:
         # c is the element array (literals in json_mode); numeric
         # literals normalize through _num_tag so 1 and 1.0 collide
@@ -484,7 +513,7 @@ def compile_check(
         # jsonschema only applies items to arrays.  Leaf reasons
         # (jsonschema descends into the items subschema).
         def _el_pred(kw, arg):
-            return lambda el: _scalar_kw_pred(el, {kw: arg}, literal_mode=True)
+            return lambda el: _scalar_kw_pred(el, {kw: arg}, literal_mode=True, formats=formats)
 
         for kw, arg in check.element_checks:
             reason = "items" if kw == "never" else kw
@@ -498,7 +527,7 @@ def compile_check(
             def conj(el: Column) -> Column:
                 ok = F.lit(True)
                 for kw, arg in kwpairs:
-                    ok = ok & _scalar_kw_pred(el, {kw: arg}, literal_mode=True)
+                    ok = ok & _scalar_kw_pred(el, {kw: arg}, literal_mode=True, formats=formats)
                 return ok
 
             return conj
@@ -529,7 +558,7 @@ def compile_check(
                 cond = if_conj(el)
                 gate = cond if on_if_true else ~cond
                 return F.when(
-                    gate, _scalar_kw_pred(el, {kw: arg}, literal_mode=True)
+                    gate, _scalar_kw_pred(el, {kw: arg}, literal_mode=True, formats=formats)
                 ).otherwise(F.lit(True))
 
             return leaf
@@ -562,7 +591,7 @@ def compile_check(
         kws = dict(check.contains_checks)
 
         def _contains_pred(el: Column) -> Column:
-            return _scalar_kw_pred(el, kws, literal_mode=True)
+            return _scalar_kw_pred(el, kws, literal_mode=True, formats=formats)
 
         matched = F.size(F.filter(c, _contains_pred))
         minc = 1 if check.min_contains is None else check.min_contains
@@ -590,7 +619,7 @@ def compile_check(
         )
 
         def _ui_pred(el: Column) -> Column:
-            return _scalar_kw_pred(el, ui_kws, literal_mode=True)
+            return _scalar_kw_pred(el, ui_kws, literal_mode=True, formats=formats)
 
         add(
             "unevaluatedItems",
@@ -619,7 +648,7 @@ def compile_check(
                 add(
                     reason,
                     F.when(el.isNull(), F.lit(True)).otherwise(
-                        _scalar_kw_pred(el, {kw: arg}, literal_mode=True)
+                        _scalar_kw_pred(el, {kw: arg}, literal_mode=True, formats=formats)
                     ),
                     el,
                 )
@@ -634,7 +663,7 @@ def compile_check(
         def _name_pred(kw, arg):
             # factory, not default-arg lambda: PySpark derives HOF
             # arity from the lambda's parameter count
-            return lambda n: _scalar_kw_pred(n, {kw: arg}, literal_mode=False)
+            return lambda n: _scalar_kw_pred(n, {kw: arg}, literal_mode=False, formats=formats)
 
         for kw, arg in check.property_names:
             reason = "propertyNames" if kw == "never" else kw
@@ -648,7 +677,7 @@ def compile_check(
             return lambda k, v: k.rlike(regex)
 
         def _val_pred(kw, arg):
-            return lambda v: _scalar_kw_pred(v, {kw: arg}, literal_mode=True)
+            return lambda v: _scalar_kw_pred(v, {kw: arg}, literal_mode=True, formats=formats)
 
         for regex, kwpairs in check.pattern_properties:
             matching = F.map_values(F.map_filter(c, _match_filter(regex)))
@@ -673,7 +702,7 @@ def compile_check(
             return _f
 
         def _entry_val_pred(kw, arg):
-            return lambda v: _scalar_kw_pred(v, {kw: arg}, literal_mode=True)
+            return lambda v: _scalar_kw_pred(v, {kw: arg}, literal_mode=True, formats=formats)
 
     if check.additional_entries is not None:
         # schema-form additionalProperties: values of undeclared,
@@ -705,9 +734,9 @@ def compile_check(
         def _unevaluated(k, v):
             bad = undeclared(k, v)
             if apd is not None:
-                bad = bad & ~_scalar_kw_pred(v, apd, literal_mode=True)
+                bad = bad & ~_scalar_kw_pred(v, apd, literal_mode=True, formats=formats)
             if upd is not None:
-                bad = bad & ~_scalar_kw_pred(v, upd, literal_mode=True)
+                bad = bad & ~_scalar_kw_pred(v, upd, literal_mode=True, formats=formats)
             return bad
 
         add(
@@ -743,21 +772,23 @@ def compile_check(
     return out
 
 
-def _branch_ok(branch, json_mode: bool) -> Column:
+def _branch_ok(branch, json_mode: bool, formats=None) -> Column:
     """Conjunction of every compiled predicate in one combinator
     branch (an empty branch is the always-true schema ``{}``)."""
     ok = F.lit(True)
     for chk in branch:
         if isinstance(chk, CombinatorCheck):
-            ok = ok & compile_combinator(chk, json_mode=json_mode)[2]
+            ok = ok & compile_combinator(chk, json_mode=json_mode,
+                                         formats=formats)[2]
         else:
-            for _, _, p, _ in compile_check(chk, json_mode=json_mode):
+            for _, _, p, _ in compile_check(chk, json_mode=json_mode,
+                                            formats=formats):
                 ok = ok & p
     return ok
 
 
 def compile_combinator(
-    cc: CombinatorCheck, json_mode: bool = False
+    cc: CombinatorCheck, json_mode: bool = False, formats=None
 ) -> Tuple[str, str, Column, Column]:
     """One CombinatorCheck → a single ``(constraint_id, reason, ok,
     observed)`` tuple.  Branch conjunctions reuse compile_check, so
@@ -768,7 +799,7 @@ def compile_combinator(
     from ..keys import flat_col
 
     gate = flat_col(cc.column) if json_mode else F.col(cc.column)
-    branch_oks = [_branch_ok(b, json_mode) for b in cc.branches]
+    branch_oks = [_branch_ok(b, json_mode, formats) for b in cc.branches]
     if cc.kind == "anyOf":
         ok = branch_oks[0]
         for b in branch_oks[1:]:
@@ -797,7 +828,7 @@ def compile_combinator(
 
 
 def compile_dependent_schema(
-    cc: CombinatorCheck, json_mode: bool = False
+    cc: CombinatorCheck, json_mode: bool = False, formats=None
 ) -> List[Tuple[str, str, Column, Column]]:
     """Schema-form dependencies at battery level: jsonschema DESCENDS
     into the subschema (Draft7 `dependencies` / 2019-09
@@ -813,9 +844,11 @@ def compile_dependent_schema(
     leaves: List[Tuple[str, str, Column, Column]] = []
     for chk in cc.branches[0]:
         if isinstance(chk, CombinatorCheck):
-            leaves.append(compile_combinator(chk, json_mode=json_mode))
+            leaves.append(compile_combinator(chk, json_mode=json_mode,
+                                             formats=formats))
         else:
-            leaves.extend(compile_check(chk, json_mode=json_mode))
+            leaves.extend(compile_check(chk, json_mode=json_mode,
+                                        formats=formats))
     own_reason = cc.reason or "dependencies"
     out: List[Tuple[str, str, Column, Column]] = []
     for cid, reason, pred, obs in leaves:
@@ -830,7 +863,7 @@ def compile_dependent_schema(
 
 
 def compile_if_then_else(
-    cc: CombinatorCheck, json_mode: bool = False
+    cc: CombinatorCheck, json_mode: bool = False, formats=None
 ) -> List[Tuple[str, str, Column, Column]]:
     """if/then/else at battery level: jsonschema evaluates `if` as a
     pure condition and DESCENDS into whichever of then/else applies,
@@ -840,7 +873,7 @@ def compile_if_then_else(
     from ..keys import flat_col
 
     gate = flat_col(cc.column) if json_mode else F.col(cc.column)
-    if_ok = _branch_ok(cc.branches[0], json_mode)
+    if_ok = _branch_ok(cc.branches[0], json_mode, formats)
     out: List[Tuple[str, str, Column, Column]] = []
     for branch, guard, lbl in (
         (cc.branches[1], if_ok, "then"),
@@ -849,9 +882,11 @@ def compile_if_then_else(
         leaves: List[Tuple[str, str, Column, Column]] = []
         for chk in branch:
             if isinstance(chk, CombinatorCheck):
-                leaves.append(compile_combinator(chk, json_mode=json_mode))
+                leaves.append(compile_combinator(chk, json_mode=json_mode,
+                                                 formats=formats))
             else:
-                leaves.extend(compile_check(chk, json_mode=json_mode))
+                leaves.extend(compile_check(chk, json_mode=json_mode,
+                                            formats=formats))
         for cid, reason, pred, obs in leaves:
             gated = F.coalesce(
                 F.when(gate.isNull(), F.lit(True)).otherwise(
@@ -865,19 +900,28 @@ def compile_if_then_else(
 
 
 def compile_battery(
-    checks: List[ColumnCheck], json_mode: bool = False
+    checks: List[ColumnCheck], json_mode: bool = False, formats=None
 ) -> List[Tuple[str, str, Column, Column]]:
+    """``formats``: per-compilation custom-format overlay (shadowing
+    the global FORMATS registry) — pass ``TableSpec.custom_formats``
+    so one suite's customFormats never leak into another run, matching
+    the reference's per-instance scoping (extensible_validator.py
+    :77-84,117-138)."""
     out: List[Tuple[str, str, Column, Column]] = []
     for ch in checks:
         if isinstance(ch, CombinatorCheck):
             if ch.kind == "dependentSchema":
-                out.extend(compile_dependent_schema(ch, json_mode=json_mode))
+                out.extend(compile_dependent_schema(ch, json_mode=json_mode,
+                                                    formats=formats))
             elif ch.kind == "ifThenElse":
-                out.extend(compile_if_then_else(ch, json_mode=json_mode))
+                out.extend(compile_if_then_else(ch, json_mode=json_mode,
+                                                formats=formats))
             else:
-                out.append(compile_combinator(ch, json_mode=json_mode))
+                out.append(compile_combinator(ch, json_mode=json_mode,
+                                              formats=formats))
         else:
-            out.extend(compile_check(ch, json_mode=json_mode))
+            out.extend(compile_check(ch, json_mode=json_mode,
+                                     formats=formats))
     return out
 
 

@@ -99,7 +99,9 @@ class SchemaDispatcher:
 
         matched = F.lit(None).cast("string")
         for schema_id, spec in self.specs.items():
-            compiled = row_checks.compile_battery(spec.checks)
+            compiled = row_checks.compile_battery(
+                spec.checks, formats=spec.custom_formats
+            )
             ok = row_checks.pass1_ok(compiled)
             matched = F.when(
                 matched.isNull() & ok, F.lit(schema_id)

@@ -199,7 +199,8 @@ class ValidationEngine:
             if spec is None:
                 continue
             compiled = row_checks.compile_battery(
-                spec.checks, json_mode=spec.canonical_json
+                spec.checks, json_mode=spec.canonical_json,
+                formats=spec.custom_formats,
             )
             ok = row_checks.pass1_ok(compiled)
             pass1_cols[name] = ok

@@ -206,7 +206,8 @@ def cross_increment_dup_violations(
 
     spark = df.sparkSession
     compiled = row_checks.compile_battery(
-        spec.checks, json_mode=spec.canonical_json
+        spec.checks, json_mode=spec.canonical_json,
+        formats=spec.custom_formats,
     )
     survivors = df.where(row_checks.pass1_ok(compiled)) if compiled else df
 

@@ -343,10 +343,18 @@ def _contains_kv(obj: Any, key: str, value: Any) -> bool:
 
 
 class _Compiler:
-    def __init__(self, uri: str, schema: Mapping, cache: Mapping[str, Mapping]):
+    def __init__(
+        self,
+        uri: str,
+        schema: Mapping,
+        cache: Mapping[str, Mapping],
+        formats: Optional[Mapping] = None,
+    ):
         self.uri = uri
         self.schema = schema
         self.cache = cache  # uri → schema (the $ref closure universe)
+        # per-compilation custom-format overlay (scoped customFormats)
+        self.formats = formats or {}
         # prefixItems only exists from 2019-09 on; compiling it under
         # draft-07 would over-validate vs jsonschema (which ignores
         # unknown keywords)
@@ -975,9 +983,19 @@ class _Compiler:
         # subschema accepts everything → nothing to enforce.
         ap_node = node.get("additionalProperties")
         ap_sub = None
+        ap_lossy = False
         if isinstance(ap_node, dict) and ap_node:
             ap_sub = self._scalar_subset(
                 ap_node, f"/{prefix or ''} additionalProperties"
+            )
+            # lossy = keywords were dropped, so ap_sub under-states the
+            # AP schema — the 2020-12 UP walk below must not treat it
+            # as the exact evaluated-value predicate silently
+            ap_lossy = (
+                self._scalar_subset_exact(
+                    ap_node, f"/{prefix or ''} additionalProperties"
+                )
+                is None
             )
             if ap_sub:
                 self.entries_paths.add(prefix)
@@ -1061,6 +1079,17 @@ class _Compiler:
                     # 2020-12 with object-form AP: a property passes
                     # iff declared, pattern-matched, AP-valid
                     # (evaluated), or — schema-form — UP-valid
+                    if ap_lossy:
+                        # the compiled AP subset under-states the AP
+                        # schema, so the evaluated-value predicate is
+                        # approximate — record the UP consequence
+                        # explicitly, not just the AP-attributed
+                        # _scalar_subset warning
+                        self.warnings.append(
+                            f"/{prefix}: unevaluatedProperties alongside a "
+                            f"partially-compiled additionalProperties is "
+                            f"not fully compiled — only partially enforced"
+                        )
                     if ap_sub:
                         self.entries_paths.add(prefix)
                         out.append(
@@ -1076,8 +1105,8 @@ class _Compiler:
                         )
                     elif ap_sub == ():
                         # AP's compiled subset accepts every value →
-                        # everything evaluated (any dropped keywords
-                        # were already warned by _scalar_subset)
+                        # everything evaluated; EXACT silence only when
+                        # nothing was dropped (ap_lossy warned above)
                         pass
                     else:
                         self.warnings.append(
@@ -1354,7 +1383,7 @@ class _Compiler:
         if "format" in kw:
             from .checks.row_checks import FORMATS
 
-            if kw["format"] in FORMATS:
+            if kw["format"] in self.formats or kw["format"] in FORMATS:
                 args["format"] = kw["format"]
             # unknown formats are annotations per spec — ignored
         if "minItems" in kw or "maxItems" in kw or kw.get("uniqueItems") is True:
@@ -1520,9 +1549,13 @@ def _dedup(seq: list) -> list:
 
 
 def compile_schema(
-    uri: str, schema: Mapping, cache: Mapping[str, Mapping], file: str = "(inline)"
+    uri: str,
+    schema: Mapping,
+    cache: Mapping[str, Mapping],
+    file: str = "(inline)",
+    formats: Optional[Mapping] = None,
 ) -> Tuple[Optional[CompiledSchema], List[SchemaIssue]]:
-    comp = _Compiler(uri, schema, cache)
+    comp = _Compiler(uri, schema, cache, formats=formats)
     comp.walk(schema)
     for attr in ("unique", "primary_keys", "indexes", "foreign_keys", "join_keys"):
         setattr(comp, attr, _dedup(getattr(comp, attr)))
@@ -1549,6 +1582,7 @@ def compile_schema(
         foreign_keys=comp.foreign_keys,
         join_keys=comp.join_keys,
         canonical_json=True,
+        custom_formats=dict(formats) if formats else None,
     )
     return (
         CompiledSchema(
@@ -1640,10 +1674,10 @@ def export_resolved_schemas(
     }
 
 
-def register_custom_formats(custom_formats) -> None:
-    """Register user formats before compilation (⇔ the reference's
-    ``customFormats`` constructor parameter,
-    extensible_validator.py:77-84,117-138).  Accepts:
+def normalize_custom_formats(custom_formats) -> Dict[str, Any]:
+    """User formats → a {name: regex-string | Column→Column callable}
+    overlay mapping (⇔ the reference's ``customFormats`` constructor
+    parameter, extensible_validator.py:77-84,117-138).  Accepts:
 
     - a mapping {name: regex-string | Column→Column callable}, or
     - an iterable of objects following the reference's protocol:
@@ -1651,13 +1685,27 @@ def register_custom_formats(custom_formats) -> None:
       (a plain per-value Python predicate).  Those compile to an
       Arrow-batched pandas UDF so the engine stays vectorized — never
       row-at-a-time Python.
-    """
-    from .checks.row_checks import register_format
 
+    The overlay is SCOPED to one compilation (TableSpec.custom_formats
+    → row_checks.compile_battery(formats=...)), matching the
+    reference's per-ExtensibleValidator-instance scoping — it never
+    mutates the process-global FORMATS registry.
+    """
+    out: Dict[str, Any] = {}
     if hasattr(custom_formats, "items"):
+        from .spec import SpecError
+
         for name, checker in custom_formats.items():
-            register_format(name, checker)
-        return
+            if not name or not isinstance(name, str):
+                raise SpecError(
+                    f"format name must be a non-empty string, got {name!r}"
+                )
+            if not (isinstance(checker, str) or callable(checker)):
+                raise SpecError(
+                    f"format {name!r}: checker must be a regex or callable"
+                )
+            out[name] = checker
+        return out
     for fmt in custom_formats:
         name = getattr(fmt, "FormatName", None)
         is_ok = getattr(fmt, "IsCorrectFormat", None)
@@ -1677,7 +1725,21 @@ def register_custom_formats(custom_formats) -> None:
 
             return F.coalesce(_batch(col), F.lit(True))
 
-        register_format(name, _column_pred)
+        out[name] = _column_pred
+    return out
+
+
+def register_custom_formats(custom_formats) -> None:
+    """PROCESS-GLOBAL format registration (explicit opt-in): writes the
+    normalized formats into row_checks.FORMATS for every later
+    compilation in this process.  Prefer
+    ``load_schemas(custom_formats=...)``, which scopes the formats to
+    that compilation only (the reference scopes customFormats per
+    validator instance)."""
+    from .checks.row_checks import register_format
+
+    for name, checker in normalize_custom_formats(custom_formats).items():
+        register_format(name, checker)
 
 
 def load_schemas(
@@ -1690,10 +1752,17 @@ def load_schemas(
     Mirrors the reference's load pipeline (extensible_validator.py
     :233-365): parse → draft check → $id check → dup-id check →
     meta-fragment validation → compile.  Issues carry the reference's
-    reason codes.  ``custom_formats`` extends the format registry
-    before compilation (see register_custom_formats)."""
-    if custom_formats is not None:
-        register_custom_formats(custom_formats)
+    reason codes.  ``custom_formats`` is SCOPED to this load: the
+    normalized overlay rides each CompiledSchema's
+    ``table_spec.custom_formats`` and shadows the global FORMATS
+    registry only for these schemas' batteries — no process-global
+    mutation (⇔ the reference's per-instance customFormats,
+    extensible_validator.py:77-84,117-138)."""
+    formats = (
+        normalize_custom_formats(custom_formats)
+        if custom_formats is not None
+        else None
+    )
     raw: List[Tuple[str, Any]] = []
     issues: List[SchemaIssue] = []
     if isinstance(path_or_schemas, str):
@@ -1735,7 +1804,9 @@ def load_schemas(
         pending.append((f, uri, schema))
 
     for f, uri, schema in pending:
-        compiled, c_issues = compile_schema(uri, schema, cache, file=f)
+        compiled, c_issues = compile_schema(
+            uri, schema, cache, file=f, formats=formats
+        )
         issues.extend(c_issues)
         if compiled is not None:
             registry[uri] = compiled

@@ -290,6 +290,14 @@ class TableSpec:
     # json-literal mode (type tags preserved: int 2 is `2`, str "2" is
     # `"2"`, null is `null`, absent is SQL NULL).
     canonical_json: bool = False
+    # per-compilation custom-format overlay {name: regex | Column
+    # callable} shadowing the global FORMATS registry — scoped like the
+    # reference's per-ExtensibleValidator customFormats
+    # (extensible_validator.py:77-84,117-138), so one suite's formats
+    # never bleed into another run in the same process.  Populated by
+    # schemas.load_schemas(custom_formats=...); consumed by
+    # row_checks.compile_battery(formats=...).
+    custom_formats: Optional[Mapping] = None
 
     def __post_init__(self):
         if not self.name:

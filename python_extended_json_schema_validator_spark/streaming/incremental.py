@@ -36,7 +36,8 @@ def row_violations_stream(stream_df: DataFrame, spec: TableSpec) -> DataFrame:
     """The pass-1 battery over a streaming DataFrame — identical plan
     to batch (stateless projection)."""
     compiled = row_checks.compile_battery(
-        spec.checks, json_mode=spec.canonical_json
+        spec.checks, json_mode=spec.canonical_json,
+        formats=spec.custom_formats,
     )
     return row_checks.row_violations(stream_df, F.col(spec.row_id), compiled)
 
@@ -81,7 +82,8 @@ def windowed_partition_verdicts(
     dropped; windows finalize for append sinks once the watermark
     passes them)."""
     compiled = row_checks.compile_battery(
-        spec.checks, json_mode=spec.canonical_json
+        spec.checks, json_mode=spec.canonical_json,
+        formats=spec.custom_formats,
     )
     ok = row_checks.pass1_ok(compiled)
     flags = stream_df.withWatermark(ts_col, watermark).select(

@@ -472,7 +472,8 @@ def run_suite(
             cs = registry[uri]
             shredded = shred_documents(spark, pending, cs)
             battery = row_checks.compile_battery(
-                cs.table_spec.checks, json_mode=True
+                cs.table_spec.checks, json_mode=True,
+                formats=cs.table_spec.custom_formats,
             )
             ok = row_checks.pass1_ok(battery)
             matched = {

@@ -770,7 +770,10 @@ def test_custom_format_regex_from_schema_file(spark, tmp_path):
         ("absent", {}),
     ]
     shredded = shred_documents(spark, docs, cs)
-    battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
+    battery = row_checks.compile_battery(
+        cs.table_spec.checks, json_mode=True,
+        formats=cs.table_spec.custom_formats,
+    )
     viol = row_checks.row_violations(shredded, F.col("__file"), battery)
     got = {r.row_id: r.reason for r in viol.collect()}
     assert got == {"bad": "format"}
@@ -800,7 +803,10 @@ def test_custom_format_reference_protocol(spark):
     cs = registry["fmt://even/1.0"]
     docs = [("ok", {"code": "ab"}), ("bad", {"code": "abc"}), ("none", {})]
     shredded = shred_documents(spark, docs, cs)
-    battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
+    battery = row_checks.compile_battery(
+        cs.table_spec.checks, json_mode=True,
+        formats=cs.table_spec.custom_formats,
+    )
     viol = row_checks.row_violations(shredded, F.col("__file"), battery)
     got = {r.row_id: r.reason for r in viol.collect()}
     assert got == {"bad": "format"}
@@ -1158,3 +1164,124 @@ def test_element_combinator_parity_and_fallback(spark):
     )
     assert got["bad1"] == ["anyOf"] and got["bad2"] == ["anyOf"]
     assert got["ok1"] == [] and got["vac"] == []
+
+
+def test_custom_formats_are_scoped_not_global(spark):
+    """customFormats are scoped to the load that declared them (⇔ the
+    reference's per-ExtensibleValidator-instance customFormats,
+    extensible_validator.py:77-84): they never mutate the global
+    FORMATS registry, so a later load in the same process neither sees
+    the custom name nor a shadowed built-in."""
+    from python_extended_json_schema_validator_spark.checks.row_checks import (
+        FORMATS,
+    )
+
+    before = dict(FORMATS)
+    schema = {
+        "$schema": DRAFT,
+        "$id": "fmt://scoped/1.0",
+        "type": "object",
+        "properties": {
+            "xref": {"type": "string", "format": "curie"},
+            # shadow a BUILT-IN name: only THIS load sees the override
+            "mail": {"type": "string", "format": "email"},
+        },
+    }
+    registry, _ = load_schemas(
+        [("s.json", schema)],
+        custom_formats={"curie": r"^[A-Z]+:\d+$", "email": r"^x@x$"},
+    )
+    assert FORMATS == before, "load_schemas must not touch global FORMATS"
+    cs = registry["fmt://scoped/1.0"]
+    shredded = shred_documents(
+        spark,
+        [("a", {"xref": "GO:1", "mail": "x@x"}),
+         ("b", {"xref": "nope", "mail": "real@mail.com"})],
+        cs,
+    )
+    battery = row_checks.compile_battery(
+        cs.table_spec.checks, json_mode=True,
+        formats=cs.table_spec.custom_formats,
+    )
+    viol = row_checks.row_violations(shredded, F.col("__file"), battery)
+    got = {(r.row_id, r.constraint_id) for r in viol.collect()}
+    # scoped override: 'real@mail.com' FAILS the shadowed email here...
+    assert got == {("b", "check:xref:format"), ("b", "check:mail:format")}
+
+    # ...while a load WITHOUT custom formats gets the built-ins back
+    # and never sees 'curie'
+    plain = {
+        "$schema": DRAFT,
+        "$id": "fmt://plain/1.0",
+        "type": "object",
+        "properties": {"mail": {"type": "string", "format": "email"}},
+    }
+    registry2, _ = load_schemas([("s.json", plain)])
+    cs2 = registry2["fmt://plain/1.0"]
+    shredded2 = shred_documents(spark, [("c", {"mail": "real@mail.com"})], cs2)
+    battery2 = row_checks.compile_battery(
+        cs2.table_spec.checks, json_mode=True,
+        formats=cs2.table_spec.custom_formats,
+    )
+    assert row_checks.row_violations(
+        shredded2, F.col("__file"), battery2
+    ).count() == 0
+
+
+def test_multipleof_bigint_exact_parity(spark):
+    """Integer instances beyond 2^53 use exact decimal arithmetic like
+    jsonschema's int % int — the double path would call
+    10000000000000001 a multiple of 10 (ADVICE round-3)."""
+    schema = {
+        "$schema": DRAFT,
+        "$id": "comb://bigmult/1.0",
+        "type": "object",
+        "properties": {
+            "m": {"multipleOf": 10},
+            "h": {"multipleOf": 0.5},
+        },
+    }
+    docs = [
+        ("big_off", {"m": 10000000000000001}),   # 2^53+ -> double lies
+        ("big_on", {"m": 10000000000000000}),
+        ("huge_off", {"m": 10 ** 30 + 3}),
+        ("huge_on", {"m": 10 ** 30}),
+        ("neg_off", {"m": -10000000000000001}),
+        ("float_path", {"m": 20.0}),
+        ("frac", {"h": 2.5}),
+        ("frac_bad", {"h": 2.3}),
+        ("int_frac", {"h": 3}),
+        ("skip_str", {"m": "55"}),
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["big_off"] == ["multipleOf"]
+    assert got["big_on"] == [] and got["huge_on"] == []
+    assert got["huge_off"] == ["multipleOf"]
+
+
+def test_unevaluated_with_lossy_additional_properties_warns():
+    """2020-12 unevaluatedProperties next to a NON-scalar-expressible
+    additionalProperties: the compiled AP subset accepts everything, so
+    the UP check is skipped — that consequence must be recorded on UP
+    itself, not only via the AP-attributed subset warning (ADVICE
+    round-3)."""
+    schema = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$id": "unev://lossyap/1.0",
+        "type": "object",
+        "properties": {
+            "o": {
+                "type": "object",
+                "properties": {"x": {}},
+                "additionalProperties": {"properties": {"q": {}}},
+                "unevaluatedProperties": False,
+            }
+        },
+    }
+    _, issues = load_schemas([("s.json", schema)])
+    warns = [i.description for i in issues if i.severity == "warning"]
+    assert any(
+        "unevaluatedProperties alongside a partially-compiled "
+        "additionalProperties" in w
+        for w in warns
+    ), warns
