@@ -820,7 +820,16 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction over a deterministic synthetic PCM
-    table (multimodal plumbing; fake codec seam)."""
+    table (multimodal plumbing; fake codec seam), ORACLE-BACKED via the
+    contract pattern (same as ann_ivf/tdigest_quantiles): exact
+    companion columns the oracle recomputes in SQL (sample_rate,
+    duration_s = n_samples/rate) plus Spark-side accuracy verdicts the
+    oracle asserts TRUE.  The clip at seed s is 0.5·sin(2π·f·t/rate) +
+    0.05·noise with f = 100 + (s%20)·50, so analytically RMS ≈
+    √(0.125+0.0025) ≈ 0.357, zero-crossings ≈ f/2 over 0.25 s, peak ∈
+    (0.5, 0.8); the Philox stream is fixed per seed, making the bounds
+    deterministic (measured: rms ∈ [0.3548, 0.3589], peak ∈ [0.613,
+    0.686], zc − f/2 ∈ [−1, 28])."""
     from python_extended_json_schema_validator_spark.pipeline import multimodal as mm
     import pandas as pd
 
@@ -837,7 +846,22 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(0, 50, 1, 4)
         .mapInPandas(gen, "audio_id string, bytes binary")
     )
-    return mm.audio_features(clips)
+    feats = mm.audio_features(clips)
+    seed = F.regexp_extract(F.col("audio_id"), r"a(\d+)", 1).cast("int")
+    freq = F.lit(100.0) + (seed % 20).cast("double") * F.lit(50.0)
+    return feats.select(
+        "audio_id",
+        "sample_rate",
+        "duration_s",
+        (F.abs(F.col("rms") - F.lit(0.357)) <= F.lit(0.02)).alias("rms_ok"),
+        (
+            (F.col("zero_crossings") >= freq / 2 - F.lit(10.0))
+            & (F.col("zero_crossings") <= freq / 2 + F.lit(60.0))
+        ).alias("zc_ok"),
+        (
+            (F.col("peak") >= F.lit(0.5)) & (F.col("peak") <= F.lit(0.8))
+        ).alias("peak_ok"),
+    )
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,7 +1168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the Spark side computes (recall@5 ≥ 0.6 / |td−exact| ≤ 1%·range)
         "ann_ivf": q_ann_ivf,
         "tdigest_quantiles": q_tdigest_quantiles,
-        # rows-only (plumbing over synthetic codecs — no SQL oracle)
+        # synthetic-codec queries, oracle-backed since round 4: the
+        # deterministic containers make frame geometry exactly
+        # SQL-recomputable, and audio features follow the contract
+        # pattern (exact companions + always-true accuracy verdicts)
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
     }
@@ -1991,5 +2018,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
             JOIN sizes za ON za.doc = p.doc_a
             JOIN sizes zb ON zb.doc = p.doc_b
+        """,
+        # synthetic-codec contracts: the FAUD/FVID containers are
+        # deterministic arithmetic, so the exact companions (rate,
+        # duration, frame geometry) recompute in SQL and the accuracy
+        # verdicts must all be TRUE (see q_audio_features bounds)
+        "audio_features": """
+            SELECT 'a' || CAST(i AS VARCHAR) AS audio_id,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(0.25 AS DOUBLE) AS duration_s,
+                   TRUE AS rms_ok, TRUE AS zc_ok, TRUE AS peak_ok
+            FROM range(0, 50) t(i)
+        """,
+        "video_frames": """
+            SELECT 'v' || CAST(i AS VARCHAR) AS video_id,
+                   CAST(f AS INTEGER) AS frame_idx,
+                   CAST(16 AS INTEGER) AS w, CAST(12 AS INTEGER) AS h
+            FROM range(0, 20) t(i), (VALUES (0), (2), (4)) u(f)
         """,
     }
