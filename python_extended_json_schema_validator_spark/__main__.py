@@ -6,7 +6,7 @@ changing the module name:
     python -m python_extended_json_schema_validator_spark \\
         schemas/ docs_dir_or_files... \\
         [-C config.yaml] [--report out.json] [--error-report]
-        [--quiet-report] [--guess-schema] [--use-schemas URI ...]
+        [--verbose-report] [--guess-schema] [--use-schemas URI ...]
         [--iter-arrays] [--schema_id_path PATH] [--dot-report out.dot T]
         [--fix] [--annotation PATH] [-c] [-q|-v|-d] [--log-file F]
         [--cache-dir D] [--invalidate] [--read-only] [--warm-up]
@@ -76,7 +76,14 @@ def main(argv=None) -> int:
     ap.add_argument("--error-report", action="store_true",
                     help="report only entries with errors")
     ap.add_argument("--quiet-report", action="store_true",
-                    help="omit schema bodies from report entries")
+                    help="accepted for back-compat: quiet IS the default "
+                    "(reference parity) — see --verbose-report")
+    ap.add_argument("--verbose-report", action="store_true",
+                    dest="verbose_report",
+                    help="embed the validated json contents (doc entries) "
+                    "and schema bodies (schema entries) in the report "
+                    "(⇔ reference --verbose-report, __main__.py:196-202: "
+                    "the report is quiet by default)")
     ap.add_argument("--guess-schema", action="store_true",
                     help="brute-force schemas for docs with no schema id")
     ap.add_argument("--use-schemas", nargs="+", default=None,
@@ -156,7 +163,9 @@ def main(argv=None) -> int:
                     "uri": uri,
                     "schema_hash": cs.schema_hash,
                     "errors": [],
-                    **({} if args.quiet_report else {"schema": cs.schema}),
+                    # quiet by default (reference parity) —
+                    # --verbose-report embeds the schema body
+                    **({"schema": cs.schema} if args.verbose_report else {}),
                 }
                 for uri, cs in sorted(registry.items())
             ]
@@ -219,7 +228,12 @@ def main(argv=None) -> int:
                 json.dump(
                     res.report(
                         annot=annmap,
-                        quiet=args.quiet_report,
+                        # quiet by DEFAULT, --verbose-report flips it
+                        # (reference parity, __main__.py:196-202) and
+                        # embeds each doc's parsed contents as "json"
+                        quiet=not args.verbose_report,
+                        docs={f: d for f, d, e in docs if e is None},
+                        annotation=args.annotation,
                         # fix mode writes error-only entries, like the
                         # reference's `elif args.doFix: continue` skip
                         # (__main__.py:414-416)

@@ -10,8 +10,10 @@ in report mode doc errors do NOT propagate to the exit code.
 
 Scale note: the JSON-array report is a driver-side artifact for
 human-sized outputs (the reference's use case).  At 10^12 rows you
-write ``result.violations`` to a table instead — ``write_violations``
-does that; ``json_report`` collect()s and is guarded accordingly.
+write ``result.violations`` to a table instead (``write_violations``),
+or consume ``report_df`` — the SAME entry shape as a lazy DataFrame,
+no driver collect; ``json_report`` is its bounded driver-side
+rendering (limit-guarded).
 """
 
 from __future__ import annotations
@@ -27,6 +29,76 @@ from .engine import ValidationResult
 REPORT_COLLECT_LIMIT = 100_000
 
 
+def _table_report_df(
+    result: ValidationResult,
+    table: str,
+    annotations: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """One table's report entries as a LAZY DataFrame ``(file,
+    annotations map<string,string>, errors array<struct<reason,
+    constraint_id, observed_value, path>>)`` — one narrow
+    groupBy(row_id) + left join, no driver materialization."""
+    df = result.tables[table]
+    spec = result.specs[table]
+    rid = F.col(spec.row_id).cast("string").alias("file")
+    viol = (
+        result.violations_for(table)
+        .groupBy("row_id")
+        .agg(
+            F.collect_list(
+                F.struct("reason", "constraint_id", "observed_value", "path")
+            ).alias("errors")
+        )
+        .withColumnRenamed("row_id", "file")
+    )
+    ann_pairs = []
+    if annotations:
+        for name, col in annotations.items():
+            if col in df.columns:
+                ann_pairs.extend([F.lit(name), F.col(col).cast("string")])
+    ann_col = (
+        F.create_map(*ann_pairs)
+        if ann_pairs
+        else F.lit(None).cast("map<string,string>")
+    )
+    return df.select(rid, ann_col.alias("annotations")).join(
+        viol, "file", "left"
+    )
+
+
+def _has_errors(col: str = "errors"):
+    return F.col(col).isNotNull() & (F.size(col) > 0)
+
+
+def report_df(
+    result: ValidationResult,
+    error_report: bool = False,
+    annotations: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """The SCALE path for reports: every table's entries as ONE lazy
+    DataFrame ``(table, file, annotations, errors)`` — the distributed
+    analogue of ``json_report`` (which is built on the same per-table
+    frames, so the shapes agree by construction).  At 10^12 rows write
+    this to a table; nothing is collected to the driver."""
+    frames = [
+        _table_report_df(result, table, annotations).select(
+            F.lit(table).alias("table"), "file", "annotations", "errors"
+        )
+        for table in result.tables
+    ]
+    if not frames:
+        return result.violations.sparkSession.createDataFrame(
+            [],
+            "table string, file string, annotations map<string,string>, "
+            "errors array<struct<reason:string, constraint_id:string, "
+            "observed_value:string, path:string>>",
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.where(_has_errors()) if error_report else out
+
+
 def json_report(
     result: ValidationResult,
     error_report: bool = False,
@@ -35,42 +107,25 @@ def json_report(
 ) -> list:
     """Reference-shaped report: one entry per row ``{file, errors:
     [{reason, description, path}...]}`` (+ optional annotation
-    columns), per table.  error_report ⇔ --error-report."""
+    columns), per table.  error_report ⇔ --error-report.  Built on the
+    same lazy frames as ``report_df`` (driver-side only the bounded
+    collect + description formatting)."""
     out = []
-    for table, df in result.tables.items():
-        spec = result.specs[table]
-        rid = F.col(spec.row_id).cast("string").alias("row_id")
-        viol = (
-            result.violations_for(table)
-            .groupBy("row_id")
-            .agg(
-                F.collect_list(
-                    F.struct("reason", "constraint_id", "observed_value", "path")
-                ).alias("errors")
-            )
-        )
-        ann_cols = []
-        if annotations:
-            ann_cols = [
-                F.col(col).cast("string").alias(name)
-                for name, col in annotations.items()
-                if col in df.columns
-            ]
-        rows = df.select(rid, *ann_cols).join(viol, "row_id", "left")
+    for table in result.tables:
+        rows = _table_report_df(result, table, annotations)
         if error_report:
-            rows = rows.where(F.size(F.coalesce("errors", F.array())) > 0)
+            rows = rows.where(_has_errors())
         collected = rows.limit(limit + 1).collect()
         if len(collected) > limit:
             raise ValueError(
                 f"report for {table} exceeds {limit} rows - write "
-                "result.violations to a table instead (write_violations)"
+                "result.violations to a table instead (write_violations) "
+                "or consume report_df lazily"
             )
         for r in collected:
-            entry = {"file": r.row_id, "table": table, "errors": []}
+            entry = {"file": r.file, "table": table, "errors": []}
             if annotations:
-                entry["annotations"] = {
-                    k: r[k] for k in annotations if k in r.__fields__
-                }
+                entry["annotations"] = dict(r.annotations or {})
             for e in r.errors or []:
                 entry["errors"].append(
                     {

@@ -59,14 +59,26 @@ class SuiteResult:
         quiet: bool = False,
         error_report: bool = False,
         annot: Optional[Dict[str, Any]] = None,
+        docs: Optional[Dict[str, Any]] = None,
+        annotation: Optional[str] = None,
     ) -> list:
         """Reference-shaped JSON report (⇔ __main__.py:311-338 +
         ParsedContentEntry): leading entries one per loaded schema
         ``{file, uri, id_key, schema_hash, errors[, schema]}``
-        (``quiet`` drops the schema body, like --quiet-report), then
-        one entry per document ``{file, schema_id, schema_hash,
-        errors: [{reason, description, path}]}``; ``error_report``
-        keeps only erroring entries (--error-report)."""
+        (``quiet`` drops the schema body — the reference is quiet by
+        DEFAULT and ``--verbose-report`` flips it,
+        reference __main__.py:196-202), then one entry per document
+        ``{file, schema_id, schema_hash, errors: [{reason,
+        description, path}]}``; ``error_report`` keeps only erroring
+        entries (--error-report).
+
+        ``docs`` ({file: parsed doc}): with ``quiet=False`` each doc
+        entry embeds its parsed contents under ``json`` (⇔
+        --verbose-report, reference __main__.py:421-424).
+        ``annotation`` (a JSONPath): extracted from each SCHEMA body
+        into that schema entry's ``annot`` (reference
+        __main__.py:331-334) and — when ``annot`` wasn't precomputed —
+        from each doc in ``docs`` (reference :418-421)."""
         out: list = []
         for uri in sorted(self.registry):
             cs = self.registry[uri]
@@ -77,9 +89,21 @@ class SuiteResult:
                 "schema_hash": cs.schema_hash,
                 "errors": [],
             }
+            if annotation is not None:
+                # extracted from the schema BODY, before any quiet
+                # deletion (reference order, __main__.py:331-336)
+                found, val = extract_annotation(cs.schema, annotation)
+                if found:
+                    entry["annot"] = val
             if not quiet:
                 entry["schema"] = cs.schema
             out.append(entry)
+        if annot is None and annotation is not None and docs is not None:
+            annot = {}
+            for fname, doc in docs.items():
+                found, val = extract_annotation(doc, annotation)
+                if found:
+                    annot[fname] = val
         fkmap: Dict[str, object] = {}
         for cs in self.registry.values():
             spec = cs.table_spec
@@ -121,6 +145,10 @@ class SuiteResult:
                 "schema_hash": cs.schema_hash if cs else None,
                 "errors": errs,
             }
+            # ⇔ --verbose-report (__main__.py:421-424): the parsed doc
+            # contents ride under "json"; quiet (the default) omits it
+            if not quiet and docs is not None and fname in docs:
+                entry["json"] = docs[fname]
             # ⇔ --annotation (__main__.py:418-421): first JSONPath
             # match per DOCUMENT entry lands under the "annot" key;
             # no match → no key

@@ -147,3 +147,51 @@ def test_dot_from_registry_renders_ports_and_edges():
         "p_fk_to_named_pk_1_0:p_something_ref_local_id -> "
         "p_named_pk_example_1_0:p_local_id" in dot
     )
+
+
+def test_report_df_matches_json_report(spark):
+    """report_df is the lazy 10^12-row path: same entry shape as
+    json_report (built on the same frames), no driver collect until
+    the caller acts."""
+    from pyspark.sql import DataFrame
+
+    spec = TableSpec(
+        name="t", row_id="rid",
+        checks=[ColumnCheck(column="v", minimum=0)],
+        unique=[KeySpec(("v",))],
+    )
+    spec2 = TableSpec(
+        name="u", row_id="rid",
+        checks=[ColumnCheck(column="w", max_length=2)],
+    )
+    res = ValidationEngine([spec, spec2]).validate({
+        "t": spark.createDataFrame(
+            [("r1", 1), ("r2", -1), ("r3", 1)], "rid string, v long"
+        ),
+        "u": spark.createDataFrame(
+            [("u1", "ok"), ("u2", "toolong")], "rid string, w string"
+        ),
+    })
+    rdf = report_mod.report_df(res, annotations={"val": "v"})
+    assert isinstance(rdf, DataFrame)  # lazy — nothing collected yet
+    assert [f.name for f in rdf.schema.fields] == [
+        "table", "file", "annotations", "errors"
+    ]
+    want = report_mod.json_report(res, annotations={"val": "v"})
+    got_rows = {
+        (r.table, r.file): r for r in rdf.collect()
+    }
+    assert len(got_rows) == len(want) == 5
+    for entry in want:
+        r = got_rows[(entry["table"], entry["file"])]
+        assert sorted(e.reason for e in (r.errors or [])) == sorted(
+            e["reason"] for e in entry["errors"]
+        )
+        assert dict(r.annotations or {}) == entry.get("annotations", {})
+
+    # error_report filter agrees too
+    err_df = report_mod.report_df(res, error_report=True)
+    assert {(r.table, r.file) for r in err_df.collect()} == {
+        (e["table"], e["file"])
+        for e in report_mod.json_report(res, error_report=True)
+    } == {("t", "r2"), ("t", "r3"), ("u", "u2")}

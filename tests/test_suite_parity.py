@@ -817,3 +817,45 @@ def test_run_suite_violation_cap(spark):
     res = run_suite(spark, [("s.json", schema)], docs, max_violations=100)
     assert res.exit_code == 2
     assert sum(1 for v in res.per_file.values() if v) == 20
+
+
+def test_verbose_report_embeds_json_and_schema_annot(spark):
+    """--verbose-report parity (reference __main__.py:196-202,331-334,
+    418-424): quiet is the DEFAULT; verbose embeds each doc's parsed
+    contents under "json" and the schema body under "schema"; a
+    JSONPath --annotation is extracted from the SCHEMA body into
+    schema entries' "annot" as well as from each doc."""
+    schema = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "vr://t/1.0",
+        "type": "object",
+        "properties": {"_id": {"type": "string"},
+                       "v": {"type": "integer", "minimum": 0}},
+        "title": "probe-title",
+    }
+    docs = [
+        ("d1", {"$schema": "vr://t/1.0", "_id": "a", "v": 1}),
+        ("d2", {"$schema": "vr://t/1.0", "_id": "b", "v": -1}),
+    ]
+    res = run_suite(spark, [("s.json", schema)], docs)
+    docmap = dict(docs)
+
+    verbose = res.report(quiet=False, docs=docmap, annotation="$._id")
+    by_file = {e["file"]: e for e in verbose}
+    assert by_file["s.json"]["schema"] == schema      # schema body rides
+    assert by_file["d1"]["json"] == docmap["d1"]      # doc contents ride
+    assert by_file["d2"]["json"] == docmap["d2"]
+    assert by_file["d1"]["annot"] == "a"              # doc annot
+    assert "annot" not in by_file["s.json"]           # no _id in schema
+
+    # a schema-body annotation path lands on SCHEMA entries too
+    with_t = res.report(quiet=True, docs=docmap, annotation="$.title")
+    by_file_t = {e["file"]: e for e in with_t}
+    assert by_file_t["s.json"]["annot"] == "probe-title"
+    assert "annot" not in by_file_t["d1"]
+
+    # quiet (the reference default): no schema body, no json contents
+    quiet = res.report(quiet=True, docs=docmap)
+    by_file_q = {e["file"]: e for e in quiet}
+    assert "schema" not in by_file_q["s.json"]
+    assert "json" not in by_file_q["d1"]
