@@ -215,6 +215,12 @@ def _json_type_pred(c: Column, t: str) -> Column:
         # draft-6/7: any number with a ZERO fractional part is an
         # integer (2.0 and 1e22 validate) — jsonschema-confirmed
         return c.rlike(_NUM_RE) & (c.try_cast("double") % 1.0 == 0)
+    if t == "integer4":
+        # drafts 03/04: integer ⇔ the instance IS an int (1.0 fails —
+        # jsonschema Draft3/4 type checker, caught by the draft-04
+        # randomized differential).  Canonical int literals are pure
+        # digit runs (json.dumps writes floats with '.'/'e').
+        return c.rlike("^-?[0-9]+$")
     if t == "number":
         return c.rlike(_NUM_RE)
     if t == "boolean":
@@ -254,6 +260,30 @@ def _num_tag(el: Column) -> Column:
     ).otherwise(el)
 
 
+def _enum_pred(c: Column, values) -> Column:
+    """jsonschema enum/const equality over canonical literals: numbers
+    compare NUMERICALLY (2.0 matches enum [1,2,3]; 1 matches 1.0)
+    while bools/strings/containers match by canonical literal only
+    (true never equals 1 — the literal "true" is not numeric).  The
+    numeric leg goes through double, so integer pairs differing only
+    past 2^53 could falsely collide — the exact-literal leg still
+    matches exact spellings first (documented edge; jsonschema uses
+    arbitrary-precision ==)."""
+    lits = []
+    nums = []
+    for v in values:
+        lits.append(_canon_dumps(v))
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            nums.append(float(v))
+    pred = c.isin(*[F.lit(x) for x in lits]) if lits else F.lit(False)
+    if nums:
+        pred = pred | (
+            c.rlike(_NUM_RE)
+            & c.try_cast("double").isin(*[F.lit(n) for n in nums])
+        )
+    return pred
+
+
 def _scalar_kw_pred(
     value: Column, kws: dict, literal_mode: bool, formats=None
 ) -> Column:
@@ -291,13 +321,20 @@ def _scalar_kw_pred(
                 p = F.lit("string" in types)
             ok = ok & p
         elif kw == "enum":
-            vals = [_canon_dumps(v) for v in arg] if literal_mode else list(arg)
-            # empty enum = nothing allowed (isin() with zero args throws)
-            ok = ok & (
-                value.isin(*[F.lit(v) for v in vals]) if vals else F.lit(False)
-            )
+            if literal_mode:
+                # empty enum = nothing allowed; numbers match numerically
+                ok = ok & (_enum_pred(value, arg) if arg else F.lit(False))
+            else:
+                ok = ok & (
+                    value.isin(*[F.lit(v) for v in arg])
+                    if arg
+                    else F.lit(False)
+                )
         elif kw == "const":
-            ok = ok & (value == F.lit(_canon_dumps(arg) if literal_mode else arg))
+            if literal_mode:
+                ok = ok & _enum_pred(value, (arg,))
+            else:
+                ok = ok & (value == F.lit(arg))
         elif kw == "pattern":
             ok = ok & strk(s.rlike(arg))
         elif kw == "minLength":
@@ -434,14 +471,20 @@ def compile_check(
             # empty enum = nothing allowed (isin() with no args throws)
             add("enum", F.lit(False))
         elif json_mode:
-            add("enum", c.isin(*[F.lit(_canon_dumps(v)) for v in check.enum]))
+            # numbers match numerically (2.0 in [1,2,3]) — jsonschema
+            # equality, caught by the draft-04 randomized differential
+            add("enum", _enum_pred(c, check.enum))
         else:
             add("enum", c.isin(*[F.lit(v) for v in check.enum]))
     if check.const is not None:
         if json_mode:
-            add("const", c == F.lit(_canon_dumps(check.const)))
+            add("const", _enum_pred(c, (check.const,)))
         else:
             add("const", c == _lit(check.const))
+    if check.const_null:
+        # `const: null` — present instances must be JSON null (the
+        # None-valued `const` field can't carry it, see spec.py)
+        add("const", c == F.lit("null") if json_mode else F.lit(False))
     if check.pattern is not None:
         if json_mode:
             add("pattern", _strk(decoded.rlike(check.pattern)))
@@ -454,10 +497,14 @@ def compile_check(
         add("maximum", _numk(num <= _lit(check.maximum)) if json_mode
             else c <= _lit(check.maximum))
     if check.exclusive_minimum is not None:
-        add("exclusiveMinimum", _numk(num > _lit(check.exclusive_minimum))
+        # drafts 03/04: the boolean exclusiveMinimum modifier is part
+        # of the `minimum` validator, so jsonschema reports `minimum`
+        add("minimum" if check.legacy_exclusive_bounds else "exclusiveMinimum",
+            _numk(num > _lit(check.exclusive_minimum))
             if json_mode else c > _lit(check.exclusive_minimum))
     if check.exclusive_maximum is not None:
-        add("exclusiveMaximum", _numk(num < _lit(check.exclusive_maximum))
+        add("maximum" if check.legacy_exclusive_bounds else "exclusiveMaximum",
+            _numk(num < _lit(check.exclusive_maximum))
             if json_mode else c < _lit(check.exclusive_maximum))
     if check.min_length is not None:
         add("minLength", _strk(F.length(decoded) >= _lit(check.min_length))

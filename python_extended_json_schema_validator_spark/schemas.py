@@ -601,6 +601,17 @@ class _Compiler:
         IGNORES (compiling them would over-validate)."""
         return self.draft_level >= _KW_MIN_LEVEL.get(k, 0)
 
+    def _scalar_kw_value(self, k: str, v: Any) -> Any:
+        """Normalize one scalar keyword value for compilation —
+        list→tuple, plus the draft-03/04 strict-integer token."""
+        v2 = tuple(v) if isinstance(v, list) else v
+        if k == "type" and self.draft_level < 6:
+            if isinstance(v2, tuple):
+                v2 = tuple("integer4" if x == "integer" else x for x in v2)
+            elif v2 == "integer":
+                v2 = "integer4"
+        return v2
+
     def _scalar_subset(self, sub: Any, where: str) -> Optional[Tuple]:
         """Scalar-keyword pairs for a propertyNames / patternProperties
         subschema (row_checks._scalar_kw_pred consumes them).  Boolean
@@ -621,7 +632,7 @@ class _Compiler:
                 # below-draft keywords are EXACTLY ignored (matching
                 # this draft's jsonschema validator) — no warning
                 if self._kw_ok(k):
-                    out.append((k, tuple(v) if isinstance(v, list) else v))
+                    out.append((k, self._scalar_kw_value(k, v)))
             elif k not in _ANNOTATION_KWS:
                 dropped.append(k)
         if dropped:
@@ -867,7 +878,7 @@ class _Compiler:
                     ColumnCheck(
                         column=prefix,
                         element_checks=tuple(
-                            (k, tuple(v) if isinstance(v, list) else v)
+                            (k, self._scalar_kw_value(k, v))
                             for k, v in scalar.items()
                         ),
                     )
@@ -1337,13 +1348,19 @@ class _Compiler:
             t = kw["type"]
             ts = [t] if isinstance(t, str) else list(t)
             if all(x in _JSON_TYPES for x in ts):
+                if self.draft_level < 6:
+                    # drafts 03/04: strict int (1.0 is NOT integer)
+                    ts = ["integer4" if x == "integer" else x for x in ts]
                 args["dtype"] = ts[0] if len(ts) == 1 else tuple(ts)
             else:
                 self.errors.append(f"{prefix}: unknown type {t!r}")
         if "enum" in kw:
             args["enum"] = tuple(kw["enum"])
         if "const" in kw:
-            args["const"] = kw["const"]
+            if kw["const"] is None:
+                args["const_null"] = True
+            else:
+                args["const"] = kw["const"]
         if "pattern" in kw:
             args["pattern"] = kw["pattern"]
         # exclusiveMinimum/Maximum are draft-SPLIT by LEVEL, matching
@@ -1358,11 +1375,15 @@ class _Compiler:
             if "minimum" in kw:
                 if emin:
                     args["exclusive_minimum"] = kw["minimum"]
+                    # legacy validators report the strict bound under
+                    # `minimum` — jsonschema Draft3/4 parity
+                    args["legacy_exclusive_bounds"] = True
                 else:
                     args["minimum"] = kw["minimum"]
             if "maximum" in kw:
                 if emax:
                     args["exclusive_maximum"] = kw["maximum"]
+                    args["legacy_exclusive_bounds"] = True
                 else:
                     args["maximum"] = kw["maximum"]
         else:

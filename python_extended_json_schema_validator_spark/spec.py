@@ -118,6 +118,15 @@ class ColumnCheck:
     # of additionalProperties: names matching any patternProperty regex
     # are allowed even when not declared).
     allowed_key_patterns: Optional[tuple] = None
+    # `const: null` — a None `const` value means ABSENT (dataclass
+    # default), so the null-const case rides its own flag: present
+    # instances must be the JSON literal `null`.
+    const_null: bool = False
+    # drafts 03/04: boolean exclusiveMinimum/Maximum tighten the paired
+    # bound, and jsonschema reports the violation under `minimum`/
+    # `maximum` (the legacy validators own the modifier) — this flag
+    # switches the emitted reason for parity.
+    legacy_exclusive_bounds: bool = False
     # "multipleOf": value/multiple_of has zero remainder (jsonschema
     # computes `instance % multipleOf == 0` — we match that float
     # semantics exactly, including its 0.3 % 0.1 ≠ 0 quirk).

@@ -1099,20 +1099,17 @@ def test_draft4_keyword_gates(spark):
     assert got["minprops"] == ["minProperties"]
     assert got["pn_ign"] == [] and got["ca_ign"] == []
 
-    # boolean exclusiveMinimum tightens the bound; VERDICT matches
-    # jsonschema, the reason name alone diverges (engine says
-    # exclusiveMinimum, Draft4 reports it under `minimum`)
+    # boolean exclusiveMinimum tightens the bound; since round 4 the
+    # reason matches jsonschema too (Draft4's legacy `minimum`
+    # validator owns the modifier and reports under `minimum`)
     s_ex = dict(schema, **{
         "id": "old://d4ex/1.0",
         "properties": {"b": {"type": "number", "minimum": 5,
                              "exclusiveMinimum": True}},
     })
-    mine = engine_reasons(spark, s_ex, [("edge", {"b": 5}),
-                                        ("above", {"b": 6})])
-    ref = jsonschema_reasons_auto(s_ex, [("edge", {"b": 5}),
-                                         ("above", {"b": 6})])
-    assert mine["edge"] == ["exclusiveMinimum"] and ref["edge"] == ["minimum"]
-    assert mine["above"] == [] == ref["above"]
+    got_ex = assert_auto_parity(spark, s_ex, [("edge", {"b": 5}),
+                                              ("above", {"b": 6})])
+    assert got_ex["edge"] == ["minimum"] and got_ex["above"] == []
 
 
 def test_draft3_ignores_multiple_of(spark):

@@ -263,3 +263,187 @@ def test_random_docs_match_jsonschema(spark):
             bad.append((name, json.dumps(doc, default=str), sorted(mine[name]),
                         sorted(want)))
     assert not bad, f"{len(bad)} mismatches; first 5: {bad[:5]}"
+
+
+D2020 = "https://json-schema.org/draft/2020-12/schema"
+
+# 2020-12 battery: prefixItems + unevaluatedItems (2020 bails for ANY
+# `items` but honors prefixItems positions), the is_valid-based
+# unevaluated* walk (AP={} evaluates EVERYTHING, value-dependent AP
+# subschemas), dependentRequired/dependentSchemas, contains bounds,
+# $dynamicRef lexical fallback, $ref with siblings, element
+# combinators — randomized against the draft-dispatched validator
+SCHEMA20 = {
+    "$schema": D2020,
+    "$id": "rand://battery20/1.0",
+    "$defs": {
+        "amount": {"$dynamicAnchor": "amt", "type": "integer", "minimum": 0},
+        "bounded": {"minimum": -5},
+    },
+    "type": "object",
+    "properties": {
+        "s": {"type": "string", "minLength": 2},
+        "pfx": {
+            "type": "array",
+            "prefixItems": [{"type": "integer"}, {"type": "string"}],
+            "unevaluatedItems": False,
+        },
+        "anyarr": {"type": "array", "unevaluatedItems": False},
+        "itemsarr": {"type": "array", "items": {"type": "integer"},
+                     "unevaluatedItems": False},
+        "cb": {
+            "type": "array",
+            "contains": {"type": "string", "minLength": 2},
+            "minContains": 1,
+            "maxContains": 2,
+        },
+        "ob": {
+            "type": "object",
+            "properties": {"x": {}},
+            "patternProperties": {"^n": {}},
+            "unevaluatedProperties": False,
+        },
+        "obap": {
+            "type": "object",
+            "properties": {"x": {}},
+            # 2020-12 walk: AP={} accepts every value -> everything
+            # evaluated -> UP can never fire (unlike 2019-09!)
+            "additionalProperties": {},
+            "unevaluatedProperties": False,
+        },
+        "obapv": {
+            "type": "object",
+            "additionalProperties": {"type": "integer", "minimum": 0},
+            "unevaluatedProperties": False,
+        },
+        "obsf": {
+            "type": "object",
+            "properties": {"x": {}},
+            "unevaluatedProperties": {"type": "integer", "minimum": 0},
+        },
+        "dyn": {"$dynamicRef": "#amt"},
+        "refsib": {"$ref": "#/$defs/bounded", "maximum": 100},
+        "ec": {"items": {"anyOf": [
+            {"type": "integer", "minimum": 10},
+            {"type": "string", "pattern": "^ok"},
+        ]}},
+        "a": {}, "b": {}, "c": {},
+    },
+    "required": ["s"],
+    "dependentRequired": {"a": ["b"]},
+    "dependentSchemas": {"b": {"required": ["c"]}},
+}
+
+PROPS20 = ["s", "pfx", "anyarr", "itemsarr", "cb", "ob", "obap", "obapv",
+           "obsf", "dyn", "refsib", "ec", "a", "b", "c"]
+
+
+def test_random_docs_match_jsonschema_2020(spark):
+    import jsonschema
+
+    rng = random.Random(20260818)
+    docs = []
+    for i in range(300):
+        doc = {}
+        for p in PROPS20:
+            if rng.random() < 0.35:
+                continue
+            doc[p] = rng.choice(POOL)
+        docs.append((f"r{i}", doc))
+
+    registry, issues = load_schemas([("s.json", SCHEMA20)])
+    assert [i for i in issues if i.severity == "error"] == [], issues
+    cs = registry["rand://battery20/1.0"]
+    shredded = shred_documents(spark, docs, cs)
+    battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
+    viol = row_checks.row_violations(shredded, F.col("__file"), battery)
+    mine = {n: set() for n, _ in docs}
+    for r in viol.collect():
+        mine[r.row_id].add(r.reason)
+
+    v = jsonschema.validators.validator_for(SCHEMA20)(SCHEMA20)
+    bad = []
+    for name, doc in docs:
+        want = {e.validator for e in v.iter_errors(doc)}
+        if mine[name] != want:
+            bad.append((name, json.dumps(doc, default=str),
+                        sorted(mine[name]), sorted(want)))
+    assert not bad, f"{len(bad)} mismatches; first 5: {bad[:5]}"
+
+
+D4 = "http://json-schema.org/draft-04/schema#"
+
+# draft-04 battery: boolean exclusiveMinimum (legacy bound modifier),
+# tuple items, dependencies both forms, plus the keywords draft-04
+# IGNORES (const/contains/propertyNames/if-then) — the net that
+# catches draft-gating mistakes in either direction
+SCHEMA4 = {
+    "$schema": D4,
+    "id": "rand://battery4/1.0",
+    "type": "object",
+    "properties": {
+        "s": {"type": "string", "minLength": 2, "pattern": "^[a-z]+$"},
+        "n": {"type": "number", "minimum": 0, "exclusiveMinimum": True,
+              "maximum": 100},
+        "i": {"type": "integer", "enum": [1, 2, 3]},
+        "c": {"const": "fixed"},            # ignored by Draft4
+        "m": {"multipleOf": 3},
+        "t": {"items": [{"type": "integer"}, {"type": "string"}]},
+        "arr": {"type": "array", "minItems": 1, "uniqueItems": True,
+                "items": {"type": "integer", "minimum": 0}},
+        "obj": {"type": "object", "minProperties": 1, "maxProperties": 3,
+                "additionalProperties": False,
+                "properties": {"x": {}},
+                "patternProperties": {"^n": {"type": "number"}}},
+        "d": {"type": "string", "format": "date"},
+        "v": {"anyOf": [{"type": "integer", "minimum": 10},
+                        {"type": "string"}]},
+        "w": {"oneOf": [{"type": "number", "multipleOf": 3},
+                        {"type": "number", "minimum": 50}]},
+        "z": {"not": {"enum": ["bad"]}},
+        "ite": {"if": {"type": "integer"}, "then": {"minimum": 0}},  # ignored
+        "pn": {"propertyNames": {"maxLength": 3}},                   # ignored
+        "ct": {"contains": {"type": "string"}},                      # ignored
+        "a": {}, "b": {},
+    },
+    "required": ["s"],
+    "dependencies": {"a": ["b"], "c": {"required": ["d"]}},
+}
+
+PROPS4 = ["s", "n", "i", "c", "m", "t", "arr", "obj", "d", "v", "w", "z",
+          "ite", "pn", "ct", "a", "b"]
+
+
+def test_random_docs_match_jsonschema_draft4(spark):
+    import jsonschema
+
+    rng = random.Random(20260819)
+    docs = []
+    for i in range(300):
+        doc = {}
+        for p in PROPS4:
+            if rng.random() < 0.35:
+                continue
+            doc[p] = rng.choice(POOL)
+        docs.append((f"r{i}", doc))
+
+    registry, issues = load_schemas([("s.json", SCHEMA4)])
+    assert [i for i in issues if i.severity == "error"] == [], issues
+    cs = registry["rand://battery4/1.0"]
+    shredded = shred_documents(spark, docs, cs)
+    battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
+    viol = row_checks.row_violations(shredded, F.col("__file"), battery)
+    mine = {n: set() for n, _ in docs}
+    for r in viol.collect():
+        mine[r.row_id].add(r.reason)
+
+    v = jsonschema.Draft4Validator(
+        SCHEMA4, format_checker=jsonschema.FormatChecker()
+    )
+    bad = []
+    for name, doc in docs:
+        want = {e.validator for e in v.iter_errors(doc)}
+        if mine[name] != want:
+            bad.append((name, json.dumps(doc, default=str),
+                        sorted(mine[name]), sorted(want)))
+    assert not bad, f"{len(bad)} mismatches; first 5: {bad[:5]}"
