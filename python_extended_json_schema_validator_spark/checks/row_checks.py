@@ -652,6 +652,31 @@ def compile_check(
                 )
         if check.max_contains is not None:
             add("maxContains", matched <= _lit(check.max_contains), F.to_json(c))
+    if check.tail_item_checks is not None:
+        # 2020-12 items-after-prefixItems: every element past the
+        # prefix must satisfy the items subschema — LEAF reasons
+        # (jsonschema descends per tail element)
+        t_prefix_len, t_kwpairs = check.tail_item_checks
+        t_tail = F.slice(
+            c,
+            t_prefix_len + 1,
+            F.greatest(F.size(c) - t_prefix_len, F.lit(0)),
+        )
+
+        def _make_tail_pred(kw, arg):
+            def pred(el: Column) -> Column:
+                return _scalar_kw_pred(
+                    el, {kw: arg}, literal_mode=True, formats=formats
+                )
+
+            return pred
+
+        for kw, arg in t_kwpairs:
+            add(
+                "items" if kw == "never" else kw,
+                F.forall(t_tail, _make_tail_pred(kw, arg)),
+                F.to_json(t_tail),
+            )
     if check.unevaluated_item_checks is not None:
         # schema-form unevaluatedItems: every element past the
         # evaluated prefix must satisfy the subschema; reason is the

@@ -692,7 +692,11 @@ class _Compiler:
                     )
                 )
         items = node.get("items")
-        if isinstance(items, dict):
+        if isinstance(items, dict) and not (
+            self.draft_2020 and isinstance(node.get("prefixItems"), list)
+        ):
+            # (2020-12 items-after-prefixItems compiles as tail checks
+            # inside _node_checks — a full descent would over-apply)
             checks.extend(
                 self._compile_branch(items, prefix + "[]", base_uri, ref_chain)
             )
@@ -937,14 +941,26 @@ class _Compiler:
             and isinstance(node.get("prefixItems"), list)
         ):
             tuple_items = node["prefixItems"]
-            if isinstance(node.get("items"), dict):
-                # 2020-12: `items` then applies to the REST only; the
-                # direct element forall would over-apply it
-                self.warnings.append(
-                    f"/{prefix}: items-after-prefixItems applies to every "
-                    f"element here, not just the tail — only approximately "
-                    f"enforced"
+            items_after = node.get("items")
+            if isinstance(items_after, dict):
+                # 2020-12: `items` applies only PAST the prefix — its
+                # scalar subset compiles over the tail slice with LEAF
+                # reasons (jsonschema descends into items per tail
+                # element); non-scalar parts warn via _scalar_subset.
+                # walk() skips its usual full descent for this shape
+                # (which would over-apply the checks to every element).
+                tail_sub = self._scalar_subset(
+                    items_after, f"/{prefix or ''} items (after prefixItems)"
                 )
+                if tail_sub:
+                    arr_path = (prefix + "[]") if prefix else "#root[]"
+                    self._touch(arr_path)
+                    out.append(
+                        ColumnCheck(
+                            column=arr_path,
+                            tail_item_checks=(len(tuple_items), tail_sub),
+                        )
+                    )
         if tuple_items is not None:
             arr_path = (prefix + "[]") if prefix else "#root[]"
             idx_checks = []
@@ -1508,7 +1524,15 @@ class _Compiler:
                 self.walk(child, _join_path(prefix, name), base_uri, ref_chain)
         items = node.get("items")
         if isinstance(items, dict):
-            self.walk(items, prefix + "[]", base_uri, ref_chain)
+            if self.draft_2020 and isinstance(node.get("prefixItems"), list):
+                # 2020-12 items-after-prefixItems applies only past the
+                # prefix: tail checks compile in _node_checks; only
+                # TRIGGERS walk the subschema here
+                self._walk_triggers_only(
+                    items, prefix + "[]", base_uri, ref_chain
+                )
+            else:
+                self.walk(items, prefix + "[]", base_uri, ref_chain)
         # allOf branches apply conjunctively at the same location —
         # walk them fully (checks + triggers).  anyOf/oneOf/not
         # branches are DISJUNCTIVE for keywords: each branch compiles

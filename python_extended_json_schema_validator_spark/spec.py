@@ -190,6 +190,12 @@ class ColumnCheck:
     # prefix must satisfy the subschema — (prefix_len, kw_pairs) over
     # the element-literal array; single reason "unevaluatedItems".
     unevaluated_item_checks: Optional[tuple] = None
+    # 2020-12 `items` AFTER `prefixItems`: (prefix_len, kw_pairs) —
+    # the scalar subset applied to every element PAST the prefix
+    # positions (F.slice tail), LEAF reasons like jsonschema's items
+    # descent.  The prefix positions themselves are covered by
+    # index_checks.
+    tail_item_checks: Optional[tuple] = None
     # combinators INSIDE an `items` subschema, applied per element of
     # the element-literal array: ((kind, branches), ...) with kind in
     # anyOf|oneOf|not|ifThenElse and each branch a scalar-subset

@@ -291,6 +291,11 @@ SCHEMA20 = {
         "anyarr": {"type": "array", "unevaluatedItems": False},
         "itemsarr": {"type": "array", "items": {"type": "integer"},
                      "unevaluatedItems": False},
+        "pfxtail": {
+            "type": "array",
+            "prefixItems": [{"type": "string"}],
+            "items": {"type": "integer", "minimum": 0},
+        },
         "cb": {
             "type": "array",
             "contains": {"type": "string", "minLength": 2},
@@ -334,8 +339,8 @@ SCHEMA20 = {
     "dependentSchemas": {"b": {"required": ["c"]}},
 }
 
-PROPS20 = ["s", "pfx", "anyarr", "itemsarr", "cb", "ob", "obap", "obapv",
-           "obsf", "dyn", "refsib", "ec", "a", "b", "c"]
+PROPS20 = ["s", "pfx", "anyarr", "itemsarr", "pfxtail", "cb", "ob", "obap",
+           "obapv", "obsf", "dyn", "refsib", "ec", "a", "b", "c"]
 
 
 def test_random_docs_match_jsonschema_2020(spark):
