@@ -565,6 +565,52 @@ def compile_check(
         for kw, arg in check.element_checks:
             reason = "items" if kw == "never" else kw
             add(reason, F.forall(c, _el_pred(kw, arg)), F.to_json(c))
+    if check.element_sub_checks is not None:
+        # scalar keywords at a property path inside array elements
+        # ("loc[].rel"): c is the ALIGNED sub-instance literal array —
+        # NULL entries (element lacks the property / isn't an object)
+        # pass vacuously, exactly jsonschema's reach semantics
+        def _make_sub_pred(kw, arg):
+            def pred(el: Column) -> Column:
+                return el.isNull() | _scalar_kw_pred(
+                    el, {kw: arg}, literal_mode=True, formats=formats
+                )
+
+            return pred
+
+        for kw, arg in check.element_sub_checks:
+            reason = "items" if kw == "never" else kw
+            add(
+                reason,
+                F.forall(c, _make_sub_pred(kw, arg)),
+                F.to_json(c),
+            )
+    if check.element_required_scope is not None:
+        # `required` inside an element subschema: per index, an OBJECT
+        # entry of the parent's aligned literal array must have a
+        # present member entry; non-object/absent parents are vacuous
+        # (jsonschema applies required to objects only).  NULL member
+        # entries with an object parent FAIL — which is why this rides
+        # its own zip predicate instead of the NULL-vacuous add() path.
+        scope_arr = (
+            flat_col(check.element_required_scope)
+            if json_mode
+            else F.col(check.element_required_scope)
+        )
+        zipped = F.zip_with(
+            scope_arr,
+            c,
+            lambda el, sub: el.isNull()
+            | ~el.startswith("{")
+            | sub.isNotNull(),
+        )
+        add(
+            "required",
+            F.when(
+                c.isNull() | scope_arr.isNull(), F.lit(True)
+            ).otherwise(F.forall(zipped, lambda x: x)),
+            F.to_json(c),
+        )
     if check.element_combinators is not None:
         # combinators inside an `items` subschema, applied per element
         # literal.  Closure FACTORIES throughout — PySpark derives HOF

@@ -67,7 +67,11 @@ def materialize_jpath(doc: Any, path: str) -> List[Any]:
         new: List[Any] = []
         array_index: Optional[int] = None
         name = step
-        if step is not None:
+        if step in ("[]", "#root[]"):
+            # the document-root element step (root-level `items`):
+            # flatten the objective itself
+            name = None
+        elif step is not None:
             m = _STEP_PAT.search(step)
             if m is not None:
                 if m.group(2) is not None:
@@ -102,6 +106,19 @@ def instance_at(doc: Any, path: str) -> Tuple[bool, Any]:
     node = doc
     steps = path.split(".")
     for i, step in enumerate(steps):
+        if step in ("[]", "#root[]"):
+            # the document-root element step (root-level `items`)
+            if not isinstance(node, list):
+                return False, None
+            rest = ".".join(steps[i + 1:])
+            if not rest:
+                return True, node
+            out = []
+            for el in node:
+                ok, v = instance_at(el, rest)
+                if ok:
+                    out.append(v)
+            return True, out
         m = _STEP_PAT.search(step)
         if m is not None and m.group(2) is None:
             # elements step: collect element instances of the rest
@@ -149,6 +166,22 @@ def shred_record(doc: Any, compiled: CompiledSchema) -> dict:
             out[p] = None
         elif p.endswith("[]"):
             out[p] = [_canon(x) for x in v] if isinstance(v, list) else None
+        elif "[]" in p:
+            # "loc[].rel": ALIGNED per-element sub-instance literals —
+            # entry i is element i's `rel` literal or None when absent,
+            # so per-element required/scalar checks can zip with the
+            # element array (one array level supported by the compiler)
+            loc, rel = p.split("[]", 1)
+            rel = rel.lstrip(".")
+            okl, arr = instance_at(doc, loc + "[]")
+            if not okl or not isinstance(arr, list):
+                out[p] = None
+            else:
+                vals = []
+                for el in arr:
+                    ok_el, sub = instance_at(el, rel)
+                    vals.append(_canon(sub) if ok_el else None)
+                out[p] = vals
         else:
             out[p] = _canon(v)
     for p in compiled.value_paths:
@@ -193,7 +226,8 @@ def _shred_schema(compiled: CompiledSchema, corrupt_flag: bool = False) -> T.Str
     if corrupt_flag:
         fields.append(T.StructField("__corrupt", T.BooleanType()))
     for p in compiled.instance_paths:
-        t = T.ArrayType(T.StringType()) if p.endswith("[]") else T.StringType()
+        # element arrays AND aligned per-element sub-instance arrays
+        t = T.ArrayType(T.StringType()) if "[]" in p else T.StringType()
         fields.append(T.StructField(p, t))
     for p in compiled.value_paths:
         t = (

@@ -698,7 +698,10 @@ class _Compiler:
             # (2020-12 items-after-prefixItems compiles as tail checks
             # inside _node_checks — a full descent would over-apply)
             checks.extend(
-                self._compile_branch(items, prefix + "[]", base_uri, ref_chain)
+                self._compile_branch(
+                    items, (prefix + "[]") if prefix else "#root[]",
+                    base_uri, ref_chain,
+                )
             )
         for branch in node.get("allOf") or []:
             checks.extend(self._compile_branch(branch, prefix, base_uri, ref_chain))
@@ -864,29 +867,56 @@ class _Compiler:
         can reuse the exact same keyword compilation."""
         out: List = []
         if "[]" in prefix:
-            # per-element (items) keywords: for a DIRECT element
-            # location (exactly one trailing "[]") the scalar subset
-            # compiles to a forall over the element-literal array with
-            # LEAF reasons (jsonschema descends into items).  Deeper
-            # shapes (properties of object elements, nested arrays)
-            # are recorded as warnings, never silently dropped.
-            direct = prefix.endswith("[]") and prefix.count("[]") == 1
+            # per-element (items) keywords, ONE array level supported:
+            # - DIRECT element location (trailing "[]"): the scalar
+            #   subset compiles to a forall over the element-literal
+            #   array with LEAF reasons (jsonschema descends into
+            #   items), and `required` compiles per element (object
+            #   elements must carry the member — aligned sub arrays);
+            # - SUB-PROPERTY location ("loc[].rel", properties of
+            #   object elements): the scalar subset compiles over the
+            #   ALIGNED sub-instance literal array (absent → NULL entry
+            #   → vacuous), `required` in nested objects likewise.
+            # Deeper shapes (nested arrays, the object-keyword families
+            # below) are recorded as warnings, never silently dropped.
+            one_level = prefix.count("[]") == 1
+            direct = one_level and prefix.endswith("[]")
+            sub_level = one_level and not direct
             scalar = {
                 k: node[k]
                 for k in _SCALAR_KWS
                 if k in node and self._kw_ok(k)
             }
-            if direct and scalar:
+            if scalar and (direct or sub_level):
                 self._touch(prefix)
+                kwpairs = tuple(
+                    (k, self._scalar_kw_value(k, v))
+                    for k, v in scalar.items()
+                )
                 out.append(
-                    ColumnCheck(
-                        column=prefix,
-                        element_checks=tuple(
-                            (k, self._scalar_kw_value(k, v))
-                            for k, v in scalar.items()
-                        ),
+                    ColumnCheck(column=prefix, element_checks=kwpairs)
+                    if direct
+                    else ColumnCheck(
+                        column=prefix, element_sub_checks=kwpairs
                     )
                 )
+            required = node.get("required")
+            req_done = False
+            if one_level and isinstance(required, list):
+                # per-element required: OBJECT entries of the parent's
+                # aligned literal array must carry the member
+                req_done = True
+                self._touch(prefix)
+                for r in required:
+                    if not isinstance(r, str):
+                        continue
+                    rp = f"{prefix}.{r}"
+                    self._touch(rp)
+                    out.append(
+                        ColumnCheck(
+                            column=rp, element_required_scope=prefix
+                        )
+                    )
             # constraining unevaluated* in an element subschema is
             # also beyond the per-element subset (True/{} are vacuous)
             unev_here = tuple(
@@ -895,13 +925,38 @@ class _Compiler:
                 if self.draft_2019_plus
                 and (node.get(k) is False or node.get(k) not in (None, True, {}))
             )
+            # object/array keyword families not compiled at element
+            # locations — every present one must leave a trace
+            deps_kws = (
+                ("dependentRequired", "dependentSchemas")
+                if self.draft_2019_plus
+                else ("dependencies",)
+            )
+            obj_kws = tuple(
+                k
+                for k in (
+                    "additionalProperties",
+                    "patternProperties",
+                    "propertyNames",
+                    "minProperties",
+                    "maxProperties",
+                    "contains",
+                    *deps_kws,
+                )
+                if self._kw_ok(k)
+            )
             dropped = [
                 k
-                for k in (*_CHECK_KEYWORDS, "required", *unev_here)
+                for k in (*_CHECK_KEYWORDS, "required", *obj_kws, *unev_here)
                 if k in node
                 and self._kw_ok(k)  # below-draft = exactly ignored
-                and not (direct and k in scalar)
+                and not ((direct or sub_level) and k in scalar)
+                and not (k == "required" and req_done)
             ]
+            if isinstance(node.get("items"), list) or (
+                self.draft_2020 and isinstance(node.get("prefixItems"), list)
+            ):
+                dropped.append("items/prefixItems (tuple form)")
             if dropped:
                 self.warnings.append(
                     f"/{prefix}: per-element keywords {dropped} are not "
@@ -1524,15 +1579,16 @@ class _Compiler:
                 self.walk(child, _join_path(prefix, name), base_uri, ref_chain)
         items = node.get("items")
         if isinstance(items, dict):
+            el_prefix = (prefix + "[]") if prefix else "#root[]"
             if self.draft_2020 and isinstance(node.get("prefixItems"), list):
                 # 2020-12 items-after-prefixItems applies only past the
                 # prefix: tail checks compile in _node_checks; only
                 # TRIGGERS walk the subschema here
                 self._walk_triggers_only(
-                    items, prefix + "[]", base_uri, ref_chain
+                    items, el_prefix, base_uri, ref_chain
                 )
             else:
-                self.walk(items, prefix + "[]", base_uri, ref_chain)
+                self.walk(items, el_prefix, base_uri, ref_chain)
         # allOf branches apply conjunctively at the same location —
         # walk them fully (checks + triggers).  anyOf/oneOf/not
         # branches are DISJUNCTIVE for keywords: each branch compiles
@@ -1574,7 +1630,10 @@ class _Compiler:
                 )
         items = node.get("items")
         if isinstance(items, dict):
-            self._walk_triggers_only(items, prefix + "[]", base_uri, ref_chain)
+            self._walk_triggers_only(
+                items, (prefix + "[]") if prefix else "#root[]",
+                base_uri, ref_chain,
+            )
         for comb in ("allOf", "anyOf", "oneOf"):
             for branch in node.get(comb) or []:
                 self._walk_triggers_only(branch, prefix, base_uri, ref_chain)

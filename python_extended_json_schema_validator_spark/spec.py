@@ -190,6 +190,19 @@ class ColumnCheck:
     # prefix must satisfy the subschema — (prefix_len, kw_pairs) over
     # the element-literal array; single reason "unevaluatedItems".
     unevaluated_item_checks: Optional[tuple] = None
+    # scalar keywords at a property path INSIDE array elements
+    # (``loc[].rel``): ((keyword, value), ...) applied per element over
+    # the ALIGNED sub-instance literal array (entry i = the literal of
+    # element i's ``rel`` instance, SQL NULL when that element lacks it
+    # — NULL entries pass vacuously, jsonschema only validates
+    # instances the subschema reaches).  Leaf reasons.
+    element_sub_checks: Optional[tuple] = None
+    # ``required`` INSIDE an element subschema: this column is the
+    # aligned ``loc[].member`` array, the scope is the parent's aligned
+    # literal array (``loc[]`` or ``loc[].sub``) — per index, an OBJECT
+    # parent entry requires a present member entry (reason `required`,
+    # vacuous for non-object/absent parents like jsonschema).
+    element_required_scope: Optional[str] = None
     # 2020-12 `items` AFTER `prefixItems`: (prefix_len, kw_pairs) —
     # the scalar subset applied to every element PAST the prefix
     # positions (F.slice tail), LEAF reasons like jsonschema's items

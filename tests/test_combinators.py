@@ -1282,3 +1282,75 @@ def test_unevaluated_with_lossy_additional_properties_warns():
         "additionalProperties" in w
         for w in warns
     ), warns
+
+
+def test_object_element_items_subschema_parity(spark):
+    """`items: {type: object, properties: {...}, required: [...]}` —
+    the most common array-of-objects shape — compiles per element over
+    ALIGNED sub-instance literal arrays (round 4): scalar property
+    keywords forall with NULL-entry vacuity, `required` as a zip of
+    the parent literal array (object entries must carry the member).
+    Leaf reasons match jsonschema's items descent exactly."""
+    schema = {
+        "$schema": DRAFT,
+        "$id": "elobj://t/1.0",
+        "type": "object",
+        "properties": {
+            "a": {"items": {
+                "type": "object",
+                "properties": {
+                    "b": {"type": "integer", "minimum": 0},
+                    "t": {"type": "string", "maxLength": 3},
+                    "nest": {"type": "object",
+                             "properties": {"q": {"type": "number"}},
+                             "required": ["q"]},
+                },
+                "required": ["b"],
+            }},
+        },
+    }
+    registry, issues = load_schemas([("s.json", schema)])
+    assert [i for i in issues if i.severity == "error"] == [], issues
+    # the whole shape compiles — NO per-element warnings remain
+    assert [i for i in issues if i.severity == "warning"] == [], issues
+    docs = [
+        ("ok", {"a": [{"b": 1}, {"b": 2, "t": "ab"}]}),
+        ("negb", {"a": [{"b": -1}]}),
+        ("missb", {"a": [{}]}),
+        ("badtypeb", {"a": [{"b": "x"}]}),
+        ("nonobj_el", {"a": [3]}),
+        ("tlong", {"a": [{"b": 1, "t": "toolong"}]}),
+        ("bnull", {"a": [{"b": None}]}),
+        ("notarr", {"a": 3}),
+        ("absent", {}),
+        ("nest_ok", {"a": [{"b": 1, "nest": {"q": 1.5}}]}),
+        ("nest_missing_q", {"a": [{"b": 1, "nest": {}}]}),
+        ("nest_bad_q", {"a": [{"b": 1, "nest": {"q": "s"}}]}),
+        ("nest_nonobj", {"a": [{"b": 1, "nest": 7}]}),
+        ("mixed", {"a": [{"b": -1}, {"t": "xxxx"}, "str"]}),
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["missb"] == ["required"]
+    assert got["nest_missing_q"] == ["required"]
+    assert sorted(got["mixed"]) == ["maxLength", "minimum", "required", "type"]
+
+
+def test_root_array_items_compile(spark):
+    """Root-level `items` (document IS the array) compiles against the
+    #root[] element column — previously the '[]' path never shredded
+    and element checks silently passed."""
+    schema = {
+        "$schema": DRAFT,
+        "$id": "rootarr://t/1.0",
+        "type": "array",
+        "items": {"type": "integer", "minimum": 0},
+    }
+    docs = [
+        ("ok", [1, 2]),
+        ("neg", [1, -2]),
+        ("str_el", ["x"]),
+        ("nonarr", {"x": 1}),
+        ("empty", []),
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["neg"] == ["minimum"] and got["str_el"] == ["type"]

@@ -72,6 +72,14 @@ SCHEMA = {
             "else": {"maxLength": 4},
         },
         "ca": {"contains": {"type": "string", "minLength": 2}},
+        # object-element items subschema: per-element properties +
+        # required compile over ALIGNED sub-instance arrays
+        "eo": {"items": {
+            "type": "object",
+            "properties": {"b": {"type": "integer", "minimum": 0},
+                           "t": {"type": "string", "maxLength": 3}},
+            "required": ["b"],
+        }},
         # combinators INSIDE items subschemas (compiled per element)
         "ae": {"items": {"anyOf": [
             {"type": "integer", "minimum": 10},
@@ -113,10 +121,12 @@ POOL = [
     {}, {"x": "s"}, {"x": 9}, {"nx": 5}, {"nz": -2}, {"n_a": 0.5},
     {"BAD": 1}, {"toolong": 1}, {"x": "s", "y": 1},
     {"a_": 1, "b_": 2, "c_": 3, "d_": 4},
+    [{"b": 1}, {"b": -2}], [{"t": "toolong", "b": 0}], [{}],
+    [{"b": "x"}, 3], [{"b": None}], [{"b": 2.0, "t": None}],
 ]
 
 PROPS = ["s", "n", "i", "c", "d", "em", "u", "ip", "arr", "obj", "v", "w",
-         "z", "ite", "ca", "ae", "oe", "ne", "ie", "a", "b"]
+         "z", "ite", "ca", "eo", "ae", "oe", "ne", "ie", "a", "b"]
 
 
 def gen_doc(rng: random.Random) -> dict:
