@@ -550,9 +550,27 @@ def compile_check(
             F.to_json(c),
         )
     if check.min_properties is not None:
-        add("minProperties", F.size(c) >= _lit(check.min_properties), F.to_json(c))
+        if check.per_element:
+            mn = _lit(check.min_properties)
+            add(
+                "minProperties",
+                F.forall(c, lambda inner: inner.isNull() | (F.size(inner) >= mn)),
+                F.to_json(c),
+            )
+        else:
+            add("minProperties", F.size(c) >= _lit(check.min_properties),
+                F.to_json(c))
     if check.max_properties is not None:
-        add("maxProperties", F.size(c) <= _lit(check.max_properties), F.to_json(c))
+        if check.per_element:
+            mx = _lit(check.max_properties)
+            add(
+                "maxProperties",
+                F.forall(c, lambda inner: inner.isNull() | (F.size(inner) <= mx)),
+                F.to_json(c),
+            )
+        else:
+            add("maxProperties", F.size(c) <= _lit(check.max_properties),
+                F.to_json(c))
     if check.element_checks is not None:
         # c is the element-literal array (`<path>[]`): every element
         # must satisfy each `items` keyword.  NULL (absent or
@@ -629,18 +647,22 @@ def compile_check(
             conjs = [_make_conj(b) for b in branches]
 
             def combo(el: Column) -> Column:
+                # NULL entries (sub-level aligned arrays: element lacks
+                # the property) are vacuous — jsonschema never reaches
+                # the subschema; direct element literals are never NULL
                 oks = [cj(el) for cj in conjs]
                 if kind == "anyOf":
                     ok = oks[0]
                     for b in oks[1:]:
                         ok = ok | b
-                    return ok
-                if kind == "oneOf":
+                elif kind == "oneOf":
                     cnt = F.lit(0)
                     for b in oks:
                         cnt = cnt + F.when(b, F.lit(1)).otherwise(F.lit(0))
-                    return cnt == F.lit(1)
-                return ~oks[0]  # not
+                    ok = cnt == F.lit(1)
+                elif kind == "not":
+                    ok = ~oks[0]
+                return el.isNull() | ok
 
             return combo
 
@@ -650,7 +672,8 @@ def compile_check(
             def leaf(el: Column) -> Column:
                 cond = if_conj(el)
                 gate = cond if on_if_true else ~cond
-                return F.when(
+                # NULL entries (sub-level aligned arrays) are vacuous
+                return el.isNull() | F.when(
                     gate, _scalar_kw_pred(el, {kw: arg}, literal_mode=True, formats=formats)
                 ).otherwise(F.lit(True))
 
@@ -783,9 +806,23 @@ def compile_check(
             # arity from the lambda's parameter count
             return lambda n: _scalar_kw_pred(n, {kw: arg}, literal_mode=False, formats=formats)
 
+        def _per_element_names(kw, arg):
+            inner_pred = _name_pred(kw, arg)
+
+            def f(inner: Column) -> Column:
+                return inner.isNull() | F.forall(inner, inner_pred)
+
+            return f
+
         for kw, arg in check.property_names:
             reason = "propertyNames" if kw == "never" else kw
-            add(reason, F.forall(c, _name_pred(kw, arg)), F.to_json(c))
+            add(
+                reason,
+                F.forall(c, _per_element_names(kw, arg))
+                if check.per_element
+                else F.forall(c, _name_pred(kw, arg)),
+                F.to_json(c),
+            )
     if check.pattern_properties is not None:
         # c is the `<path>#entries` map<string,string> (name → literal):
         # values of every name matching a regex must satisfy that
@@ -866,10 +903,27 @@ def compile_check(
         gate = (
             flat_col(check.dependent_on) if json_mode else F.col(check.dependent_on)
         )
-        # presence-based: trigger present → this column present
-        # (reason is non-vacuous, so a NULL column with a present
-        # trigger FAILS — see _NON_VACUOUS)
-        add(check.dependent_reason, gate.isNull() | c.isNotNull(), gate.cast("string"))
+        if check.per_element:
+            # items-level required-form dependencies: per index of the
+            # ALIGNED arrays, a present trigger entry needs a present
+            # member entry; absent arrays / non-object elements (both
+            # entries NULL) are vacuous
+            zipped = F.zip_with(
+                gate, c, lambda t, m: t.isNull() | m.isNotNull()
+            )
+            add(
+                check.dependent_reason,
+                F.when(c.isNull() | gate.isNull(), F.lit(True)).otherwise(
+                    F.forall(zipped, lambda x: x)
+                ),
+                F.to_json(gate),
+            )
+        else:
+            # presence-based: trigger present → this column present
+            # (reason is non-vacuous, so a NULL column with a present
+            # trigger FAILS — see _NON_VACUOUS)
+            add(check.dependent_reason, gate.isNull() | c.isNotNull(),
+                gate.cast("string"))
     if check.allowed_keys is not None:
         # c is the object's property-name array (`<path>#keys`);
         # NULL (absent / non-object) passes vacuously via the outer
@@ -884,7 +938,16 @@ def compile_check(
                 p = p | kk.rlike(rp)
             return p
 
-        add(check.keys_reason, F.forall(c, _name_ok), F.to_json(c))
+        def _element_names_ok(inner: Column) -> Column:
+            return inner.isNull() | F.forall(inner, _name_ok)
+
+        add(
+            check.keys_reason,
+            F.forall(c, _element_names_ok)
+            if check.per_element
+            else F.forall(c, _name_ok),
+            F.to_json(c),
+        )
     if check.sql_predicate is not None:
         add("sql", F.expr(check.sql_predicate))
     return out

@@ -211,6 +211,19 @@ def shred_record(doc: Any, compiled: CompiledSchema) -> dict:
         out[p + "#keys"] = (
             sorted(v.keys()) if present and isinstance(v, dict) else None
         )
+    for p in compiled.elem_props_paths:
+        # per-ELEMENT property-name arrays ("a[]#keys"): inner NULL for
+        # non-object elements (items-level object keywords are vacuous
+        # there), whole column NULL when the array itself is absent
+        ok_arr, arr = instance_at(doc, p)
+        out[p + "#keys"] = (
+            [
+                sorted(el.keys()) if isinstance(el, dict) else None
+                for el in arr
+            ]
+            if ok_arr and isinstance(arr, list)
+            else None
+        )
     for p in compiled.entries_paths:
         present, v = (True, doc) if p == "" else instance_at(doc, p)
         out[p + "#entries"] = (
@@ -238,6 +251,12 @@ def _shred_schema(compiled: CompiledSchema, corrupt_flag: bool = False) -> T.Str
         fields.append(T.StructField(p + "#v", t))
     for p in compiled.props_paths:
         fields.append(T.StructField(p + "#keys", T.ArrayType(T.StringType())))
+    for p in compiled.elem_props_paths:
+        fields.append(
+            T.StructField(
+                p + "#keys", T.ArrayType(T.ArrayType(T.StringType()))
+            )
+        )
     for p in compiled.entries_paths:
         # patternProperties reads (name → canonical value literal)
         fields.append(

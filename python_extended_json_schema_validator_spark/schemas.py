@@ -173,6 +173,11 @@ class CompiledSchema:
     # object paths whose (name → canonical value literal) maps the
     # shredder must emit as `<path>#entries` (patternProperties checks)
     entries_paths: tuple = ()
+    # array-ELEMENT locations (e.g. "a[]") whose per-element
+    # property-name arrays the shredder must emit as `<loc>#keys`
+    # (array<array<string>>, inner NULL for non-object elements) —
+    # items-level additionalProperties/min-maxProperties/propertyNames
+    elem_props_paths: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -397,6 +402,7 @@ class _Compiler:
         self.value_paths: set = set()
         self.props_paths: set = set()
         self.entries_paths: set = set()
+        self.elem_props_paths: set = set()
 
     # -- helpers ------------------------------------------------------------
 
@@ -794,7 +800,7 @@ class _Compiler:
         ([verified] probes): anyOf/oneOf/not report the combinator
         name, if/then/else reports leaf keyword names."""
         out: List = []
-        direct = prefix.endswith("[]") and prefix.count("[]") == 1
+        one_level = prefix.count("[]") == 1
         combos: List = []
         warn_kinds: List[str] = []
         has_ite = (
@@ -806,7 +812,7 @@ class _Compiler:
             raw = node.get(kind)
             if not (isinstance(raw, list) and raw):
                 continue
-            if not direct:
+            if not one_level:
                 warn_kinds.append(kind)
                 continue
             branches = [
@@ -820,7 +826,7 @@ class _Compiler:
         if "not" in node and isinstance(node["not"], (dict, bool)):
             b = (
                 self._scalar_subset_exact(node["not"], f"/{prefix} not")
-                if direct
+                if one_level
                 else None
             )
             if b is not None:
@@ -835,7 +841,7 @@ class _Compiler:
                     )
                     for k in ("if", "then", "else")
                 ]
-                if direct
+                if one_level
                 else [None]
             )
             if all(p is not None for p in parts):
@@ -917,6 +923,99 @@ class _Compiler:
                             column=rp, element_required_scope=prefix
                         )
                     )
+            # object-keyword families at the element location, via
+            # per-element keys arrays (`<loc>#keys` array<array>) and
+            # aligned member arrays — reasons match jsonschema's items
+            # descent ([verified] probes)
+            el_allowed = tuple(
+                sorted(node["properties"])
+                if isinstance(node.get("properties"), dict)
+                else ()
+            )
+            el_patterns = (
+                tuple(sorted(node["patternProperties"]))
+                if isinstance(node.get("patternProperties"), dict)
+                else ()
+            )
+            ap_done = False
+            if direct and node.get("additionalProperties") is False:
+                ap_done = True
+                self.elem_props_paths.add(prefix)
+                out.append(
+                    ColumnCheck(
+                        column=prefix + "#keys",
+                        allowed_keys=el_allowed,
+                        allowed_key_patterns=el_patterns or None,
+                        per_element=True,
+                    )
+                )
+            mp_done = False
+            if direct and self._kw_ok("minProperties") and (
+                isinstance(node.get("minProperties"), int)
+                or isinstance(node.get("maxProperties"), int)
+            ):
+                mp_done = True
+                self.elem_props_paths.add(prefix)
+                out.append(
+                    ColumnCheck(
+                        column=prefix + "#keys",
+                        min_properties=node.get("minProperties"),
+                        max_properties=node.get("maxProperties"),
+                        per_element=True,
+                    )
+                )
+            pn_done = False
+            el_pn = (
+                node.get("propertyNames")
+                if (direct and self.draft_06_plus)
+                else None
+            )
+            if isinstance(el_pn, (dict, bool)):
+                pn_sub = self._scalar_subset(
+                    el_pn, f"/{prefix} propertyNames"
+                )
+                if pn_sub:
+                    pn_done = True
+                    self.elem_props_paths.add(prefix)
+                    out.append(
+                        ColumnCheck(
+                            column=prefix + "#keys",
+                            property_names=pn_sub,
+                            per_element=True,
+                        )
+                    )
+                elif pn_sub == ():
+                    pn_done = True  # always-true subschema, exactly
+            # required-form dependencies per element: trigger entry
+            # present → member entry present (aligned arrays zip)
+            el_dep_kw = (
+                "dependentRequired" if self.draft_2019_plus else "dependencies"
+            )
+            el_deps = node.get(el_dep_kw)
+            deps_done = False
+            if one_level and isinstance(el_deps, dict):
+                deps_done = True
+                for trig in sorted(el_deps):
+                    dep = el_deps[trig]
+                    if isinstance(dep, list):
+                        tp = f"{prefix}.{trig}"
+                        self._touch(tp)
+                        for r in dep:
+                            if not isinstance(r, str):
+                                continue
+                            rp = f"{prefix}.{r}"
+                            self._touch(rp)
+                            out.append(
+                                ColumnCheck(
+                                    column=rp,
+                                    dependent_on=tp,
+                                    dependent_reason=el_dep_kw,
+                                    per_element=True,
+                                )
+                            )
+                    else:
+                        # schema-form entries stay uncompiled → warn
+                        deps_done = False
             # constraining unevaluated* in an element subschema is
             # also beyond the per-element subset (True/{} are vacuous)
             unev_here = tuple(
@@ -952,6 +1051,12 @@ class _Compiler:
                 and self._kw_ok(k)  # below-draft = exactly ignored
                 and not ((direct or sub_level) and k in scalar)
                 and not (k == "required" and req_done)
+                and not (k == "additionalProperties" and ap_done)
+                and not (
+                    k in ("minProperties", "maxProperties") and mp_done
+                )
+                and not (k == "propertyNames" and pn_done)
+                and not (k == el_dep_kw and deps_done)
             ]
             if isinstance(node.get("items"), list) or (
                 self.draft_2020 and isinstance(node.get("prefixItems"), list)
@@ -1699,6 +1804,7 @@ def compile_schema(
             value_paths=tuple(sorted(comp.value_paths)),
             props_paths=tuple(sorted(comp.props_paths)),
             entries_paths=tuple(sorted(comp.entries_paths)),
+            elem_props_paths=tuple(sorted(comp.elem_props_paths)),
         ),
         issues,
     )

@@ -190,6 +190,15 @@ class ColumnCheck:
     # prefix must satisfy the subschema — (prefix_len, kw_pairs) over
     # the element-literal array; single reason "unevaluatedItems".
     unevaluated_item_checks: Optional[tuple] = None
+    # PER-ELEMENT interpretation switch for the object-keyword
+    # machinery (allowed_keys / min-maxProperties / property_names /
+    # dependent_on): the column holds one entry PER ARRAY ELEMENT
+    # (array<array<string>> keys arrays, or aligned member arrays for
+    # dependencies) and the predicate foralls over elements with
+    # NULL-entry vacuity (non-object elements) — `items: {
+    # additionalProperties: false, minProperties: …, propertyNames: …,
+    # dependencies: {p: [q]} }` shapes.
+    per_element: bool = False
     # scalar keywords at a property path INSIDE array elements
     # (``loc[].rel``): ((keyword, value), ...) applied per element over
     # the ALIGNED sub-instance literal array (entry i = the literal of

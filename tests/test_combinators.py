@@ -1354,3 +1354,83 @@ def test_root_array_items_compile(spark):
     ]
     got = assert_jsonschema_parity(spark, schema, docs)
     assert got["neg"] == ["minimum"] and got["str_el"] == ["type"]
+
+
+def test_element_object_keywords_parity(spark):
+    """items-level object keywords (round 4, batch 2): per-element
+    additionalProperties:false / min-maxProperties / propertyNames via
+    `<loc>#keys` array<array> columns; required-form dependencies via
+    aligned member arrays; combinators on element PROPERTIES
+    ("a[].b": anyOf) with NULL-entry vacuity."""
+    schema = {
+        "$schema": DRAFT,
+        "$id": "elkeys://t/1.0",
+        "type": "object",
+        "properties": {
+            "a": {"items": {"type": "object", "properties": {
+                "b": {"anyOf": [{"type": "integer", "minimum": 10},
+                                {"type": "string", "pattern": "^ok"}]},
+            }}},
+            "c": {"items": {"type": "object",
+                            "properties": {"x": {}},
+                            "additionalProperties": False,
+                            "minProperties": 1,
+                            "maxProperties": 2,
+                            "propertyNames": {"maxLength": 3}}},
+            "d": {"items": {"dependencies": {"p": ["q"]}}},
+        },
+    }
+    registry, issues = load_schemas([("s.json", schema)])
+    assert [i for i in issues if i.severity == "error"] == [], issues
+    assert [i for i in issues if i.severity == "warning"] == [], [
+        i.description for i in issues
+    ]
+    docs = [
+        ("ok", {"a": [{"b": 15}, {"b": "okay"}, {}],
+                "c": [{"x": 1}], "d": [{"p": 1, "q": 2}, {"r": 3}, 5]}),
+        ("sub_anyof", {"a": [{"b": 5}]}),
+        ("ap_extra", {"c": [{"x": 1, "z": 2}]}),
+        ("minprops", {"c": [{}]}),
+        ("maxprops", {"c": [{"x": 1, "ab": 2, "cd": 3}]}),
+        ("pn_long", {"c": [{"x": 1, "longname": 2}]}),
+        # one offending element (engine emits one violation per
+        # KEYWORD, jsonschema one per element — documented granularity)
+        ("nonobj_el", {"c": [3]}),
+        ("dep_fire", {"d": [{"p": 1}]}),
+        ("dep_vac", {"d": [{"q": 1}, 7]}),
+        ("all_absent", {}),
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["sub_anyof"] == ["anyOf"]
+    assert got["ap_extra"] == ["additionalProperties"]
+    assert got["dep_fire"] == ["dependencies"]
+    assert sorted(got["pn_long"]) == ["additionalProperties", "maxLength"]
+
+
+def test_element_dependent_required_2019(spark):
+    schema = {
+        "$schema": "https://json-schema.org/draft/2019-09/schema",
+        "$id": "eldep19://t/1.0",
+        "type": "object",
+        "properties": {"d": {"items": {"dependentRequired": {"p": ["q"]}}}},
+    }
+    docs = [
+        ("fire", {"d": [{"p": 1}]}),
+        ("ok", {"d": [{"p": 1, "q": 2}, {"r": 1}, 3]}),
+    ]
+    import jsonschema
+
+    registry, issues = load_schemas([("s.json", schema)])
+    assert [i for i in issues if i.severity == "warning"] == [], [
+        i.description for i in issues
+    ]
+    cs = registry["eldep19://t/1.0"]
+    shredded = shred_documents(spark, docs, cs)
+    battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
+    viol = row_checks.row_violations(shredded, F.col("__file"), battery)
+    mine = {n: set() for n, _ in docs}
+    for r in viol.collect():
+        mine[r.row_id].add(r.reason)
+    v = jsonschema.validators.validator_for(schema)(schema)
+    for n, d in docs:
+        assert mine[n] == {e.validator for e in v.iter_errors(d)}, (n, mine[n])

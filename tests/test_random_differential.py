@@ -80,6 +80,16 @@ SCHEMA = {
                            "t": {"type": "string", "maxLength": 3}},
             "required": ["b"],
         }},
+        # element object keywords: per-element keys arrays + aligned
+        # member arrays + sub-property combinators
+        "ck": {"items": {"type": "object", "properties": {"x": {}},
+                         "additionalProperties": False,
+                         "minProperties": 1,
+                         "propertyNames": {"maxLength": 3}}},
+        "dk": {"items": {"dependencies": {"p": ["q"]}}},
+        "eb": {"items": {"type": "object", "properties": {
+            "v": {"anyOf": [{"type": "integer", "minimum": 10},
+                            {"type": "string", "pattern": "^ok"}]}}}},
         # combinators INSIDE items subschemas (compiled per element)
         "ae": {"items": {"anyOf": [
             {"type": "integer", "minimum": 10},
@@ -123,10 +133,13 @@ POOL = [
     {"a_": 1, "b_": 2, "c_": 3, "d_": 4},
     [{"b": 1}, {"b": -2}], [{"t": "toolong", "b": 0}], [{}],
     [{"b": "x"}, 3], [{"b": None}], [{"b": 2.0, "t": None}],
+    [{"p": 1}], [{"p": 1, "q": 2}, {"r": 3}], [{"x": 1, "z": 2}],
+    [{"v": 5}], [{"v": 15}, {"v": "okay"}], [{"v": "nope"}],
 ]
 
 PROPS = ["s", "n", "i", "c", "d", "em", "u", "ip", "arr", "obj", "v", "w",
-         "z", "ite", "ca", "eo", "ae", "oe", "ne", "ie", "a", "b"]
+         "z", "ite", "ca", "eo", "ck", "dk", "eb", "ae", "oe", "ne", "ie",
+         "a", "b"]
 
 
 def gen_doc(rng: random.Random) -> dict:
