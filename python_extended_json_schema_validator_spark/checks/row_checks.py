@@ -834,15 +834,36 @@ def compile_check(
         def _val_pred(kw, arg):
             return lambda v: _scalar_kw_pred(v, {kw: arg}, literal_mode=True, formats=formats)
 
+        def _per_element_pp(regex, kw, arg):
+            mf = _match_filter(regex)
+            vp = _val_pred(kw, arg)
+
+            def f(inner: Column) -> Column:
+                return inner.isNull() | F.forall(
+                    F.map_values(F.map_filter(inner, mf)), vp
+                )
+
+            return f
+
         for regex, kwpairs in check.pattern_properties:
-            matching = F.map_values(F.map_filter(c, _match_filter(regex)))
             for kw, arg in kwpairs:
                 reason = "patternProperties" if kw == "never" else kw
-                add(
-                    reason,
-                    F.forall(matching, _val_pred(kw, arg)),
-                    F.to_json(matching),
-                )
+                if check.per_element:
+                    # c is array<map> (`<loc>#entries` per element)
+                    add(
+                        reason,
+                        F.forall(c, _per_element_pp(regex, kw, arg)),
+                        F.to_json(c),
+                    )
+                else:
+                    matching = F.map_values(
+                        F.map_filter(c, _match_filter(regex))
+                    )
+                    add(
+                        reason,
+                        F.forall(matching, _val_pred(kw, arg)),
+                        F.to_json(matching),
+                    )
     if check.additional_entries is not None or check.unevaluated_entries is not None:
 
         def _undeclared_filter(allowed, patterns):
@@ -866,16 +887,34 @@ def compile_check(
         # propertyNames: multiple offending values collapse into one
         # violation per keyword)
         allowed, patterns, kwpairs = check.additional_entries
-        extra_vals = F.map_values(
-            F.map_filter(c, _undeclared_filter(allowed, patterns))
-        )
-        for kw, arg in kwpairs:
-            reason = "additionalProperties" if kw == "never" else kw
-            add(
-                reason,
-                F.forall(extra_vals, _entry_val_pred(kw, arg)),
-                F.to_json(extra_vals),
+        if check.per_element:
+            # c is array<map>: undeclared values of each OBJECT element
+            # must satisfy the subset; NULL inner (non-object) vacuous
+            def _per_element_ap(kw, arg):
+                undecl = _undeclared_filter(allowed, patterns)
+                vp = _entry_val_pred(kw, arg)
+
+                def f(inner: Column) -> Column:
+                    return inner.isNull() | F.forall(
+                        F.map_values(F.map_filter(inner, undecl)), vp
+                    )
+
+                return f
+
+            for kw, arg in kwpairs:
+                reason = "additionalProperties" if kw == "never" else kw
+                add(reason, F.forall(c, _per_element_ap(kw, arg)), F.to_json(c))
+        else:
+            extra_vals = F.map_values(
+                F.map_filter(c, _undeclared_filter(allowed, patterns))
             )
+            for kw, arg in kwpairs:
+                reason = "additionalProperties" if kw == "never" else kw
+                add(
+                    reason,
+                    F.forall(extra_vals, _entry_val_pred(kw, arg)),
+                    F.to_json(extra_vals),
+                )
     if check.unevaluated_entries is not None:
         # value-dependent unevaluatedProperties: an entry violates iff
         # undeclared AND un-evaluated by AP's value predicate (2020-12

@@ -224,6 +224,19 @@ def shred_record(doc: Any, compiled: CompiledSchema) -> dict:
             if ok_arr and isinstance(arr, list)
             else None
         )
+    for p in compiled.elem_entries_paths:
+        # per-ELEMENT (name → canonical literal) maps ("a[]#entries")
+        ok_arr, arr = instance_at(doc, p)
+        out[p + "#entries"] = (
+            [
+                {k: _canon(x) for k, x in el.items()}
+                if isinstance(el, dict)
+                else None
+                for el in arr
+            ]
+            if ok_arr and isinstance(arr, list)
+            else None
+        )
     for p in compiled.entries_paths:
         present, v = (True, doc) if p == "" else instance_at(doc, p)
         out[p + "#entries"] = (
@@ -255,6 +268,13 @@ def _shred_schema(compiled: CompiledSchema, corrupt_flag: bool = False) -> T.Str
         fields.append(
             T.StructField(
                 p + "#keys", T.ArrayType(T.ArrayType(T.StringType()))
+            )
+        )
+    for p in compiled.elem_entries_paths:
+        fields.append(
+            T.StructField(
+                p + "#entries",
+                T.ArrayType(T.MapType(T.StringType(), T.StringType())),
             )
         )
     for p in compiled.entries_paths:

@@ -178,6 +178,11 @@ class CompiledSchema:
     # (array<array<string>>, inner NULL for non-object elements) —
     # items-level additionalProperties/min-maxProperties/propertyNames
     elem_props_paths: tuple = ()
+    # array-ELEMENT locations whose per-element (name → literal) maps
+    # the shredder must emit as `<loc>#entries`
+    # (array<map<string,string>>) — items-level patternProperties and
+    # schema-form additionalProperties values
+    elem_entries_paths: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -403,6 +408,7 @@ class _Compiler:
         self.props_paths: set = set()
         self.entries_paths: set = set()
         self.elem_props_paths: set = set()
+        self.elem_entries_paths: set = set()
 
     # -- helpers ------------------------------------------------------------
 
@@ -986,6 +992,49 @@ class _Compiler:
                     )
                 elif pn_sub == ():
                     pn_done = True  # always-true subschema, exactly
+            # patternProperties / schema-form additionalProperties
+            # VALUES per element, via `<loc>#entries`
+            # array<map<string,string>> — leaf reasons ([verified])
+            pp_done = False
+            el_pp = node.get("patternProperties") if direct else None
+            if isinstance(el_pp, dict) and el_pp:
+                pp_entries = []
+                for regex, sub in sorted(el_pp.items()):
+                    subkw = self._scalar_subset(
+                        sub, f"/{prefix} patternProperties[{regex!r}]"
+                    )
+                    if subkw:
+                        pp_entries.append((regex, subkw))
+                pp_done = True
+                if pp_entries:
+                    self.elem_entries_paths.add(prefix)
+                    out.append(
+                        ColumnCheck(
+                            column=prefix + "#entries",
+                            pattern_properties=tuple(pp_entries),
+                            per_element=True,
+                        )
+                    )
+            apv_done = False
+            el_ap = node.get("additionalProperties") if direct else None
+            if isinstance(el_ap, dict) and el_ap:
+                apv_sub = self._scalar_subset(
+                    el_ap, f"/{prefix} additionalProperties"
+                )
+                apv_done = True
+                if apv_sub:
+                    self.elem_entries_paths.add(prefix)
+                    out.append(
+                        ColumnCheck(
+                            column=prefix + "#entries",
+                            additional_entries=(
+                                el_allowed,
+                                el_patterns,
+                                apv_sub,
+                            ),
+                            per_element=True,
+                        )
+                    )
             # required-form dependencies per element: trigger entry
             # present → member entry present (aligned arrays zip)
             el_dep_kw = (
@@ -1051,7 +1100,8 @@ class _Compiler:
                 and self._kw_ok(k)  # below-draft = exactly ignored
                 and not ((direct or sub_level) and k in scalar)
                 and not (k == "required" and req_done)
-                and not (k == "additionalProperties" and ap_done)
+                and not (k == "additionalProperties" and (ap_done or apv_done))
+                and not (k == "patternProperties" and pp_done)
                 and not (
                     k in ("minProperties", "maxProperties") and mp_done
                 )
@@ -1805,6 +1855,7 @@ def compile_schema(
             props_paths=tuple(sorted(comp.props_paths)),
             entries_paths=tuple(sorted(comp.entries_paths)),
             elem_props_paths=tuple(sorted(comp.elem_props_paths)),
+            elem_entries_paths=tuple(sorted(comp.elem_entries_paths)),
         ),
         issues,
     )

@@ -1434,3 +1434,37 @@ def test_element_dependent_required_2019(spark):
     v = jsonschema.validators.validator_for(schema)(schema)
     for n, d in docs:
         assert mine[n] == {e.validator for e in v.iter_errors(d)}, (n, mine[n])
+
+
+def test_element_entries_keywords_parity(spark):
+    """items-level patternProperties + schema-form additionalProperties
+    VALUES compile via per-element entries maps (round 4, batch 3)."""
+    schema = {
+        "$schema": DRAFT,
+        "$id": "elent://t/1.0",
+        "type": "object",
+        "properties": {
+            "a": {"items": {"patternProperties": {
+                "^n": {"type": "number", "minimum": 0}}}},
+            "b": {"items": {"properties": {"x": {}},
+                            "additionalProperties": {"type": "integer"}}},
+        },
+    }
+    registry, issues = load_schemas([("s.json", schema)])
+    assert [i for i in issues if i.severity == "error"] == [], issues
+    assert [i for i in issues if i.severity == "warning"] == [], [
+        i.description for i in issues
+    ]
+    docs = [
+        ("ok", {"a": [{"n1": 5}, {"z": "s"}, 7],
+                "b": [{"x": "anything", "z": 3}, "str"]}),
+        ("pp_neg", {"a": [{"n1": -5}]}),
+        ("pp_type", {"a": [{"nx": "s"}]}),
+        ("ap_bad", {"b": [{"z": "s"}]}),
+        ("both_absent", {}),
+        ("nonarr", {"a": 3, "b": "x"}),
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["pp_neg"] == ["minimum"]
+    assert got["pp_type"] == ["type"]
+    assert got["ap_bad"] == ["type"]

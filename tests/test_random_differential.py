@@ -87,6 +87,10 @@ SCHEMA = {
                          "minProperties": 1,
                          "propertyNames": {"maxLength": 3}}},
         "dk": {"items": {"dependencies": {"p": ["q"]}}},
+        "pk": {"items": {"patternProperties": {
+            "^n": {"type": "number", "minimum": 0}}}},
+        "ak": {"items": {"properties": {"x": {}},
+                         "additionalProperties": {"type": "integer"}}},
         "eb": {"items": {"type": "object", "properties": {
             "v": {"anyOf": [{"type": "integer", "minimum": 10},
                             {"type": "string", "pattern": "^ok"}]}}}},
@@ -134,12 +138,14 @@ POOL = [
     [{"b": 1}, {"b": -2}], [{"t": "toolong", "b": 0}], [{}],
     [{"b": "x"}, 3], [{"b": None}], [{"b": 2.0, "t": None}],
     [{"p": 1}], [{"p": 1, "q": 2}, {"r": 3}], [{"x": 1, "z": 2}],
+    [{"n1": 5}, {"nx": -2}], [{"nz": "s"}], [{"x": "any", "w": 3}],
+    [{"w": "s"}, {"n_a": 0.5}],
     [{"v": 5}], [{"v": 15}, {"v": "okay"}], [{"v": "nope"}],
 ]
 
 PROPS = ["s", "n", "i", "c", "d", "em", "u", "ip", "arr", "obj", "v", "w",
-         "z", "ite", "ca", "eo", "ck", "dk", "eb", "ae", "oe", "ne", "ie",
-         "a", "b"]
+         "z", "ite", "ca", "eo", "ck", "dk", "pk", "ak", "eb",
+         "ae", "oe", "ne", "ie", "a", "b"]
 
 
 def gen_doc(rng: random.Random) -> dict:
