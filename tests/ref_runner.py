@@ -92,6 +92,10 @@ def main() -> None:
                     "file": e["file"],
                     "schema_id": e.get("schema_id"),
                     "schema_hash": e.get("schema_hash"),
+                    # the reference's --verbose-report embeds this
+                    # (reference __main__.py:421-424 deletes it only
+                    # when quiet)
+                    "json": e.get("json"),
                 }
                 for e in out
             ],

@@ -255,6 +255,16 @@ def test_report_parity_schema_entries_and_bindings(spark):
     full = res.report(quiet=False)
     assert any("schema" in e for e in full if "uri" in e)
 
+    # --verbose-report parity: doc entries embed the SAME parsed
+    # contents the reference's verbose report embeds (its entries
+    # carry "json" until the quiet branch deletes it)
+    verbose = res.report(quiet=False, docs=dict(docs))
+    got_json = {
+        e["file"]: e["json"] for e in verbose if "schema_id" in e
+    }
+    want_json = {e["file"]: e["json"] for e in ref["docs"]}
+    assert got_json == want_json
+
     # error_report keeps only erroring doc entries
     err_rep = res.report(error_report=True)
     doc_entries = [e for e in err_rep if "schema_id" in e]
