@@ -1035,6 +1035,49 @@ class _Compiler:
                             per_element=True,
                         )
                     )
+            # static `unevaluatedProperties: false` inside items: the
+            # same draft-split static walk as the object-level path
+            # (2019 legacy AP-own-keys quirk; 2020 AP={} vacuous,
+            # dict-AP value-dependent → stays warned), per element via
+            # the keys arrays — reason `unevaluatedProperties`
+            up_done = False
+            if direct and self.draft_2019_plus:
+                el_up = node.get("unevaluatedProperties")
+                el_in_place = [
+                    k
+                    for k in (
+                        "allOf", "anyOf", "oneOf", "if",
+                        "dependentSchemas", "$ref", "$dynamicRef",
+                        "$recursiveRef",
+                    )
+                    if k in node
+                ]
+                el_ap_node = node.get("additionalProperties")
+                el_up_vac = (el_ap_node is True) or (
+                    self.draft_2020
+                    and el_ap_node == {}
+                    and "additionalProperties" in node
+                )
+                if el_up is False and not el_up_vac and not el_in_place:
+                    if self.draft_2020 and isinstance(el_ap_node, dict) and el_ap_node:
+                        pass  # 2020 value-dependent AP walk → warned
+                    else:
+                        up_allowed = set(el_allowed)
+                        if not self.draft_2020 and isinstance(el_ap_node, dict):
+                            # legacy-walk quirk: object-form AP
+                            # contributes its OWN KEYS ([verified])
+                            up_allowed |= set(el_ap_node)
+                        up_done = True
+                        self.elem_props_paths.add(prefix)
+                        out.append(
+                            ColumnCheck(
+                                column=prefix + "#keys",
+                                allowed_keys=tuple(sorted(up_allowed)),
+                                allowed_key_patterns=el_patterns or None,
+                                keys_reason="unevaluatedProperties",
+                                per_element=True,
+                            )
+                        )
             # required-form dependencies per element: trigger entry
             # present → member entry present (aligned arrays zip)
             el_dep_kw = (
@@ -1107,6 +1150,7 @@ class _Compiler:
                 )
                 and not (k == "propertyNames" and pn_done)
                 and not (k == el_dep_kw and deps_done)
+                and not (k == "unevaluatedProperties" and up_done)
             ]
             if isinstance(node.get("items"), list) or (
                 self.draft_2020 and isinstance(node.get("prefixItems"), list)

@@ -382,8 +382,9 @@ def test_dropped_keywords_record_warnings():
     assert "warn://drop/1.0" in registry  # warnings do NOT reject
     warns = [i for i in issues if i.severity == "warning"]
     assert warns, "dropped keywords must leave a trace"
-    # unevaluated* inside an ELEMENT subschema is also beyond the
-    # per-element subset -> must warn too (2019-09+ only)
+    # SCHEMA-FORM unevaluatedProperties inside an ELEMENT subschema is
+    # beyond the compiled static-false subset -> must warn (the static
+    # `unevaluatedProperties: false` form now compiles per element)
     el_schema = {
         "$schema": "https://json-schema.org/draft/2019-09/schema",
         "$id": "warn://eldrop/1.0",
@@ -392,7 +393,7 @@ def test_dropped_keywords_record_warnings():
             "arr": {
                 "type": "array",
                 "items": {"type": "object",
-                          "unevaluatedProperties": False},
+                          "unevaluatedProperties": {"type": "integer"}},
             }
         },
     }
@@ -1468,3 +1469,57 @@ def test_element_entries_keywords_parity(spark):
     assert got["pp_neg"] == ["minimum"]
     assert got["pp_type"] == ["type"]
     assert got["ap_bad"] == ["type"]
+
+
+def test_element_unevaluated_properties_static(spark):
+    """Static `unevaluatedProperties: false` inside items compiles per
+    element (keys arrays), draft-split exactly like the object-level
+    walk: 2019-09 legacy AP-own-keys quirk honored; 2020-12 AP={}
+    makes UP vacuous."""
+    import jsonschema
+
+    cases = [
+        ({"$schema": "https://json-schema.org/draft/2019-09/schema",
+          "$id": "elup://a/1.0",
+          "type": "object",
+          "properties": {"a": {"items": {
+              "properties": {"x": {}},
+              "patternProperties": {"^n": {}},
+              "unevaluatedProperties": False}}}},
+         [("ok", {"a": [{"x": 1, "n2": 3}]}),
+          ("extra", {"a": [{"z": 1}]}),
+          ("nonobj", {"a": [5]})]),
+        ({"$schema": "https://json-schema.org/draft/2019-09/schema",
+          "$id": "elup://b/1.0",
+          "type": "object",
+          "properties": {"a": {"items": {
+              "properties": {"x": {}},
+              "additionalProperties": {"nx": {}},
+              "unevaluatedProperties": False}}}},
+         [("apkey", {"a": [{"nx": 1}]}),
+          ("other", {"a": [{"zz": 1}]})]),
+        ({"$schema": "https://json-schema.org/draft/2020-12/schema",
+          "$id": "elup://c/1.0",
+          "type": "object",
+          "properties": {"a": {"items": {
+              "properties": {"x": {}},
+              "additionalProperties": {},
+              "unevaluatedProperties": False}}}},
+         [("vac", {"a": [{"zz": 1}]})]),
+    ]
+    for schema, docs in cases:
+        registry, issues = load_schemas([("s.json", schema)])
+        assert [i for i in issues if i.severity == "error"] == [], issues
+        cs = registry[schema["$id"]]
+        shredded = shred_documents(spark, docs, cs)
+        battery = row_checks.compile_battery(
+            cs.table_spec.checks, json_mode=True
+        )
+        viol = row_checks.row_violations(shredded, F.col("__file"), battery)
+        mine = {n: set() for n, _ in docs}
+        for r in viol.collect():
+            mine[r.row_id].add(r.reason)
+        v = jsonschema.validators.validator_for(schema)(schema)
+        for n, d in docs:
+            want = {e.validator for e in v.iter_errors(d)}
+            assert mine[n] == want, (schema["$id"], n, mine[n], want)

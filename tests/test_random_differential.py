@@ -203,6 +203,11 @@ SCHEMA19 = {
             "properties": {"x": {}},
             "unevaluatedProperties": {"type": "integer", "minimum": 0},
         },
+        "elup": {"items": {
+            "properties": {"x": {}},
+            "patternProperties": {"^n": {}},
+            "unevaluatedProperties": False,
+        }},
         "tupsf": {
             "type": "array",
             "items": [{"type": "integer"}],
@@ -216,7 +221,8 @@ SCHEMA19 = {
     "unevaluatedProperties": False,
 }
 
-PROPS19 = ["s", "tup", "anyarr", "cb", "ob", "ob2", "obsf", "tupsf", "a", "b"]
+PROPS19 = ["s", "tup", "anyarr", "cb", "ob", "ob2", "obsf", "elup",
+           "tupsf", "a", "b"]
 
 
 def gen_doc19(rng: random.Random) -> dict:
