@@ -944,7 +944,7 @@ class _Compiler:
                 else ()
             )
             ap_done = False
-            if direct and node.get("additionalProperties") is False:
+            if (direct or sub_level) and node.get("additionalProperties") is False:
                 ap_done = True
                 self.elem_props_paths.add(prefix)
                 out.append(
@@ -956,7 +956,7 @@ class _Compiler:
                     )
                 )
             mp_done = False
-            if direct and self._kw_ok("minProperties") and (
+            if (direct or sub_level) and self._kw_ok("minProperties") and (
                 isinstance(node.get("minProperties"), int)
                 or isinstance(node.get("maxProperties"), int)
             ):
@@ -973,7 +973,7 @@ class _Compiler:
             pn_done = False
             el_pn = (
                 node.get("propertyNames")
-                if (direct and self.draft_06_plus)
+                if ((direct or sub_level) and self.draft_06_plus)
                 else None
             )
             if isinstance(el_pn, (dict, bool)):
@@ -996,7 +996,7 @@ class _Compiler:
             # VALUES per element, via `<loc>#entries`
             # array<map<string,string>> — leaf reasons ([verified])
             pp_done = False
-            el_pp = node.get("patternProperties") if direct else None
+            el_pp = node.get("patternProperties") if one_level else None
             if isinstance(el_pp, dict) and el_pp:
                 pp_entries = []
                 for regex, sub in sorted(el_pp.items()):
@@ -1016,7 +1016,7 @@ class _Compiler:
                         )
                     )
             apv_done = False
-            el_ap = node.get("additionalProperties") if direct else None
+            el_ap = node.get("additionalProperties") if one_level else None
             if isinstance(el_ap, dict) and el_ap:
                 apv_sub = self._scalar_subset(
                     el_ap, f"/{prefix} additionalProperties"
@@ -1041,7 +1041,7 @@ class _Compiler:
             # dict-AP value-dependent → stays warned), per element via
             # the keys arrays — reason `unevaluatedProperties`
             up_done = False
-            if direct and self.draft_2019_plus:
+            if one_level and self.draft_2019_plus:
                 el_up = node.get("unevaluatedProperties")
                 el_in_place = [
                     k

@@ -1523,3 +1523,56 @@ def test_element_unevaluated_properties_static(spark):
         for n, d in docs:
             want = {e.validator for e in v.iter_errors(d)}
             assert mine[n] == want, (schema["$id"], n, mine[n], want)
+
+
+def test_sub_level_object_keywords_parity(spark):
+    """Object keywords on PROPERTIES of array elements ("a[].meta"):
+    additionalProperties/min-maxProperties/propertyNames/
+    patternProperties/static unevaluatedProperties all compile one
+    array level down — filtered per-element collections are
+    verdict-equivalent to aligned ones because dropped/NULL entries
+    are vacuous."""
+    import jsonschema
+
+    schema = {
+        "$schema": "https://json-schema.org/draft/2019-09/schema",
+        "$id": "subobj://t/1.0",
+        "type": "object",
+        "properties": {"a": {"items": {"type": "object", "properties": {
+            "meta": {"type": "object",
+                     "properties": {"x": {}},
+                     "additionalProperties": False,
+                     "minProperties": 1,
+                     "propertyNames": {"maxLength": 4},
+                     "patternProperties": {"^n": {"type": "number"}}},
+            "cfg": {"properties": {"q": {}},
+                    "unevaluatedProperties": False},
+        }}}},
+    }
+    registry, issues = load_schemas([("s.json", schema)])
+    assert [i for i in issues if i.severity == "error"] == [], issues
+    assert [i for i in issues if i.severity == "warning"] == [], [
+        i.description for i in issues
+    ]
+    docs = [
+        ("ok", {"a": [{"meta": {"x": 1}}, {"cfg": {"q": 2}}, {}]}),
+        ("ap", {"a": [{"meta": {"x": 1, "zz": 2}}]}),
+        ("minp", {"a": [{"meta": {}}]}),
+        ("pnlong", {"a": [{"meta": {"x": 1, "verylong": 2}}]}),
+        ("pp", {"a": [{"meta": {"x": 1, "n2": "s"}}]}),
+        ("up", {"a": [{"cfg": {"z": 1}}]}),
+        ("meta_nonobj", {"a": [{"meta": 3}]}),
+        ("nonobj_el", {"a": [5]}),
+        ("absent", {}),
+    ]
+    cs = registry["subobj://t/1.0"]
+    shredded = shred_documents(spark, docs, cs)
+    battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
+    viol = row_checks.row_violations(shredded, F.col("__file"), battery)
+    mine = {n: set() for n, _ in docs}
+    for r in viol.collect():
+        mine[r.row_id].add(r.reason)
+    v = jsonschema.validators.validator_for(schema)(schema)
+    for n, d in docs:
+        want = {e.validator for e in v.iter_errors(d)}
+        assert mine[n] == want, (n, sorted(mine[n]), sorted(want))
