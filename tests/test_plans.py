@@ -215,3 +215,51 @@ def test_ivf_assignment_is_map_only(spark):
     assert out.count() == 400  # 200 rows × nprobe
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_element_battery_stays_jvm_side(spark):
+    """The round-4 per-element machinery (aligned sub arrays, keys
+    arrays, entries maps, zip_with required, element combinators) must
+    compile to built-in HOFs only — zero Python beyond the Arrow shred
+    source, no Exchange (the battery is one projection)."""
+    from pyspark.sql import functions as F
+
+    from python_extended_json_schema_validator_spark.checks import row_checks
+    from python_extended_json_schema_validator_spark.docshred import (
+        shred_json_strings,
+    )
+    from python_extended_json_schema_validator_spark.schemas import load_schemas
+
+    schema = {
+        "$schema": "https://json-schema.org/draft/2019-09/schema",
+        "$id": "plan://elements/1.0",
+        "type": "object",
+        "properties": {"a": {"items": {
+            "type": "object",
+            "properties": {"b": {"type": "integer", "minimum": 0},
+                           "v": {"anyOf": [{"type": "integer"},
+                                           {"type": "string"}]}},
+            "required": ["b"],
+            "additionalProperties": False,
+            "minProperties": 1,
+            "dependentRequired": {"b": ["v"]},
+        }}},
+    }
+    registry, issues = load_schemas([("s.json", schema)])
+    assert not [i for i in issues if i.severity == "error"], issues
+    cs = registry["plan://elements/1.0"]
+    docs = spark.range(0, 100).select(
+        F.concat(F.lit("f"), F.col("id")).alias("file"),
+        F.to_json(F.struct(F.array(
+            F.struct(F.col("id").cast("int").alias("b"),
+                     F.lit("x").alias("v"))
+        ).alias("a"))).alias("json"),
+    )
+    shredded = shred_json_strings(docs, cs)
+    battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
+    viol = row_checks.row_violations(shredded, F.col("__file"), battery)
+    plan = final_plan(viol)
+    # the ONLY Python stage is the Arrow shredder (mapInPandas source)
+    assert plan.count("ArrowEvalPython") == 0
+    assert plan.count("BatchEvalPython") == 0
+    assert "Exchange" not in plan
