@@ -1017,6 +1017,16 @@ def q_combinator_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "toks_ite": {"items": {"if": {"pattern": "^t"},
                                    "then": {"minLength": 3},
                                    "else": {"maxLength": 10}}},
+            # array-of-OBJECTS items subschema (round-4 per-element
+            # machinery): aligned sub arrays, element required, keys
+            # arrays for additionalProperties:false
+            "recs": {"items": {
+                "type": "object",
+                "properties": {"nc": {"type": "integer", "minimum": 200},
+                               "lg": {"type": "string"}},
+                "required": ["lg"],
+                "additionalProperties": False,
+            }},
         },
         "dependencies": {"alt_src": ["alt_lang"]},
     }
@@ -1036,6 +1046,28 @@ def q_combinator_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 words.alias("toks_one"),
                 words.alias("toks_not"),
                 words.alias("toks_ite"),
+                F.array(
+                    F.struct(
+                        F.col("n_chars").alias("nc"),
+                        F.col("lang").alias("lg"),
+                        # same struct type as element 2; NULL xt is
+                        # dropped by to_json
+                        F.lit(None).cast("string").alias("xt"),
+                    ),
+                    F.struct(
+                        (F.col("n_chars") + 1).alias("nc"),
+                        # to_json drops NULL fields → element 2 lacks
+                        # lg unless n_chars % 4 == 0 (required fires),
+                        # and carries an UNDECLARED xt when
+                        # n_chars % 5 == 0 (additionalProperties fires)
+                        F.when(
+                            F.col("n_chars") % 4 == 0, F.col("lang")
+                        ).alias("lg"),
+                        F.when(
+                            F.col("n_chars") % 5 == 0, F.lit("x")
+                        ).alias("xt"),
+                    ),
+                ).alias("recs"),
                 F.struct(F.col("n_chars").alias("nc")).alias("meta"),
                 F.when(F.col("n_chars") % 3 == 0, F.col("source")).alias(
                     "alt_src"
@@ -1234,6 +1266,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'check:toks_ite[]:maxLength', 'maxLength', rid
             FROM d WHERE len(list_filter(words, w ->
                 NOT regexp_matches(w, '^t') AND length(w) > 10)) > 0
+            UNION ALL
+            SELECT 'check:recs[].nc:minimum', 'minimum', rid
+            FROM d WHERE n_chars < 200
+            UNION ALL
+            SELECT 'check:recs[].lg:required', 'required', rid
+            FROM d WHERE n_chars % 4 <> 0
+            UNION ALL
+            SELECT 'check:recs[]#keys:additionalProperties',
+                   'additionalProperties', rid
+            FROM d WHERE n_chars % 5 = 0
         """,
         "drift_check": """
             WITH cur AS (
