@@ -114,6 +114,13 @@ def _idna_encodes(x: str) -> bool:
         return False
 
 
+# pure-JVM Column callables may run inside higher-order-function
+# lambdas; Python-UDF-backed ones may NOT (Spark rejects Python UDFs
+# in HOFs) — the schema compiler consults this marker before admitting
+# a format into the scalar subset
+_date_format_pred.hof_safe = True
+_datetime_format_pred.hof_safe = True
+
 _V4 = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}"
 _G = r"[0-9A-Fa-f]{1,4}"
 # ipaddress.IPv6Address acceptance: full 8 groups, :: compression
@@ -260,6 +267,20 @@ def _num_tag(el: Column) -> Column:
     ).otherwise(el)
 
 
+def _leaf_reason(kw: str, never_as: str) -> str:
+    """Reason name for one scalar-subset keyword: the `false`-schema
+    sentinel surfaces as the CONTAINER keyword; the internal draft-03/04
+    strict-bound kws report under minimum/maximum (jsonschema's legacy
+    validators own the boolean modifier)."""
+    if kw == "never":
+        return never_as
+    if kw == "exclusiveMinimum4":
+        return "minimum"
+    if kw == "exclusiveMaximum4":
+        return "maximum"
+    return kw
+
+
 def _enum_pred(c: Column, values) -> Column:
     """jsonschema enum/const equality over canonical literals: numbers
     compare NUMERICALLY (2.0 matches enum [1,2,3]; 1 matches 1.0)
@@ -274,7 +295,14 @@ def _enum_pred(c: Column, values) -> Column:
     for v in values:
         lits.append(_canon_dumps(v))
         if isinstance(v, (int, float)) and not isinstance(v, bool):
-            nums.append(float(v))
+            try:
+                nums.append(float(v))
+            except OverflowError:
+                # int beyond float range: the exact-literal leg still
+                # matches exact spellings; jsonschema's arbitrary-
+                # precision == has no double-range cliff, but neither
+                # value is representable numerically here
+                pass
     pred = c.isin(*[F.lit(x) for x in lits]) if lits else F.lit(False)
     if nums:
         pred = pred | (
@@ -342,15 +370,22 @@ def _scalar_kw_pred(
         elif kw == "maxLength":
             ok = ok & strk(F.length(s) <= F.lit(arg))
         elif kw == "format":
-            if _fmt_checker(arg, formats) is not None:
+            checker = _fmt_checker(arg, formats)
+            if checker is not None and (
+                isinstance(checker, str) or getattr(checker, "hof_safe", False)
+            ):
                 ok = ok & strk(_format_pred(arg, s, formats))
+            # Python-UDF checkers can't run inside HOF lambdas — the
+            # compiler drops them with a warning; pass defensively here
         elif kw == "minimum":
             ok = ok & numk(num >= F.lit(arg))
         elif kw == "maximum":
             ok = ok & numk(num <= F.lit(arg))
-        elif kw == "exclusiveMinimum":
+        elif kw in ("exclusiveMinimum", "exclusiveMinimum4"):
+            # *4 = the draft-03/04 boolean-modifier form (strict bound
+            # REPORTED under `minimum` — see _leaf_reason)
             ok = ok & numk(num > F.lit(arg))
-        elif kw == "exclusiveMaximum":
+        elif kw in ("exclusiveMaximum", "exclusiveMaximum4"):
             ok = ok & numk(num < F.lit(arg))
         elif kw == "multipleOf":
             p = num % F.lit(arg) == 0
@@ -581,7 +616,7 @@ def compile_check(
             return lambda el: _scalar_kw_pred(el, {kw: arg}, literal_mode=True, formats=formats)
 
         for kw, arg in check.element_checks:
-            reason = "items" if kw == "never" else kw
+            reason = _leaf_reason(kw, "items")
             add(reason, F.forall(c, _el_pred(kw, arg)), F.to_json(c))
     if check.element_sub_checks is not None:
         # scalar keywords at a property path inside array elements
@@ -597,7 +632,7 @@ def compile_check(
             return pred
 
         for kw, arg in check.element_sub_checks:
-            reason = "items" if kw == "never" else kw
+            reason = _leaf_reason(kw, "items")
             add(
                 reason,
                 F.forall(c, _make_sub_pred(kw, arg)),
@@ -692,7 +727,7 @@ def compile_check(
                 ):
                     for kw, arg in kwpairs:
                         add(
-                            lbl if kw == "never" else kw,
+                            _leaf_reason(kw, lbl),
                             F.forall(c, _make_ite_leaf(if_b, kw, arg, on_true)),
                             F.to_json(c),
                         )
@@ -742,7 +777,7 @@ def compile_check(
 
         for kw, arg in t_kwpairs:
             add(
-                "items" if kw == "never" else kw,
+                _leaf_reason(kw, "items"),
                 F.forall(t_tail, _make_tail_pred(kw, arg)),
                 F.to_json(t_tail),
             )
@@ -785,7 +820,7 @@ def compile_check(
         for idx, kwpairs in check.index_checks:
             el = F.get(c, idx)
             for kw, arg in kwpairs:
-                reason = "items" if kw == "never" else kw
+                reason = _leaf_reason(kw, "items")
                 add(
                     reason,
                     F.when(el.isNull(), F.lit(True)).otherwise(
@@ -815,7 +850,7 @@ def compile_check(
             return f
 
         for kw, arg in check.property_names:
-            reason = "propertyNames" if kw == "never" else kw
+            reason = _leaf_reason(kw, "propertyNames")
             add(
                 reason,
                 F.forall(c, _per_element_names(kw, arg))
@@ -847,7 +882,7 @@ def compile_check(
 
         for regex, kwpairs in check.pattern_properties:
             for kw, arg in kwpairs:
-                reason = "patternProperties" if kw == "never" else kw
+                reason = _leaf_reason(kw, "patternProperties")
                 if check.per_element:
                     # c is array<map> (`<loc>#entries` per element)
                     add(
@@ -902,14 +937,14 @@ def compile_check(
                 return f
 
             for kw, arg in kwpairs:
-                reason = "additionalProperties" if kw == "never" else kw
+                reason = _leaf_reason(kw, "additionalProperties")
                 add(reason, F.forall(c, _per_element_ap(kw, arg)), F.to_json(c))
         else:
             extra_vals = F.map_values(
                 F.map_filter(c, _undeclared_filter(allowed, patterns))
             )
             for kw, arg in kwpairs:
-                reason = "additionalProperties" if kw == "never" else kw
+                reason = _leaf_reason(kw, "additionalProperties")
                 add(
                     reason,
                     F.forall(extra_vals, _entry_val_pred(kw, arg)),

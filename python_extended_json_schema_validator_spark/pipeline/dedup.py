@@ -198,15 +198,15 @@ def connected_components(
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).localCheckpoint()
-    changed = 1
-    for _ in range(max_iter):
+
+    def _propagate(lbls):
         nbr = (
-            sym.join(labels, sym["d"] == labels["id"])
+            sym.join(lbls, sym["d"] == lbls["id"])
             .groupBy("s")
             .agg(F.min("label").alias("nbr_label"))
         )
         new = (
-            labels.join(nbr, labels["id"] == nbr["s"], "left")
+            lbls.join(nbr, lbls["id"] == nbr["s"], "left")
             .select(
                 "id",
                 F.least(
@@ -215,21 +215,30 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
+        moved = (
             new.alias("n")
-            .join(labels.alias("o"), "id")
+            .join(lbls.alias("o"), "id")
             .where(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
         )
-        labels = new
+        return new, moved
+
+    changed = 1
+    for _ in range(max_iter):
+        labels, changed = _propagate(labels)
         if changed == 0:
             break
     if changed != 0:
-        # the loop exhausted max_iter with labels still moving — the
-        # final probe above already proves non-convergence, no extra
-        # job needed (VERDICT/ADVICE round-3: unconverged labels must
-        # never be mistaken for results)
+        # the loop exhausted max_iter with the LAST iteration still
+        # moving labels — that alone doesn't prove incompleteness (the
+        # final iteration may have finished the job), so one extra
+        # no-change probe decides (round-4 review: a chain that
+        # converges exactly on iteration max_iter must not raise)
+        _, changed = _propagate(labels)
+    if changed != 0:
+        # genuinely unconverged (VERDICT/ADVICE round-3: unconverged
+        # labels must never be mistaken for results)
         msg = (
             f"connected_components did not converge within "
             f"max_iter={max_iter} iterations (graph diameter too "

@@ -613,6 +613,41 @@ class _Compiler:
         IGNORES (compiling them would over-validate)."""
         return self.draft_level >= _KW_MIN_LEVEL.get(k, 0)
 
+    def _legacy_bounds_pairs(self, pairs: Tuple) -> Tuple:
+        """Drafts 03/04: boolean exclusiveMinimum/Maximum are MODIFIERS
+        of the paired bound (jsonschema's legacy minimum/maximum
+        validators), never standalone keywords.  Rewrites a scalar
+        kw-pair tuple accordingly: truthy modifier + bound → the
+        internal strict kws exclusiveMinimum4/exclusiveMaximum4
+        (compiled strict, REPORTED under minimum/maximum); the raw
+        modifier keys are removed (a bare `double > true` predicate
+        would fail analysis — caught by round-4 review)."""
+        if self.draft_level >= 6 or not pairs:
+            return pairs
+        d = dict(pairs)
+        emin = d.pop("exclusiveMinimum", None)
+        emax = d.pop("exclusiveMaximum", None)
+        if "minimum" in d and emin:
+            d["exclusiveMinimum4"] = d.pop("minimum")
+        if "maximum" in d and emax:
+            d["exclusiveMaximum4"] = d.pop("maximum")
+        return tuple(d.items())
+
+    def _scalar_format_ok(self, name: Any) -> bool:
+        """True when a `format` value is safe inside the scalar subset
+        (compiled within forall/map_filter lambdas): unknown formats
+        (annotation-only), regex strings, and HOF-safe Column callables
+        qualify; Python-UDF-backed checkers (regex/idn-hostname and
+        reference-protocol customFormats) do NOT — Spark rejects
+        Python UDFs inside higher-order functions (caught by round-4
+        review), so those drop WITH a warning instead of crashing."""
+        from .checks.row_checks import FORMATS
+
+        ck = self.formats.get(name, FORMATS.get(name))
+        if ck is None or isinstance(ck, str):
+            return True
+        return bool(getattr(ck, "hof_safe", False))
+
     def _scalar_kw_value(self, k: str, v: Any) -> Any:
         """Normalize one scalar keyword value for compilation —
         list→tuple, plus the draft-03/04 strict-integer token."""
@@ -640,7 +675,9 @@ class _Compiler:
         out: List[Tuple[str, Any]] = []
         dropped: List[str] = []
         for k, v in sub.items():
-            if k in _SCALAR_KWS:
+            if k == "format" and not self._scalar_format_ok(v):
+                dropped.append("format (Python-backed checker)")
+            elif k in _SCALAR_KWS:
                 # below-draft keywords are EXACTLY ignored (matching
                 # this draft's jsonschema validator) — no warning
                 if self._kw_ok(k):
@@ -652,6 +689,7 @@ class _Compiler:
                 f"{where}: keywords {dropped} outside the scalar subset "
                 f"dropped — only partially enforced"
             )
+        out = list(self._legacy_bounds_pairs(tuple(out)))
         return tuple(out) if out else ()
 
     def _compile_branch(
@@ -897,13 +935,19 @@ class _Compiler:
             scalar = {
                 k: node[k]
                 for k in _SCALAR_KWS
-                if k in node and self._kw_ok(k)
+                if k in node
+                and self._kw_ok(k)
+                and not (
+                    k == "format" and not self._scalar_format_ok(node[k])
+                )
             }
             if scalar and (direct or sub_level):
                 self._touch(prefix)
-                kwpairs = tuple(
-                    (k, self._scalar_kw_value(k, v))
-                    for k, v in scalar.items()
+                kwpairs = self._legacy_bounds_pairs(
+                    tuple(
+                        (k, self._scalar_kw_value(k, v))
+                        for k, v in scalar.items()
+                    )
                 )
                 out.append(
                     ColumnCheck(column=prefix, element_checks=kwpairs)
@@ -1266,18 +1310,15 @@ class _Compiler:
         ap_sub = None
         ap_lossy = False
         if isinstance(ap_node, dict) and ap_node:
+            # lossy = keywords were dropped (the _scalar_subset call
+            # records the warning), so ap_sub under-states the AP
+            # schema — the 2020-12 UP walk below must not treat it as
+            # the exact evaluated-value predicate silently
+            n_warn = len(self.warnings)
             ap_sub = self._scalar_subset(
                 ap_node, f"/{prefix or ''} additionalProperties"
             )
-            # lossy = keywords were dropped, so ap_sub under-states the
-            # AP schema — the 2020-12 UP walk below must not treat it
-            # as the exact evaluated-value predicate silently
-            ap_lossy = (
-                self._scalar_subset_exact(
-                    ap_node, f"/{prefix or ''} additionalProperties"
-                )
-                is None
-            )
+            ap_lossy = len(self.warnings) > n_warn
             if ap_sub:
                 self.entries_paths.add(prefix)
                 out.append(

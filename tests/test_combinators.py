@@ -1576,3 +1576,83 @@ def test_sub_level_object_keywords_parity(spark):
     for n, d in docs:
         want = {e.validator for e in v.iter_errors(d)}
         assert mine[n] == want, (n, sorted(mine[n]), sorted(want))
+
+
+def test_draft4_bool_exclusive_inside_items_and_branches(spark):
+    """Round-4 review finding 1: draft-03/04 boolean exclusiveMinimum
+    inside scalar SUBSETS (items elements, combinator branches) must
+    pair with the bound (strict, reported under `minimum`) — the raw
+    boolean used to leak into `double > true` and fail analysis."""
+    schema = {
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "id": "old://d4elex/1.0",
+        "type": "object",
+        "properties": {
+            "a": {"items": {"minimum": 5, "exclusiveMinimum": True}},
+            "v": {"anyOf": [{"minimum": 5, "exclusiveMinimum": True},
+                            {"type": "string"}]},
+        },
+    }
+    docs = [
+        ("edge", {"a": [5], "v": 5}),
+        ("above", {"a": [6], "v": 6}),
+        ("below", {"a": [4]}),
+        ("str", {"v": "s"}),
+    ]
+    got = assert_auto_parity(spark, schema, docs)
+    assert got["edge"] == ["anyOf", "minimum"]
+    assert got["above"] == [] and got["str"] == []
+
+
+def test_python_backed_format_in_subset_warns_not_crashes(spark):
+    """Round-4 review finding 2: Python-UDF format checkers ('regex',
+    'idn-hostname', reference-protocol customs) cannot run inside
+    forall/map_filter lambdas — the compiler must DROP them with a
+    warning (never crash, never silently); JVM Column formats like
+    'date' still compile per element."""
+    schema = {
+        "$schema": DRAFT,
+        "$id": "fmt://hof/1.0",
+        "type": "object",
+        "properties": {
+            "pats": {"items": {"type": "string", "format": "regex"}},
+            "dates": {"items": {"type": "string", "format": "date"}},
+        },
+    }
+    registry, issues = load_schemas([("s.json", schema)])
+    warns = [i.description for i in issues if i.severity == "warning"]
+    assert any("format" in w for w in warns), warns
+    cs = registry["fmt://hof/1.0"]
+    docs = [
+        ("ok", {"pats": ["["], "dates": ["2024-02-29"]}),  # regex unchecked
+        ("bad_date", {"dates": ["2024-02-31"]}),
+        ("bad_type", {"pats": [3]}),
+    ]
+    shredded = shred_documents(spark, docs, cs)
+    battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
+    viol = row_checks.row_violations(shredded, F.col("__file"), battery)
+    got = {}
+    for r in viol.collect():
+        got.setdefault(r.row_id, set()).add(r.reason)
+    # the battery RUNS (no AnalysisException), date enforced per element
+    assert got.get("bad_date") == {"format"}
+    assert got.get("bad_type") == {"type"}
+    assert "ok" not in got
+
+
+def test_huge_int_enum_compiles(spark):
+    """Round-4 review finding 3: enum members beyond float range must
+    not crash the numeric-equality leg; exact literals still match."""
+    schema = {
+        "$schema": DRAFT,
+        "$id": "enum://huge/1.0",
+        "type": "object",
+        "properties": {"h": {"enum": [10 ** 400, 5]}},
+    }
+    docs = [
+        ("match_big", {"h": 10 ** 400}),
+        ("match_small", {"h": 5.0}),
+        ("miss", {"h": 7}),
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["match_big"] == [] and got["miss"] == ["enum"]

@@ -256,3 +256,14 @@ def test_top_n_per_group_with_ties(spark):
     got = {(r.g, r.id) for r in out.collect()}
     # tie at 10 broken by id asc -> ids 1,2 kept; 3 cut
     assert got == {("a", 1), ("a", 2), ("b", 4)}
+
+
+def test_connected_components_exact_last_iteration_no_raise(spark):
+    """Round-4 review: a graph converging EXACTLY on the final allowed
+    iteration must not raise in strict mode — exhaustion with the last
+    iteration still moving labels is decided by one extra probe."""
+    ids = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = {r.id: r.component
+           for r in dedup.connected_components(edges, ids, max_iter=2).collect()}
+    assert set(out.values()) == {0}
