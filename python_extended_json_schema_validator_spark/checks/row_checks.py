@@ -387,7 +387,7 @@ def _scalar_kw_pred(
             ok = ok & numk(num > F.lit(arg))
         elif kw in ("exclusiveMaximum", "exclusiveMaximum4"):
             ok = ok & numk(num < F.lit(arg))
-        elif kw == "multipleOf":
+        elif kw in ("multipleOf", "divisibleBy"):
             p = num % F.lit(arg) == 0
             if literal_mode and isinstance(arg, int) and not isinstance(arg, bool):
                 # jsonschema does EXACT int % int for integer instances
@@ -571,9 +571,10 @@ def compile_check(
                     c.rlike("^-?[0-9]+$") & dec.isNotNull(),
                     dec % _lit(m) == 0,
                 ).otherwise(pred)
-            add("multipleOf", _numk(pred))
+            add(check.multiple_of_reason, _numk(pred))
         else:
-            add("multipleOf", c.try_cast("double") % _lit(m) == 0)
+            add(check.multiple_of_reason,
+                c.try_cast("double") % _lit(m) == 0)
     if check.unique_items:
         # c is the element array (literals in json_mode); numeric
         # literals normalize through _num_tag so 1 and 1.0 collide

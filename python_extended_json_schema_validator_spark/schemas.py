@@ -675,7 +675,9 @@ class _Compiler:
         out: List[Tuple[str, Any]] = []
         dropped: List[str] = []
         for k, v in sub.items():
-            if k == "format" and not self._scalar_format_ok(v):
+            if k == "divisibleBy" and self.draft_level == 3:
+                out.append(("divisibleBy", v))
+            elif k == "format" and not self._scalar_format_ok(v):
                 dropped.append("format (Python-backed checker)")
             elif k in _SCALAR_KWS:
                 # below-draft keywords are EXACTLY ignored (matching
@@ -736,9 +738,27 @@ class _Compiler:
         props = node.get("properties")
         if isinstance(props, dict):
             for name, child in props.items():
+                child_path = _join_path(prefix, name)
+                if (
+                    self.draft_level == 3
+                    and "[]" not in prefix
+                    and isinstance(child, dict)
+                    and child.get("required") is True
+                ):
+                    # draft-03 boolean required (see walk())
+                    scope = prefix if prefix else "#root"
+                    self._touch(scope)
+                    self._touch(child_path)
+                    checks.append(
+                        ColumnCheck(
+                            column=child_path,
+                            required=True,
+                            required_scope=scope,
+                        )
+                    )
                 checks.extend(
                     self._compile_branch(
-                        child, _join_path(prefix, name), base_uri, ref_chain
+                        child, child_path, base_uri, ref_chain
                     )
                 )
         items = node.get("items")
@@ -767,6 +787,11 @@ class _Compiler:
         extensible_validator.py:1163-1194: a document failing every
         anyOf branch FAILS validation with reason 'anyOf')."""
         out: List = []
+        if self.draft_level < 4:
+            # draft-03 predates anyOf/oneOf/not (Draft3Validator has no
+            # combinator validators, [verified] — the draft-03
+            # randomized net caught the over-validation)
+            return out
         if "[]" in prefix:
             return self._element_combinators(node, prefix)
         gate = prefix if prefix else "#root"
@@ -941,6 +966,10 @@ class _Compiler:
                     k == "format" and not self._scalar_format_ok(node[k])
                 )
             }
+            if self.draft_level == 3 and isinstance(
+                node.get("divisibleBy"), (int, float)
+            ):
+                scalar["divisibleBy"] = node["divisibleBy"]
             if scalar and (direct or sub_level):
                 self._touch(prefix)
                 kwpairs = self._legacy_bounds_pairs(
@@ -1632,6 +1661,14 @@ class _Compiler:
                         f"/{prefix}: malformed {dep_kw} entry "
                         f"{trig_prop!r}: {dep!r} dropped"
                     )
+        if self.draft_level == 3 and (
+            "disallow" in node or "extends" in node
+        ):
+            self.warnings.append(
+                f"/{prefix}: draft-03 keywords "
+                f"{[k for k in ('disallow', 'extends') if k in node]} are "
+                f"not compiled — only partially enforced"
+            )
         required = node.get("required")
         if isinstance(required, list):
             scope = prefix if prefix else "#root"
@@ -1650,7 +1687,10 @@ class _Compiler:
                         required_scope=scope,
                     )
                 )
-        if not kw:
+        has_div3 = self.draft_level == 3 and isinstance(
+            node.get("divisibleBy"), (int, float)
+        )
+        if not kw and not has_div3:
             return out
         # root-level keywords (type: object etc.) check the whole
         # document: the shredder emits its literal as column "#root"
@@ -1712,6 +1752,12 @@ class _Compiler:
             args["max_length"] = kw["maxLength"]
         if "multipleOf" in kw:
             args["multiple_of"] = kw["multipleOf"]
+        if self.draft_level == 3 and isinstance(
+            node.get("divisibleBy"), (int, float)
+        ):
+            # draft-03 spelling of multipleOf, reported as divisibleBy
+            args["multiple_of"] = node["divisibleBy"]
+            args["multiple_of_reason"] = "divisibleBy"
         if "format" in kw:
             from .checks.row_checks import FORMATS
 
@@ -1816,7 +1862,38 @@ class _Compiler:
         props = node.get("properties")
         if isinstance(props, dict):
             for name, child in props.items():
-                self.walk(child, _join_path(prefix, name), base_uri, ref_chain)
+                child_path = _join_path(prefix, name)
+                if (
+                    self.draft_level == 3
+                    and isinstance(child, dict)
+                    and child.get("required") is True
+                ):
+                    # draft-03 boolean `required` lives ON the property
+                    # subschema and is read by the PARENT's properties
+                    # validator ([verified] Draft3 probe) — compiled at
+                    # the descent point so allOf-branch/`$ref` shapes
+                    # jsonschema does NOT enforce stay unenforced
+                    if "[]" in prefix:
+                        self._touch(prefix if prefix else "#root")
+                        self._touch(child_path)
+                        self.checks.append(
+                            ColumnCheck(
+                                column=child_path,
+                                element_required_scope=prefix,
+                            )
+                        )
+                    else:
+                        scope = prefix if prefix else "#root"
+                        self._touch(scope)
+                        self._touch(child_path)
+                        self.checks.append(
+                            ColumnCheck(
+                                column=child_path,
+                                required=True,
+                                required_scope=scope,
+                            )
+                        )
+                self.walk(child, child_path, base_uri, ref_chain)
         items = node.get("items")
         if isinstance(items, dict):
             el_prefix = (prefix + "[]") if prefix else "#root[]"

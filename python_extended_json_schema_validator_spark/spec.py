@@ -130,7 +130,9 @@ class ColumnCheck:
     # "multipleOf": value/multiple_of has zero remainder (jsonschema
     # computes `instance % multipleOf == 0` — we match that float
     # semantics exactly, including its 0.3 % 0.1 ≠ 0 quirk).
+    # `multiple_of_reason` carries the draft-03 alias `divisibleBy`.
     multiple_of: Optional[float] = None
+    multiple_of_reason: str = "multipleOf"
     # "uniqueItems": true — column holds the element-literal array
     # (`<path>[]`); numbers are compared numerically (1 == 1.0, but
     # true != 1) like jsonschema.

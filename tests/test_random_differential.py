@@ -487,3 +487,133 @@ def test_random_docs_match_jsonschema_draft4(spark):
             bad.append((name, json.dumps(doc, default=str),
                         sorted(mine[name]), sorted(want)))
     assert not bad, f"{len(bad)} mismatches; first 5: {bad[:5]}"
+
+
+D6 = "http://json-schema.org/draft-06/schema#"
+
+# draft-06 battery: const/contains/propertyNames ACTIVE (unlike 04),
+# if/then/else IGNORED (unlike 07), standalone numeric exclusives
+SCHEMA6 = {
+    "$schema": D6,
+    "$id": "rand://battery6/1.0",
+    "type": "object",
+    "properties": {
+        "s": {"type": "string", "minLength": 2},
+        "c": {"const": "fixed"},
+        "x": {"type": "number", "exclusiveMinimum": 0,
+              "exclusiveMaximum": 100},
+        "ct": {"contains": {"type": "string", "minLength": 2}},
+        "pn": {"propertyNames": {"maxLength": 3}},
+        "ite": {"if": {"type": "integer"}, "then": {"minimum": 0}},  # ignored
+        "eo": {"items": {"type": "object",
+                         "properties": {"b": {"type": "integer"}},
+                         "required": ["b"]}},
+        "v": {"anyOf": [{"type": "integer", "minimum": 10},
+                        {"type": "string"}]},
+        "a": {}, "b": {},
+    },
+    "required": ["s"],
+    "dependencies": {"a": ["b"]},
+}
+
+PROPS6 = ["s", "c", "x", "ct", "pn", "ite", "eo", "v", "a", "b"]
+
+
+def test_random_docs_match_jsonschema_draft6(spark):
+    import jsonschema
+
+    rng = random.Random(20260820)
+    docs = []
+    for i in range(300):
+        doc = {}
+        for p in PROPS6:
+            if rng.random() < 0.35:
+                continue
+            doc[p] = rng.choice(POOL)
+        docs.append((f"r{i}", doc))
+
+    registry, issues = load_schemas([("s.json", SCHEMA6)])
+    assert [i for i in issues if i.severity == "error"] == [], issues
+    cs = registry["rand://battery6/1.0"]
+    shredded = shred_documents(spark, docs, cs)
+    battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
+    viol = row_checks.row_violations(shredded, F.col("__file"), battery)
+    mine = {n: set() for n, _ in docs}
+    for r in viol.collect():
+        mine[r.row_id].add(r.reason)
+
+    v = jsonschema.Draft6Validator(
+        SCHEMA6, format_checker=jsonschema.FormatChecker()
+    )
+    bad = []
+    for name, doc in docs:
+        want = {e.validator for e in v.iter_errors(doc)}
+        if mine[name] != want:
+            bad.append((name, json.dumps(doc, default=str),
+                        sorted(mine[name]), sorted(want)))
+    assert not bad, f"{len(bad)} mismatches; first 5: {bad[:5]}"
+
+
+D3 = "http://json-schema.org/draft-03/schema#"
+
+# draft-03 battery: boolean `required` ON property subschemas (read by
+# the parent's properties validator), divisibleBy, boolean
+# exclusiveMinimum modifier, the keywords draft-03 lacks (multipleOf,
+# const, anyOf are NOT keywords -> exactly ignored)
+SCHEMA3 = {
+    "$schema": D3,
+    "id": "rand://battery3/1.0",
+    "type": "object",
+    "properties": {
+        "s": {"type": "string", "minLength": 2, "required": True},
+        "d": {"divisibleBy": 3},
+        "m": {"multipleOf": 3},              # not a draft-03 keyword
+        "x": {"type": "number", "minimum": 0, "exclusiveMinimum": True},
+        "c": {"const": "fixed"},             # ignored
+        "v": {"anyOf": [{"type": "integer"}]},  # ignored
+        "t": {"type": "integer"},            # strict int (1.0 fails)
+        "arr": {"type": "array", "minItems": 1, "uniqueItems": True,
+                "items": {"type": "integer", "divisibleBy": 2}},
+        "obj": {"type": "object",
+                "properties": {"q": {"type": "string", "required": True}}},
+        "a": {}, "b": {},
+    },
+    "dependencies": {"a": ["b"]},
+}
+
+PROPS3 = ["s", "d", "m", "x", "c", "v", "t", "arr", "obj", "a", "b"]
+
+
+def test_random_docs_match_jsonschema_draft3(spark):
+    import jsonschema
+
+    rng = random.Random(20260821)
+    docs = []
+    for i in range(300):
+        doc = {}
+        for p in PROPS3:
+            if rng.random() < 0.35:
+                continue
+            doc[p] = rng.choice(POOL)
+        docs.append((f"r{i}", doc))
+
+    registry, issues = load_schemas([("s.json", SCHEMA3)])
+    assert [i for i in issues if i.severity == "error"] == [], issues
+    cs = registry["rand://battery3/1.0"]
+    shredded = shred_documents(spark, docs, cs)
+    battery = row_checks.compile_battery(cs.table_spec.checks, json_mode=True)
+    viol = row_checks.row_violations(shredded, F.col("__file"), battery)
+    mine = {n: set() for n, _ in docs}
+    for r in viol.collect():
+        mine[r.row_id].add(r.reason)
+
+    v = jsonschema.Draft3Validator(
+        SCHEMA3, format_checker=jsonschema.FormatChecker()
+    )
+    bad = []
+    for name, doc in docs:
+        want = {e.validator for e in v.iter_errors(doc)}
+        if mine[name] != want:
+            bad.append((name, json.dumps(doc, default=str),
+                        sorted(mine[name]), sorted(want)))
+    assert not bad, f"{len(bad)} mismatches; first 5: {bad[:5]}"
