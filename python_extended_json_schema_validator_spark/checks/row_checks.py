@@ -810,7 +810,7 @@ def compile_check(
         # NULL (absent / non-array) passes vacuously via the outer
         # guard, matching jsonschema (arrays only).
         add(
-            "unevaluatedItems",
+            check.max_unevaluated_items_reason,
             F.size(c) <= _lit(check.max_unevaluated_items),
             F.to_json(c),
         )

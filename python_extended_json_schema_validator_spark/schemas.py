@@ -1302,6 +1302,37 @@ class _Compiler:
                 out.append(
                     ColumnCheck(column=arr_path, index_checks=tuple(idx_checks))
                 )
+            # additionalItems (drafts 03–2019-09; 2020-12 dropped the
+            # keyword) applies only alongside TUPLE-form items
+            # ([verified] probes: false → reason `additionalItems` on
+            # longer arrays; schema-form → LEAF reasons on the tail;
+            # ignored next to dict-form items)
+            ai = (
+                node.get("additionalItems")
+                if (not self.draft_2020 and isinstance(node.get("items"), list))
+                else None
+            )
+            if ai is False:
+                self._touch(arr_path)
+                out.append(
+                    ColumnCheck(
+                        column=arr_path,
+                        max_unevaluated_items=len(tuple_items),
+                        max_unevaluated_items_reason="additionalItems",
+                    )
+                )
+            elif isinstance(ai, dict) and ai:
+                ai_sub = self._scalar_subset(
+                    ai, f"/{prefix or ''} additionalItems"
+                )
+                if ai_sub:
+                    self._touch(arr_path)
+                    out.append(
+                        ColumnCheck(
+                            column=arr_path,
+                            tail_item_checks=(len(tuple_items), ai_sub),
+                        )
+                    )
         kw = {
             k: node[k]
             for k in _CHECK_KEYWORDS

@@ -235,8 +235,11 @@ class ColumnCheck:
     keys_reason: str = "additionalProperties"
     # "unevaluatedItems": false where only prefixItems/tuple-items
     # evaluate → the array may not extend past the prefix.  Column
-    # holds the element-literal array (`<path>[]`).
+    # holds the element-literal array (`<path>[]`).  The reason field
+    # also serves `additionalItems: false` (drafts 03–2019-09), which
+    # compiles to the identical length cap under its own name.
     max_unevaluated_items: Optional[int] = None
+    max_unevaluated_items_reason: str = "unevaluatedItems"
 
     def __post_init__(self):
         if self.enum is not None:

@@ -1656,3 +1656,33 @@ def test_huge_int_enum_compiles(spark):
     ]
     got = assert_jsonschema_parity(spark, schema, docs)
     assert got["match_big"] == [] and got["miss"] == ["enum"]
+
+
+def test_additional_items_parity(spark):
+    """additionalItems (drafts 03–2019-09): false caps the array at the
+    tuple length (reason additionalItems); schema-form validates the
+    tail with LEAF reasons; dict-form items ignores it — previously
+    dropped with no warning at all."""
+    schema = {
+        "$schema": DRAFT,
+        "$id": "ai://t/1.0",
+        "type": "object",
+        "properties": {
+            "a": {"items": [{"type": "integer"}], "additionalItems": False},
+            "b": {"items": [{"type": "integer"}],
+                  "additionalItems": {"type": "string", "minLength": 2}},
+            "c": {"items": {"type": "integer"}, "additionalItems": False},
+        },
+    }
+    docs = [
+        ("ok", {"a": [1], "b": [1, "ab"], "c": [1, 2, 3]}),
+        ("too_long", {"a": [1, 2]}),
+        ("tail_short", {"b": [1, "x"]}),
+        ("tail_type", {"b": [1, 2]}),
+        ("nonarr", {"a": 3}),
+        ("empty", {"a": [], "b": []}),
+    ]
+    got = assert_jsonschema_parity(spark, schema, docs)
+    assert got["too_long"] == ["additionalItems"]
+    assert got["tail_short"] == ["minLength"]
+    assert got["tail_type"] == ["type"]

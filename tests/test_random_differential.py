@@ -44,6 +44,10 @@ SCHEMA = {
             "uniqueItems": True,
             "items": {"type": "integer", "minimum": 0},
         },
+        "tai": {"items": [{"type": "integer"}],
+                "additionalItems": False},
+        "tas": {"items": [{"type": "integer"}],
+                "additionalItems": {"type": "string", "minLength": 2}},
         "obj": {
             "type": "object",
             "minProperties": 1,
@@ -143,7 +147,8 @@ POOL = [
     [{"v": 5}], [{"v": 15}, {"v": "okay"}], [{"v": "nope"}],
 ]
 
-PROPS = ["s", "n", "i", "c", "d", "em", "u", "ip", "arr", "obj", "v", "w",
+PROPS = ["s", "n", "i", "c", "d", "em", "u", "ip", "arr", "tai", "tas",
+         "obj", "v", "w",
          "z", "ite", "ca", "eo", "ck", "dk", "pk", "ak", "eb",
          "ae", "oe", "ne", "ie", "a", "b"]
 
