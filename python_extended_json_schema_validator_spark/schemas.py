@@ -775,6 +775,8 @@ class _Compiler:
             )
         for branch in node.get("allOf") or []:
             checks.extend(self._compile_branch(branch, prefix, base_uri, ref_chain))
+        for branch in self._extends_branches(node):
+            checks.extend(self._compile_branch(branch, prefix, base_uri, ref_chain))
         checks.extend(self._combinator_checks(node, prefix, base_uri, ref_chain))
         return tuple(checks)
 
@@ -842,6 +844,19 @@ class _Compiler:
                 )
             )
         return out
+
+    def _extends_branches(self, node: Mapping) -> list:
+        """Draft-03 ``extends`` ≡ allOf (single schema or list), with
+        LEAF reasons via the normal conjunctive walk ([verified]
+        Draft3 probes)."""
+        if self.draft_level != 3:
+            return []
+        ext = node.get("extends")
+        if isinstance(ext, dict):
+            return [ext]
+        if isinstance(ext, list):
+            return [b for b in ext if isinstance(b, dict)]
+        return []
 
     def _scalar_subset_exact(self, sub: Any, where: str) -> Optional[Tuple]:
         """_scalar_subset, but ONLY when it loses nothing: any dropped
@@ -1692,14 +1707,48 @@ class _Compiler:
                         f"/{prefix}: malformed {dep_kw} entry "
                         f"{trig_prop!r}: {dep!r} dropped"
                     )
-        if self.draft_level == 3 and (
-            "disallow" in node or "extends" in node
-        ):
-            self.warnings.append(
-                f"/{prefix}: draft-03 keywords "
-                f"{[k for k in ('disallow', 'extends') if k in node]} are "
-                f"not compiled — only partially enforced"
+        if self.draft_level == 3 and "disallow" in node:
+            # disallow: the instance must NOT match any listed type
+            # name (strict draft-03 integer; reason `disallow`,
+            # [verified] probes).  Schema-form entries warn.
+            dis = node["disallow"]
+            entries = (
+                [dis] if isinstance(dis, str)
+                else list(dis) if isinstance(dis, list) else []
             )
+            names = [x for x in entries if isinstance(x, str)]
+            rest = [x for x in entries if not isinstance(x, str)]
+            if names:
+                gate = prefix if prefix else "#root"
+                self._touch(gate)
+                if "any" in names:
+                    branch: Tuple = ()  # matches everything → always fail
+                else:
+                    mapped = tuple(
+                        "integer4" if x == "integer" else x
+                        for x in names
+                        if x in _JSON_TYPES or x == "any"
+                    )
+                    branch = (
+                        ColumnCheck(
+                            column=gate,
+                            dtype=mapped[0] if len(mapped) == 1 else mapped,
+                        ),
+                    ) if mapped else None
+                if branch is not None:
+                    out.append(
+                        CombinatorCheck(
+                            column=gate,
+                            kind="not",
+                            branches=(branch,),
+                            reason="disallow",
+                        )
+                    )
+            if rest:
+                self.warnings.append(
+                    f"/{prefix}: schema-form disallow entries are not "
+                    f"compiled — only partially enforced"
+                )
         required = node.get("required")
         if isinstance(required, list):
             scope = prefix if prefix else "#root"
@@ -1949,6 +1998,8 @@ class _Compiler:
         # the branches in triggers-only mode.
         for branch in node.get("allOf") or []:
             self.walk(branch, prefix, base_uri, ref_chain)
+        for branch in self._extends_branches(node):
+            self.walk(branch, prefix, base_uri, ref_chain)
         self.checks.extend(
             self._combinator_checks(node, prefix, base_uri, ref_chain)
         )
@@ -1985,6 +2036,8 @@ class _Compiler:
         for comb in ("allOf", "anyOf", "oneOf"):
             for branch in node.get(comb) or []:
                 self._walk_triggers_only(branch, prefix, base_uri, ref_chain)
+        for branch in self._extends_branches(node):
+            self._walk_triggers_only(branch, prefix, base_uri, ref_chain)
 
 
 def _dedup(seq: list) -> list:

@@ -581,12 +581,16 @@ SCHEMA3 = {
                 "items": {"type": "integer", "divisibleBy": 2}},
         "obj": {"type": "object",
                 "properties": {"q": {"type": "string", "required": True}}},
+        "z": {"disallow": "string"},
+        "u": {"disallow": ["integer", "boolean"]},
+        "e": {"extends": [{"minimum": 0}, {"maximum": 100}]},
         "a": {}, "b": {},
     },
     "dependencies": {"a": ["b"]},
 }
 
-PROPS3 = ["s", "d", "m", "x", "c", "v", "t", "arr", "obj", "a", "b"]
+PROPS3 = ["s", "d", "m", "x", "c", "v", "t", "arr", "obj", "z", "u", "e",
+          "a", "b"]
 
 
 def test_random_docs_match_jsonschema_draft3(spark):
