@@ -285,29 +285,65 @@ def _enum_pred(c: Column, values) -> Column:
     """jsonschema enum/const equality over canonical literals: numbers
     compare NUMERICALLY (2.0 matches enum [1,2,3]; 1 matches 1.0)
     while bools/strings/containers match by canonical literal only
-    (true never equals 1 — the literal "true" is not numeric).  The
-    numeric leg goes through double, so integer pairs differing only
-    past 2^53 could falsely collide — the exact-literal leg still
-    matches exact spellings first (documented edge; jsonschema uses
-    arbitrary-precision ==)."""
+    (true never equals 1 — the literal "true" is not numeric).
+
+    Integer members vs pure-digit instances compare EXACTLY through
+    decimal(38,0) — mirroring the multipleOf fix — so 9007199254740992
+    no longer falsely matches enum [9007199254740993] past 2^53
+    (jsonschema uses arbitrary-precision ==).  Residual documented
+    edges: float members vs huge integer instances (and >38-digit
+    integer pairs) still decide through double."""
     lits = []
-    nums = []
+    float_members = []
+    int_members = []
     for v in values:
         lits.append(_canon_dumps(v))
-        if isinstance(v, (int, float)) and not isinstance(v, bool):
-            try:
-                nums.append(float(v))
-            except OverflowError:
-                # int beyond float range: the exact-literal leg still
-                # matches exact spellings; jsonschema's arbitrary-
-                # precision == has no double-range cliff, but neither
-                # value is representable numerically here
-                pass
+        if isinstance(v, bool):
+            continue
+        if isinstance(v, int):
+            int_members.append(v)
+        elif isinstance(v, float):
+            float_members.append(v)
     pred = c.isin(*[F.lit(x) for x in lits]) if lits else F.lit(False)
-    if nums:
+    is_num = c.rlike(_NUM_RE)
+    if int_members:
+        digit = c.rlike("^-?[0-9]+$")
+        dec = c.try_cast("decimal(38,0)")
+        dec_members = [m for m in int_members if abs(m) < 10**38]
+        if dec_members:
+            pred = pred | (
+                digit
+                & dec.isNotNull()
+                & dec.isin(*[F.lit(m).cast("decimal(38,0)")
+                             for m in dec_members])
+            )
+        int_doubles = []
+        for m in int_members:
+            try:
+                f = float(m)
+            except OverflowError:
+                # int beyond float range: exact-literal + decimal legs
+                # already cover every representable spelling
+                continue
+            # a double instance can equal an int member ONLY when the
+            # member is exactly double-representable — a non-round-trip
+            # member riding the double leg would falsely match the
+            # nearest double (float(2^53+1) == 2^53+0.0)
+            if int(f) == m:
+                int_doubles.append(f)
+        if int_doubles:
+            # float-form instances (2.0 ∈ [1,2,3]) and >38-digit runs
+            # only — digit instances are decided exactly above and must
+            # not round through double back onto an integer member
+            pred = pred | (
+                is_num
+                & ~(digit & dec.isNotNull())
+                & c.try_cast("double").isin(*[F.lit(n) for n in int_doubles])
+            )
+    if float_members:
         pred = pred | (
-            c.rlike(_NUM_RE)
-            & c.try_cast("double").isin(*[F.lit(n) for n in nums])
+            is_num
+            & c.try_cast("double").isin(*[F.lit(n) for n in float_members])
         )
     return pred
 

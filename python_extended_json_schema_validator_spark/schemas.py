@@ -312,6 +312,13 @@ def _pointer_walk(schema: Any, fragment: str) -> Any:
     return node
 
 
+# keywords whose values are instance DATA, not schemas — anchor/
+# override discovery must not descend into them: a {"$anchor": "a"}
+# inside enum/const/default is data, and jsonschema's referencing
+# registry would leave '#a' unresolved rather than target it
+_DATA_KEYWORDS = frozenset(("enum", "const", "default", "examples"))
+
+
 def _find_anchor(
     root: Any, name: str, dynamic_only: bool = False, _is_root: bool = True
 ) -> Optional[Mapping]:
@@ -319,7 +326,9 @@ def _find_anchor(
     (or ``$dynamicAnchor: name``); ``dynamic_only`` restricts to
     dynamic anchors.  Embedded resources (non-root nodes carrying
     their own ``$id``) are anchor-scope boundaries and are skipped,
-    per the 2019-09/2020-12 resource model."""
+    per the 2019-09/2020-12 resource model.  Data-position subtrees
+    (enum/const/default/examples) are skipped — jsonschema discovers
+    anchors only at schema locations."""
     if isinstance(root, dict):
         if not _is_root and "$id" in root:
             return None
@@ -327,7 +336,9 @@ def _find_anchor(
             not dynamic_only and root.get("$anchor") == name
         ):
             return root
-        for v in root.values():
+        for k, v in root.items():
+            if k in _DATA_KEYWORDS:
+                continue
             found = _find_anchor(v, name, dynamic_only, _is_root=False)
             if found is not None:
                 return found
@@ -340,13 +351,18 @@ def _find_anchor(
 
 
 def _contains_kv(obj: Any, key: str, value: Any) -> bool:
-    """True when ``key: value`` appears anywhere in ``obj`` (used to
-    decide whether a dynamic-scope override of a lexical
-    $recursiveRef/$dynamicRef target is POSSIBLE)."""
+    """True when ``key: value`` appears anywhere in ``obj`` at a
+    possible SCHEMA position (data-position subtrees skipped, matching
+    _find_anchor) — used to decide whether a dynamic-scope override of
+    a lexical $recursiveRef/$dynamicRef target is POSSIBLE."""
     if isinstance(obj, dict):
         if obj.get(key) == value:
             return True
-        return any(_contains_kv(v, key, value) for v in obj.values())
+        return any(
+            _contains_kv(v, key, value)
+            for k, v in obj.items()
+            if k not in _DATA_KEYWORDS
+        )
     if isinstance(obj, list):
         return any(_contains_kv(v, key, value) for v in obj)
     return False
@@ -1724,10 +1740,21 @@ class _Compiler:
                 if "any" in names:
                     branch: Tuple = ()  # matches everything → always fail
                 else:
+                    unknown = [x for x in names if x not in _JSON_TYPES]
+                    if unknown:
+                        # jsonschema Draft3 raises UnknownType when the
+                        # disallow entry names no known type; the engine
+                        # compiles the known entries and records the
+                        # drop (never-silent-drop invariant)
+                        self.warnings.append(
+                            f"/{prefix}: disallow entries {unknown!r} name "
+                            f"no known type (jsonschema raises UnknownType)"
+                            f" — only partially enforced"
+                        )
                     mapped = tuple(
                         "integer4" if x == "integer" else x
                         for x in names
-                        if x in _JSON_TYPES or x == "any"
+                        if x in _JSON_TYPES
                     )
                     branch = (
                         ColumnCheck(
