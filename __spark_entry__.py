@@ -1481,14 +1481,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE n_chars IS NOT NULL AND NOT (n_chars >= 100)
             UNION ALL
-            SELECT 'unique:src_lang', 'dup_unique', rid,
-                   '["' || source || '","' || lang || '"]'
+            -- registration-time dup semantics (round 5, [verified]
+            -- reference probes): EVERY doc's registration errors when
+            -- an earlier SURVIVING doc holds the key — including docs
+            -- that themselves fail row checks (forget runs after)
+            SELECT 'unique:src_lang', 'dup_unique', r.rid,
+                   '["' || r.source || '","' || r.lang || '"]'
             FROM (
-              SELECT rid, source, lang,
-                     ROW_NUMBER() OVER (PARTITION BY source, lang
-                                        ORDER BY rid) AS rn
-              FROM survivors
-            ) WHERE rn > 1
+              SELECT 'doc-' || doc_id AS rid, source, lang
+              FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL
+            ) r
+            WHERE EXISTS (
+              SELECT 1 FROM survivors s
+              WHERE s.source = r.source AND s.lang = r.lang
+                AND s.rid < r.rid
+            )
         """,
         "row_checks": f"""
             SELECT 'check:p_size:minimum' AS constraint_id, 'minimum' AS reason,
@@ -1663,14 +1671,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'fk:images.fmt->formats', 'stale_fk', iid FROM base
             WHERE k % 103 = 0 AND k % 101 <> 0   -- pass-1 revocation gate
             UNION ALL
+            -- registration-time dup semantics (round 5, [verified]
+            -- reference probes): rows SHARING a row_id behave like one
+            -- doc's repeated registrations — the later one always
+            -- errors, revoked or not — so every injected id pair emits
+            -- exactly one dup_pk
             SELECT 'pk:image_id', 'dup_pk', iid FROM base
             WHERE k % 73 = 0 AND k >= 73
-              AND k % 101 <> 0 AND (k - 1) % 101 <> 0  -- revoked partners drop the pair
             UNION ALL
+            -- cross-row dups: the REPORTER errors regardless of its
+            -- own pass-1 fate (forget runs after); only a SURVIVING
+            -- holder (k-3 partner not revoked) makes the key present
             SELECT 'unique:phash', 'dup_unique',
                    'img' || lpad(CAST(k AS VARCHAR), 8, '0')
             FROM base WHERE k % 71 = 0 AND k >= 71
-              AND k % 101 <> 0 AND (k - 3) % 101 <> 0
+              AND (k - 3) % 101 <> 0
         """,
         "stats_profile": """
             SELECT l_returnflag,

@@ -90,6 +90,13 @@ def main(argv=None) -> int:
                     help="restrict --guess-schema to these URIs")
     ap.add_argument("--iter-arrays", action="store_true",
                     help="shred array inputs, one element per entry")
+    ap.add_argument("--library-fallback", action="store_true",
+                    dest="library_fallback",
+                    help="schemas whose compilation recorded warnings "
+                    "(partially-enforced shapes) validate through the "
+                    "jsonschema library in an Arrow-batched stage — "
+                    "full reference parity at Python-stage cost for "
+                    "those schemas' documents only")
     ap.add_argument("--fix", action="store_true", dest="do_fix",
                     help="on validation errors, launch $EDITOR on the "
                     "report + erroring files, then re-validate; repeats "
@@ -210,6 +217,7 @@ def main(argv=None) -> int:
             guess_unmatched=(args.use_schemas or args.guess_schema),
             cache_dir=args.cache_dir,
             cache_read_only=args.cache_read_only,
+            library_fallback=args.library_fallback,
         )
         for f, _, e in docs:
             if e is not None:

@@ -40,6 +40,7 @@ def keyed(
     spec: TableSpec,
     ks: KeySpec,
     scope_fallback: bool = False,
+    surv: Optional[Column] = None,
 ) -> DataFrame:
     """Project (row_id, __key, __observed) for one key declaration.
     Rows whose key is NULL (missing-member exclusion, SURVEY.md §1.3
@@ -48,9 +49,17 @@ def keyed(
     index_check.py:262-293) — explode drops empty arrays, so a row
     with any zero-valued member contributes no key, same as the scalar
     path.  ``scope_fallback``: use row_id as the scope when the table
-    declares no scope_col (dims for scoped keys)."""
+    declares no scope_col (dims for scoped keys).  ``surv``: carry the
+    pass-1 predicate through as a ``__surv`` flag (registration-time
+    dup semantics need every ROW's registrations but only SURVIVING
+    rows as key holders)."""
     scope = spec.scope_col or (spec.row_id if scope_fallback else None)
     rid = F.col(spec.row_id).cast("string").alias("__row_id")
+    sv = (
+        [F.coalesce(surv, F.lit(False)).alias("__surv")]
+        if surv is not None
+        else []
+    )
     if members_fan_out(ks.members, df, spec.canonical_json):
         karr, oarr = key_strings(
             ks.members,
@@ -63,11 +72,12 @@ def keyed(
             karr, oarr, lambda k, o: F.struct(k.alias("k"), o.alias("o"))
         )
         return (
-            df.select(rid, F.explode(pairs).alias("__p"))
+            df.select(rid, F.explode(pairs).alias("__p"), *sv)
             .select(
                 "__row_id",
                 F.col("__p.k").alias("__key"),
                 F.col("__p.o").alias("__observed"),
+                *(["__surv"] if sv else []),
             )
             # a NULL scope value NULLs the scoped key — exclude, like
             # the scalar path's missing-member semantics
@@ -81,6 +91,7 @@ def keyed(
             rid,
             key.alias("__key"),
             obs.alias("__observed"),
+            *sv,
         )
         .where(F.col("__key").isNotNull())
     )
@@ -93,41 +104,67 @@ def dup_violations(
     reason: str,
     cid_prefix: str,
     strategy: str = "window",
+    surv: Optional[Column] = None,
 ) -> DataFrame:
-    """Duplicate-key violations: every row after the min-row_id
-    survivor.  reason ∈ {dup_unique, dup_pk}.
+    """Duplicate-key violations with the reference's EXACT
+    registration-time semantics ([verified] probes, round 5): every
+    key registration that finds its key already present errors —
+    including registrations of rows that themselves FAIL pass 1 (the
+    reference registers/errors first, forget() runs after the doc's
+    own errors print) — while only SURVIVING rows HOLD keys (a failing
+    row's registrations are forgotten before the next doc probes).
+    Within one row, fan-out registrations after the first of the same
+    key always error (self-dups persist even on revoked rows).
+
+    Declaratively: registration R of row X is flagged iff
+      (a) some SURVIVING row Y with Y.row_id < X.row_id holds R.key, or
+      (b) an earlier registration of the SAME row carries R.key.
+    ``surv`` = the pass-1 predicate over ``df`` (all rows); omitting it
+    treats every row as surviving, which collapses to the classic
+    min-row_id-survivor window.
+
+    Known residue (documented, inherently sequential): the reference's
+    forget() also DE-registers the OTHER keys of a row whose only
+    error is a dup — chains of cross-key revocations are
+    order-dependent row-at-a-time state this one-pass form does not
+    model (same class as the guess-mode divergence in run_suite's
+    docstring).
 
     strategy='window' (default): one shuffle + per-key sort
-    (row_number).  Simple, but a pathologically hot key sorts in one
-    partition.
-
-    strategy='agg': skew-proof — groupBy(key, row_id) count, then
-    groupBy(key) min/total (both hash aggregations with map-side
-    partial combine; no per-key sort anywhere), join back the dup keys
-    (AQE broadcasts — dup keys are few), emit (count - 1{survivor})
-    copies per (key, row_id) via explode.  Identical output multiset
-    to the window strategy (parity-tested), bounded partition state at
-    ANY key skew.
+    (row_number/rank + a preceding-rows max — same single Exchange).
+    strategy='agg': skew-proof two-level hash aggregation; identical
+    output multiset (parity-tested), bounded partition state at ANY
+    key skew.
     """
     cid = f"{cid_prefix}:{ks.label}"
     path = F.lit("/" + ",".join(ks.members)).alias("path")
-    k = keyed(df, spec, ks)
+    k = keyed(df, spec, ks, surv=surv if surv is not None else F.lit(True))
 
     if strategy == "agg":
         per_rid = k.groupBy("__key", "__row_id").agg(
             F.count(F.lit(1)).alias("__c"),
             F.first("__observed").alias("__observed"),
+            F.max("__surv").alias("__rsurv"),
         )
         per_key = per_rid.groupBy("__key").agg(
-            F.sum("__c").alias("__total"), F.min("__row_id").alias("__survivor")
+            F.sum("__c").alias("__total"),
+            F.min(F.when(F.col("__rsurv"), F.col("__row_id"))).alias(
+                "__first_surv"
+            ),
         )
         dup_keys = per_key.where(F.col("__total") > 1)
         blamed = (
             per_rid.join(dup_keys, "__key")
             .withColumn(
                 "__n",
-                F.col("__c")
-                - F.when(F.col("__row_id") == F.col("__survivor"), 1).otherwise(0),
+                # earlier survivor holds the key → ALL c registrations
+                # error; else the row's own first registration is the
+                # holder → c-1 self-dups
+                F.when(
+                    F.col("__first_surv").isNotNull()
+                    & (F.col("__first_surv") < F.col("__row_id")),
+                    F.col("__c"),
+                ).otherwise(F.col("__c") - 1),
             )
             .where(F.col("__n") > 0)
         )
@@ -141,9 +178,18 @@ def dup_violations(
         ).drop("__i")
 
     w = Window.partitionBy("__key").orderBy("__row_id")
+    w_prec = w.rowsBetween(Window.unboundedPreceding, -1)
+    prev_surv = F.max(
+        F.when(F.col("__surv"), F.lit(1)).otherwise(F.lit(0))
+    ).over(w_prec)
+    # row_number - rank > 0 ⇔ an earlier registration of the SAME row
+    # (row_id ties) precedes this one in the frame
+    flagged = (F.coalesce(prev_surv, F.lit(0)) == 1) | (
+        F.row_number().over(w) > F.rank().over(w)
+    )
     return (
-        k.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") > 1)
+        k.withColumn("__flag", flagged)
+        .where(F.col("__flag"))
         .select(
             F.lit(cid).alias("constraint_id"),
             F.lit(reason).alias("reason"),

@@ -152,10 +152,42 @@ def instance_at(doc: Any, path: str) -> Tuple[bool, Any]:
     return True, node
 
 
+def flat_instances(doc: Any, path: str) -> List[Any]:
+    """All LEAF instances at a trailing-``[]`` path with ≥2 array
+    levels (``a[].b[]``, ``a[][]``, ``#root[][]``), FILTERED: absent
+    members and non-array nodes contribute nothing.  For per-element
+    scalar checks and combinators this filtered collection is
+    verdict-equivalent to an aligned one — every dropped entry is a
+    node where jsonschema's ``items``/``properties`` descent is
+    vacuous — which is what lets nested-array keywords compile to the
+    same flat forall as the one-level case."""
+    segs = path.split("[]")
+    if segs[-1] != "":
+        raise ValueError(f"flat_instances needs a trailing-[] path: {path}")
+    cur: List[Any] = [doc]
+    for seg in segs[:-1]:
+        seg = seg.lstrip(".")
+        nxt: List[Any] = []
+        for node in cur:
+            if seg in ("", "#root"):
+                ok, val = True, node
+            else:
+                ok, val = instance_at(node, seg)
+            if ok and isinstance(val, list):
+                nxt.extend(val)
+        cur = nxt
+    return cur
+
+
 def shred_record(doc: Any, compiled: CompiledSchema) -> dict:
     """One document → {column name: literal | [literals] | None}."""
     out: dict = {}
     for p in compiled.instance_paths:
+        if p.endswith("[]") and p.count("[]") >= 2:
+            # nested-array leaf collection (flat, filtered — see
+            # flat_instances): never NULL, empty when nothing matches
+            out[p] = [_canon(x) for x in flat_instances(doc, p)]
+            continue
         if p == "#root":
             present, v = True, doc
         elif p == "#root[]":
@@ -247,10 +279,18 @@ def shred_record(doc: Any, compiled: CompiledSchema) -> dict:
     return out
 
 
-def _shred_schema(compiled: CompiledSchema, corrupt_flag: bool = False) -> T.StructType:
+def _shred_schema(
+    compiled: CompiledSchema,
+    corrupt_flag: bool = False,
+    keep_raw: bool = False,
+) -> T.StructType:
     fields = [T.StructField("__file", T.StringType())]
     if corrupt_flag:
         fields.append(T.StructField("__corrupt", T.BooleanType()))
+    if keep_raw:
+        # raw document text for the library-fallback escape hatch
+        # (library_fallback.library_errors_column reads __raw)
+        fields.append(T.StructField("__raw", T.StringType()))
     for p in compiled.instance_paths:
         # element arrays AND aligned per-element sub-instance arrays
         t = T.ArrayType(T.StringType()) if "[]" in p else T.StringType()
@@ -289,15 +329,20 @@ def shred_documents(
     spark: SparkSession,
     docs: Sequence[Tuple[str, Any]],
     compiled: CompiledSchema,
+    keep_raw: bool = False,
 ) -> DataFrame:
     """Driver-side shredder for in-memory documents (the reference
-    test-suite scale).  docs: [(file, parsed document)]."""
+    test-suite scale).  docs: [(file, parsed document)].
+    ``keep_raw``: carry each document's JSON serialization in a
+    ``__raw`` column (the library-fallback input)."""
     rows = []
     for fname, doc in docs:
         rec = shred_record(doc, compiled)
         rec["__file"] = fname
+        if keep_raw:
+            rec["__raw"] = json.dumps(doc, ensure_ascii=False)
         rows.append(rec)
-    schema = _shred_schema(compiled)
+    schema = _shred_schema(compiled, keep_raw=keep_raw)
     return spark.createDataFrame(
         [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema
     )
@@ -308,13 +353,16 @@ def shred_json_strings(
     compiled: CompiledSchema,
     file_col: str = "file",
     json_col: str = "json",
+    keep_raw: bool = False,
 ) -> DataFrame:
     """Distributed shredder: (file, json text) rows → shredded table.
     mapInPandas (Arrow-batched), map-only — the scale path for
-    validating dynamic JSON documents stored one-per-row."""
+    validating dynamic JSON documents stored one-per-row.
+    ``keep_raw``: pass the input text through as ``__raw`` (the
+    library-fallback input)."""
     import pandas as pd
 
-    schema = _shred_schema(compiled, corrupt_flag=True)
+    schema = _shred_schema(compiled, corrupt_flag=True, keep_raw=keep_raw)
     names = [f.name for f in schema.fields]
 
     def shred_batches(batches: Iterable["pd.DataFrame"]) -> Iterable["pd.DataFrame"]:
@@ -334,8 +382,10 @@ def shred_json_strings(
                 rec = shred_record(doc, compiled) if parsed else {}
                 out["__file"].append(fname)
                 out["__corrupt"].append(not parsed)
+                if keep_raw:
+                    out["__raw"].append(text)
                 for n in names:
-                    if n not in ("__file", "__corrupt"):
+                    if n not in ("__file", "__corrupt", "__raw"):
                         out[n].append(rec.get(n))
             yield pd.DataFrame(out, columns=names)
 

@@ -180,7 +180,17 @@ class ValidationEngine:
 
     # -- main --------------------------------------------------------------
 
-    def validate(self, tables: Dict[str, DataFrame]) -> ValidationResult:
+    def validate(
+        self,
+        tables: Dict[str, DataFrame],
+        row_overrides: Optional[Dict[str, object]] = None,
+    ) -> ValidationResult:
+        """``row_overrides``: {table: library-errors Column} — the
+        library-fallback escape hatch (library_fallback.py).  For those
+        tables the ROW battery is replaced by the jsonschema verdict
+        (reasons, paths, revocation all from the library); key worlds
+        and referential passes stay compiled and declarative.  Tables
+        absent from the dict never touch Python."""
         spark = (
             next(iter(tables.values())).sparkSession
             if tables
@@ -197,6 +207,17 @@ class ValidationEngine:
         for name, df in tables.items():
             spec = self.specs.get(name)
             if spec is None:
+                continue
+            ov_errs = (row_overrides or {}).get(name)
+            if ov_errs is not None:
+                from . import library_fallback as LF
+
+                ok = LF.library_pass1_ok(ov_errs)
+                pass1_cols[name] = ok
+                row_viol[name] = LF.library_row_violations(
+                    df, F.col(spec.row_id), ov_errs
+                )
+                survivors[name] = df.where(ok)
                 continue
             compiled = row_checks.compile_battery(
                 spec.checks, json_mode=spec.canonical_json,
@@ -241,26 +262,36 @@ class ValidationEngine:
 
         for name, df in survivors.items():
             spec = self.specs[name]
+            # registration-time dup semantics ([verified] round-5
+            # probes): EVERY row's registrations are reporters (a row
+            # failing pass 1 still errors against present keys — the
+            # reference's forget() runs only after its errors print),
+            # while only SURVIVORS hold keys — so dup detection scans
+            # the FULL table with the pass-1 predicate as holder flag
+            full = tables[name]
+            ok_col = pass1_cols[name]
             kv: List[DataFrame] = []
             for ks in spec.unique:
                 kv.append(
                     uniqueness.dup_violations(
-                        df, spec, ks, errors.DUP_UNIQUE, "unique",
-                        strategy=self.config.dedup_strategy,
+                        full, spec, ks, errors.DUP_UNIQUE, "unique",
+                        strategy=self.config.dedup_strategy, surv=ok_col,
                     )
                 )
             for ks in spec.primary_keys:
                 kv.append(
                     uniqueness.dup_violations(
-                        df, spec, ks, errors.DUP_PK, "pk",
-                        strategy=self.config.dedup_strategy,
+                        full, spec, ks, errors.DUP_PK, "pk",
+                        strategy=self.config.dedup_strategy, surv=ok_col,
                     )
                 )
                 # non-shadow provider keys count as pre-recorded → any
-                # surviving row matching one is a duplicate
+                # row's registration matching one is a duplicate
+                # (provider keys are never forgotten, so revoked rows
+                # report too — same registration-time rule)
                 shadow_dims = self._provider_shadow(spark, name, ks.name)
                 keyed = (
-                    uniqueness.keyed(df, spec, ks) if shadow_dims else None
+                    uniqueness.keyed(full, spec, ks) if shadow_dims else None
                 )
                 for pdim in shadow_dims:
                     kv.append(

@@ -1,0 +1,207 @@
+"""Library-verdict escape hatch: opt-in jsonschema delegation for
+schemas whose compilation recorded warnings.
+
+The reference validates every document with the draft-dispatched
+jsonschema validator (extensible_validator.py:1154-1194 via
+extend_validator_helpers.py:50-64 PLAIN_VALIDATOR_MAPPER), a
+RefResolver over the loaded-schema cache, and a FormatChecker carrying
+the custom formats — so it enforces EVERY JSON-Schema shape for free.
+This engine's compiled batteries reproduce that bit-exactly for every
+compilable shape (six per-draft randomized differentials); the shapes
+the compiler cannot express (deeply nested array combinators,
+genuinely dynamic ``$dynamicRef`` overrides, ...) degrade to
+warned-partial enforcement.
+
+This module closes that residue: when a schema's compilation carries
+warnings and the caller opts in (``library_fallback=True`` on
+run_suite / validate_json_table, ``--library-fallback`` on the CLI),
+that schema's ROW battery is REPLACED by the library verdict — the
+exact validator stack the reference runs — evaluated in ONE
+Arrow-batched pandas UDF over the raw document text.  Replacement
+(not union-dedup) is deliberate: the library output IS the complete
+reference verdict for structural checks, so a union would only force
+reconciling two path conventions for zero information gain.
+Key/uniqueness/FK checks (the reference's EXTENSIONS, which jsonschema
+does not know) stay compiled and declarative; pass-1 revocation uses
+the library verdict, so key registration matches the reference's
+forget() exactly.
+
+Compiled-CLEAN schemas never enter this path: the override dict is
+keyed on ``CompiledSchema.warnings`` being non-empty, and the plan
+test asserts their violation plans contain no ArrowEvalPython /
+BatchEvalPython stage.
+
+Scale shape: the UDF is map-only over (row_id, raw text); the schema
+body and the $ref cache ride closure capture (KB-sized), and only the
+WARNED schemas' documents pay the Python stage — activation is per
+schema, not per run.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Iterable, Mapping, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: one jsonschema ValidationError → (reason, path, observed):
+#: reason = the leaf validator name (the engine's vocabulary — the
+#: reference collapses these to 'schema_error', which the parity
+#: normalization mirrors), path = '/'-joined instance path exactly as
+#: the reference renders it (extensible_validator.py:1183), observed =
+#: the canonical literal of the failing instance.
+ERRORS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("reason", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("observed", T.StringType()),
+        ]
+    )
+)
+
+# the reference's hyper-schema → validator aliases
+# (extend_validator_helpers.py:59-64 PLAIN_VALIDATOR_MAPPER), incl.
+# its draft-06-hyper → Draft4Validator quirk
+_HYPER_ALIASES = {
+    "http://json-schema.org/draft-04/hyper-schema#": "Draft4Validator",
+    "http://json-schema.org/draft-06/hyper-schema#": "Draft4Validator",
+    "http://json-schema.org/draft-07/hyper-schema#": "Draft7Validator",
+}
+
+
+def build_validator(schema: Mapping, uri: str, cache: Mapping,
+                    formats: Optional[Mapping] = None):
+    """The reference's validator stack for one schema (executor-side;
+    everything reachable from plain dicts so the closure pickles):
+    draft-dispatched validator class, RefResolver over the
+    loaded-schema cache (extensible_validator.py:1155-1159), and a
+    FormatChecker with the custom formats registered
+    (extensible_validator.py:132-138)."""
+    import warnings as _warnings
+
+    import jsonschema as JSV
+    from jsonschema import validators as JV
+
+    draft = schema.get("$schema")
+    vclass = (
+        getattr(JV, _HYPER_ALIASES[draft])
+        if draft in _HYPER_ALIASES
+        else JV.validator_for(schema)
+    )
+    fc = JSV.FormatChecker()
+    for name, checker in (formats or {}).items():
+        fn = None
+        if isinstance(checker, str):
+            rx = re.compile(checker)
+
+            def fn(v, _rx=rx):  # engine regex formats: search semantics,
+                # vacuous on non-strings (row_checks._format_pred)
+                return not isinstance(v, str) or _rx.search(v) is not None
+
+        else:
+            py = getattr(checker, "py_pred", None)
+            if py is not None:
+
+                def fn(v, _p=py):
+                    return bool(_p(v))
+
+        if fn is not None:
+            fc.checks(name)(fn)
+        # Column→Column callables without a recoverable Python
+        # predicate cannot ride the library stack; jsonschema ignores
+        # unknown formats, matching the compiler's warned drop
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", DeprecationWarning)
+        resolver = JSV.RefResolver(
+            base_uri=uri, referrer=schema, store=dict(cache)
+        )
+        return vclass(schema, format_checker=fc, resolver=resolver)
+
+
+def _canon(v: Any) -> str:
+    return json.dumps(v, sort_keys=True, separators=(",", ":"),
+                      ensure_ascii=False, default=str)
+
+
+def library_errors_column(
+    schema: Mapping,
+    uri: str,
+    cache: Mapping,
+    formats: Optional[Mapping] = None,
+    raw_col: str = "__raw",
+) -> Column:
+    """``array<struct<reason,path,observed>>`` of jsonschema errors for
+    each row's raw JSON text; NULL for unparseable text (the suite's
+    'fatal' path owns those).  One Arrow-batched pandas UDF — the
+    validator is built once per worker and reused across batches."""
+    from pyspark.sql.functions import pandas_udf
+
+    state: dict = {}
+
+    @pandas_udf(ERRORS_TYPE)
+    def _lib_errors(raw: pd.Series) -> pd.Series:
+        v = state.get("v")
+        if v is None:
+            v = state["v"] = build_validator(schema, uri, cache, formats)
+        out = []
+        for text in raw:
+            if text is None:
+                out.append(None)
+                continue
+            try:
+                doc = json.loads(text)
+            except (json.JSONDecodeError, TypeError):
+                out.append(None)
+                continue
+            rows = []
+            for e in v.iter_errors(doc):
+                rows.append(
+                    {
+                        # leaf validator name; jsonschema reports
+                        # `then: false` etc. with validator None →
+                        # the reference's generic reason
+                        "reason": (
+                            e.validator
+                            if isinstance(e.validator, str)
+                            else "schema_error"
+                        ),
+                        # exact reference rendering: '/' + '/'.join(path)
+                        "path": "/" + "/".join(str(p) for p in e.path),
+                        "observed": _canon(e.instance),
+                    }
+                )
+            out.append(rows)
+        return pd.Series(out)
+
+    return _lib_errors(F.col(raw_col))
+
+
+def library_pass1_ok(errors_col: Column) -> Column:
+    """Row survives pass 1 ⇔ parseable AND zero library errors — feeds
+    the engine's revocation exactly like the compiled pass1_ok."""
+    return errors_col.isNotNull() & (F.size(errors_col) == 0)
+
+
+def library_row_violations(
+    df: DataFrame, row_id: Column, errors_col: Column
+) -> DataFrame:
+    """Library errors → the engine's violations shape
+    (constraint_id, reason, row_id, observed_value, path)."""
+    return (
+        df.select(
+            row_id.cast("string").alias("row_id"),
+            F.explode(errors_col).alias("e"),
+        )
+        .select(
+            F.concat(F.lit("lib:"), F.col("e.reason")).alias("constraint_id"),
+            F.col("e.reason").alias("reason"),
+            F.col("row_id"),
+            F.col("e.observed").alias("observed_value"),
+            F.col("e.path").alias("path"),
+        )
+    )

@@ -183,6 +183,13 @@ class CompiledSchema:
     # (array<map<string,string>>) — items-level patternProperties and
     # schema-form additionalProperties values
     elem_entries_paths: tuple = ()
+    # compile-time warning strings (partial-enforcement traces) — the
+    # library-fallback escape hatch activates per schema on these
+    warnings: tuple = ()
+    # {uri: raw schema dict} of the load this schema came from — the
+    # RefResolver store for the library fallback (⇔ the reference's
+    # refSchemaCache, extensible_validator.py:1155-1159)
+    ref_cache: Optional[Mapping] = None
 
 
 # ---------------------------------------------------------------------------
@@ -898,9 +905,14 @@ class _Compiler:
         scalar-expressible; anything else records a warning — never a
         silent drop.  Reasons match jsonschema's items descent
         ([verified] probes): anyOf/oneOf/not report the combinator
-        name, if/then/else reports leaf keyword names."""
+        name, if/then/else reports leaf keyword names.
+
+        Supported locations: ONE array level anywhere (element or
+        aligned sub-property arrays), or a DIRECT nested-array element
+        location at any depth ("a[].b[]" — flat-filtered leaf
+        collection, verdict-equivalent per element; round 5)."""
         out: List = []
-        one_level = prefix.count("[]") == 1
+        one_level = prefix.count("[]") == 1 or prefix.endswith("[]")
         combos: List = []
         warn_kinds: List[str] = []
         has_ite = (
@@ -988,6 +1000,15 @@ class _Compiler:
             one_level = prefix.count("[]") == 1
             direct = one_level and prefix.endswith("[]")
             sub_level = one_level and not direct
+            # nested-array DIRECT element locations ("a[].b[]",
+            # "a[][]", any depth): the flat-filtered leaf collection
+            # (docshred.flat_instances) is verdict-equivalent to the
+            # aligned form for per-element scalars/combinators, so the
+            # same forall machinery applies — round-5 extension; the
+            # object-keyword families and per-element required below
+            # still need aligned per-element structures and stay
+            # one-level (warned beyond)
+            flat_direct = prefix.endswith("[]") and not one_level
             scalar = {
                 k: node[k]
                 for k in _SCALAR_KWS
@@ -1001,7 +1022,7 @@ class _Compiler:
                 node.get("divisibleBy"), (int, float)
             ):
                 scalar["divisibleBy"] = node["divisibleBy"]
-            if scalar and (direct or sub_level):
+            if scalar and (direct or sub_level or flat_direct):
                 self._touch(prefix)
                 kwpairs = self._legacy_bounds_pairs(
                     tuple(
@@ -1011,7 +1032,7 @@ class _Compiler:
                 )
                 out.append(
                     ColumnCheck(column=prefix, element_checks=kwpairs)
-                    if direct
+                    if (direct or flat_direct)
                     else ColumnCheck(
                         column=prefix, element_sub_checks=kwpairs
                     )
@@ -1245,7 +1266,7 @@ class _Compiler:
                 for k in (*_CHECK_KEYWORDS, "required", *obj_kws, *unev_here)
                 if k in node
                 and self._kw_ok(k)  # below-draft = exactly ignored
-                and not ((direct or sub_level) and k in scalar)
+                and not ((direct or sub_level or flat_direct) and k in scalar)
                 and not (k == "required" and req_done)
                 and not (k == "additionalProperties" and (ap_done or apv_done))
                 and not (k == "patternProperties" and pp_done)
@@ -2129,6 +2150,8 @@ def compile_schema(
             entries_paths=tuple(sorted(comp.entries_paths)),
             elem_props_paths=tuple(sorted(comp.elem_props_paths)),
             elem_entries_paths=tuple(sorted(comp.elem_entries_paths)),
+            warnings=tuple(comp.warnings),
+            ref_cache=cache,
         ),
         issues,
     )
@@ -2259,6 +2282,11 @@ def normalize_custom_formats(custom_formats) -> Dict[str, Any]:
 
             return F.coalesce(_batch(col), F.lit(True))
 
+        # the raw per-value predicate rides along so the library
+        # fallback can register it on its FormatChecker
+        # (library_fallback.build_validator ⇔ the reference's
+        # customFormatCheckerInstance.checks registration)
+        _column_pred.py_pred = is_ok
         out[name] = _column_pred
     return out
 

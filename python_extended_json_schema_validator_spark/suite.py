@@ -320,6 +320,26 @@ def providers_from_config(
     return out
 
 
+def _library_overrides(
+    registry: Mapping[str, CompiledSchema], library_fallback: bool
+) -> Dict[str, object]:
+    """{uri: library-errors Column} for WARNED schemas only (the
+    library-verdict escape hatch, library_fallback.py).  Compiled-clean
+    schemas are never keyed — their plans stay fully JVM-side."""
+    if not library_fallback:
+        return {}
+    from .library_fallback import library_errors_column
+
+    out: Dict[str, object] = {}
+    for uri, cs in registry.items():
+        if cs.warnings:
+            out[uri] = library_errors_column(
+                cs.schema, uri, cs.ref_cache or {uri: cs.schema},
+                cs.table_spec.custom_formats,
+            )
+    return out
+
+
 def validate_json_table(
     spark: SparkSession,
     schemas: Union[str, Sequence[Tuple[str, Mapping]]],
@@ -330,6 +350,7 @@ def validate_json_table(
     probes: Sequence[str] = SCHEMA_KEY_PROBES,
     engine_config: Optional[EngineConfig] = None,
     uri_col: Optional[str] = None,
+    library_fallback: bool = False,
 ):
     """The DISTRIBUTED document-validation entry point: a DataFrame of
     ``(file, json text)`` rows — a 10^12-row table of one-JSON-per-row
@@ -385,7 +406,8 @@ def validate_json_table(
         )
     tables = {
         uri: shred_json_strings(
-            tagged.where(F.col("__uri") == uri), registry[uri]
+            tagged.where(F.col("__uri") == uri), registry[uri],
+            keep_raw=library_fallback and bool(registry[uri].warnings),
         )
         for uri in registry
     }
@@ -395,7 +417,9 @@ def validate_json_table(
         providers=providers_from_config(config, schema_uris=list(registry)),
         config=engine_config,
     )
-    result = engine.validate(tables)
+    result = engine.validate(
+        tables, row_overrides=_library_overrides(registry, library_fallback)
+    )
     # unparseable documents (shredder __corrupt flag) get the
     # reference's 'fatal' — without this, a schema with no `required`
     # keywords would pass garbage rows vacuously
@@ -411,6 +435,91 @@ def validate_json_table(
     return result, registry
 
 
+def _guess_dispatch(
+    spark: SparkSession,
+    registry: Mapping[str, CompiledSchema],
+    candidates: Sequence[str],
+    pending: Sequence[Tuple[str, Any]],
+    library_fallback: bool = False,
+) -> Dict[str, str]:
+    """Distributed guess-mode dispatch: score ALL unmatched documents
+    against ALL candidate batteries in ONE job (round-5 rework of the
+    per-schema sequential collect loop).
+
+    Shape: one merged shred over the union of every candidate's column
+    families (a given path+kind shreds identically for every schema,
+    so the union is well-defined), then one projection computing each
+    candidate's ``pass1_ok`` boolean, then a first-true-wins coalesce
+    in LOAD ORDER — exactly the reference's sequential guessing order
+    (extensible_validator.py:1229-1340) without its O(candidates)
+    passes.  The collect returns only the (file → claimed uri) verdict
+    map, which the CLI report needs on the driver anyway.
+
+    Warned candidates under ``library_fallback`` score through the
+    jsonschema stack (the reference's guess loop also runs the full
+    library validator, extensible_validator.py:1259-1263) — a warned
+    schema must not CLAIM a document its uncompiled residue would
+    reject."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from .checks import row_checks
+
+    if not candidates or not pending:
+        return {}
+    css = [registry[u] for u in candidates]
+    merged = dataclasses.replace(
+        css[0],
+        instance_paths=tuple(
+            sorted({p for c in css for p in c.instance_paths})
+        ),
+        value_paths=tuple(sorted({p for c in css for p in c.value_paths})),
+        props_paths=tuple(sorted({p for c in css for p in c.props_paths})),
+        entries_paths=tuple(
+            sorted({p for c in css for p in c.entries_paths})
+        ),
+        elem_props_paths=tuple(
+            sorted({p for c in css for p in c.elem_props_paths})
+        ),
+        elem_entries_paths=tuple(
+            sorted({p for c in css for p in c.elem_entries_paths})
+        ),
+    )
+    any_lib = library_fallback and any(c.warnings for c in css)
+    shredded = shred_documents(spark, pending, merged, keep_raw=any_lib)
+    claims = []
+    for uri in candidates:
+        cs = registry[uri]
+        if library_fallback and cs.warnings:
+            from .library_fallback import (
+                library_errors_column,
+                library_pass1_ok,
+            )
+
+            ok = library_pass1_ok(
+                library_errors_column(
+                    cs.schema, uri, cs.ref_cache or {uri: cs.schema},
+                    cs.table_spec.custom_formats,
+                )
+            )
+        else:
+            battery = row_checks.compile_battery(
+                cs.table_spec.checks, json_mode=True,
+                formats=cs.table_spec.custom_formats,
+            )
+            ok = row_checks.pass1_ok(battery)
+        claims.append(F.when(ok, F.lit(uri)))
+    verdict = F.coalesce(*claims)
+    return {
+        r["__file"]: r["__guess"]
+        for r in shredded.select(
+            F.col("__file"), verdict.alias("__guess")
+        ).collect()
+        if r["__guess"] is not None
+    }
+
+
 def run_suite(
     spark: SparkSession,
     schemas: Union[str, Sequence[Tuple[str, Mapping]]],
@@ -423,6 +532,7 @@ def run_suite(
     max_violations: int = 1_000_000,
     cache_dir: Optional[str] = None,
     cache_read_only: bool = False,
+    library_fallback: bool = False,
 ) -> SuiteResult:
     """Run one suite.  ``schemas``: directory or [(file, schema dict)];
     ``docs``: directory or [(file, parsed doc)].  ``config``: the
@@ -492,35 +602,25 @@ def run_suite(
             if not isinstance(guess_unmatched, (list, tuple))
             or uri in guess_unmatched
         ]
-        from .checks import row_checks
-
-        for uri in candidates:
-            if not pending:
-                break
-            cs = registry[uri]
-            shredded = shred_documents(spark, pending, cs)
-            battery = row_checks.compile_battery(
-                cs.table_spec.checks, json_mode=True,
-                formats=cs.table_spec.custom_formats,
-            )
-            ok = row_checks.pass1_ok(battery)
-            matched = {
-                r["__file"] for r in shredded.where(ok).select("__file").collect()
-            }
-            if matched:
-                claimed = [(f, d) for f, d in pending if f in matched]
-                by_uri.setdefault(uri, []).extend(claimed)
-                for f, _ in claimed:
-                    doc_schema[f] = uri
-                pending = [(f, d) for f, d in pending if f not in matched]
+        assigned = _guess_dispatch(
+            spark, registry, candidates, pending, library_fallback
+        )
+        for f, doc in pending:
+            uri = assigned.get(f)
+            if uri is not None:
+                doc_schema[f] = uri
+                by_uri.setdefault(uri, []).append((f, doc))
+            else:
+                # failed every candidate (⇔ cumulative schema errors,
+                # extensible_validator.py:1310-1340)
+                per_file[f].append("schema_error")
         unmatched = [f for f in unmatched if f not in doc_schema]
-        for f, _ in pending:
-            # failed every candidate (⇔ cumulative schema errors,
-            # extensible_validator.py:1310-1340)
-            per_file[f].append("schema_error")
 
     tables = {
-        uri: shred_documents(spark, group, registry[uri])
+        uri: shred_documents(
+            spark, group, registry[uri],
+            keep_raw=library_fallback and bool(registry[uri].warnings),
+        )
         for uri, group in by_uri.items()
     }
     specs = [cs.table_spec for cs in registry.values()]
@@ -534,7 +634,9 @@ def run_suite(
         ),
         config=engine_config,
     )
-    result = engine.validate(tables)
+    result = engine.validate(
+        tables, row_overrides=_library_overrides(registry, library_fallback)
+    )
     # Bounded collect: the per-file reason aggregation below is a
     # driver-side reduction sized for the reference's CLI corpora
     # (per-file documents).  A mispointed run against a huge corpus

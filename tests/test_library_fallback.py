@@ -1,0 +1,262 @@
+"""Library-verdict escape hatch (library_fallback.py): schemas whose
+compilation records warnings validate through the ACTUAL jsonschema
+stack — differential against the REAL reference validator
+(tests/ref_runner.py subprocess) on shapes the compiler cannot
+express, plus plan proofs that compiled-clean schemas never enter the
+Python stage.
+"""
+
+import json
+import subprocess
+import sys
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_extended_json_schema_validator_spark.schemas import load_schemas
+from python_extended_json_schema_validator_spark.suite import (
+    run_suite,
+    validate_json_table,
+)
+
+RUNNER = os.path.join(os.path.dirname(__file__), "ref_runner.py")
+
+KEY_REASONS = {
+    "dup_unique", "dup_pk", "stale_fk", "dangling_fk", "stale_jk",
+    "dangling_jk", "fatal",
+}
+
+
+def normalize(per_file: dict) -> dict:
+    return {
+        f: sorted(r if r in KEY_REASONS else "schema_error" for r in reasons)
+        for f, reasons in per_file.items()
+    }
+
+
+def reference_run(schemas, docs, config=None):
+    payload = json.dumps(
+        {"schemas": schemas, "docs": [[n, d] for n, d in docs],
+         "config": config or {}}
+    )
+    proc = subprocess.run(
+        [sys.executable, RUNNER], input=payload, capture_output=True,
+        text=True, timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return json.loads(proc.stdout)
+
+
+D2020 = "https://json-schema.org/draft/2020-12/schema"
+D07 = "http://json-schema.org/draft-07/schema#"
+
+# items whose anyOf branches are OBJECT schemas with nested properties
+# — not scalar-expressible, so the compiler records a warning and only
+# partially enforces (the uncompiled residue: branch object shapes).
+# draft-07: the reference cannot load 2019-09/2020-12 schemas OFFLINE
+# (its meta-validation resolves the sub-meta documents over HTTP), so
+# the reference-subprocess differentials stick to single-file-meta
+# drafts; 2020-12 shapes are differentialed against jsonschema
+# directly below (the exact library the reference delegates to).
+WARNED_SCHEMA = {
+    "$schema": D07,
+    "$id": "lf://deep/1.0",
+    "type": "object",
+    "properties": {
+        "fid": {"type": "string"},
+        "rows": {
+            "type": "array",
+            "items": {
+                "anyOf": [
+                    {
+                        "type": "object",
+                        "properties": {
+                            "kind": {"const": "point"},
+                            "xy": {
+                                "type": "array",
+                                "items": {"type": "number"},
+                                "minItems": 2,
+                            },
+                        },
+                        "required": ["kind", "xy"],
+                    },
+                    {
+                        "type": "object",
+                        "properties": {
+                            "kind": {"const": "label"},
+                            "text": {"type": "string", "minLength": 1},
+                        },
+                        "required": ["kind", "text"],
+                    },
+                ]
+            },
+        },
+    },
+    "required": ["fid"],
+    "primary_key": ["fid"],
+}
+
+DOCS = [
+    ("ok_point", {"@schema": "lf://deep/1.0", "fid": "a",
+                  "rows": [{"kind": "point", "xy": [1, 2]}]}),
+    ("ok_label", {"@schema": "lf://deep/1.0", "fid": "b",
+                  "rows": [{"kind": "label", "text": "hi"}]}),
+    # fails ONLY the uncompiled residue: object branch internals
+    ("short_xy", {"@schema": "lf://deep/1.0", "fid": "c",
+                  "rows": [{"kind": "point", "xy": [1]}]}),
+    ("empty_text", {"@schema": "lf://deep/1.0", "fid": "d",
+                    "rows": [{"kind": "label", "text": ""}]}),
+    ("bad_kind", {"@schema": "lf://deep/1.0", "fid": "e",
+                  "rows": [{"kind": "circle", "r": 3}]}),
+    # fails a COMPILED check too (rows not an array)
+    ("not_array", {"@schema": "lf://deep/1.0", "fid": "f", "rows": 3}),
+    ("missing_fid", {"@schema": "lf://deep/1.0",
+                     "rows": [{"kind": "label", "text": "x"}]}),
+    # duplicate PK vs 'a' — but 'a2' also fails the residue, so the
+    # reference revokes it and registers NO key: no dup_pk may appear
+    ("revoked_dup", {"@schema": "lf://deep/1.0", "fid": "a",
+                     "rows": [{"kind": "point", "xy": [9]}]}),
+    # true duplicate: passes everything, collides with 'a'
+    ("true_dup", {"@schema": "lf://deep/1.0", "fid": "a",
+                  "rows": [{"kind": "point", "xy": [3, 4]}]}),
+]
+
+
+def test_schema_is_actually_warned():
+    registry, issues = load_schemas([("s.json", WARNED_SCHEMA)])
+    cs = registry["lf://deep/1.0"]
+    assert cs.warnings, "fixture must exercise the warned path"
+    assert cs.ref_cache is not None
+
+
+def test_fallback_matches_reference(spark):
+    res = run_suite(
+        spark, [("s.json", WARNED_SCHEMA)], DOCS, library_fallback=True
+    )
+    ref = reference_run([WARNED_SCHEMA], DOCS)
+    assert normalize(res.per_file) == normalize(ref)
+
+
+def test_without_fallback_underreports(spark):
+    # sanity that the fixture exercises real residue: compiled-only
+    # under-reports the object-branch internals
+    res = run_suite(
+        spark, [("s.json", WARNED_SCHEMA)], DOCS, library_fallback=False
+    )
+    ref = reference_run([WARNED_SCHEMA], DOCS)
+    assert normalize(res.per_file) != normalize(ref)
+    # specifically: short_xy's residue failure is invisible to the
+    # compiled battery
+    assert res.per_file["short_xy"] == []
+    assert ref["short_xy"] != []
+
+
+DYN_OVERRIDE = {
+    "$schema": D2020,
+    "$id": "lf://dyn/1.0",
+    "type": "object",
+    "$defs": {
+        "amt": {"$dynamicAnchor": "T", "type": "integer", "minimum": 0},
+    },
+    "properties": {
+        "v": {"$dynamicRef": "#T"},
+    },
+}
+
+# a SECOND loaded resource declaring the same $dynamicAnchor — an
+# override of the lexical target is POSSIBLE, so the compiler keeps
+# the lexical fallback but records the dynamic-residue warning
+DYN_OTHER = {
+    "$schema": D2020,
+    "$id": "lf://dyn/other",
+    "$dynamicAnchor": "T",
+    "type": "string",
+}
+
+DYN_DOCS = [
+    ("d_ok", {"@schema": "lf://dyn/1.0", "v": 3}),
+    ("d_neg", {"@schema": "lf://dyn/1.0", "v": -2}),
+    ("d_str", {"@schema": "lf://dyn/1.0", "v": "abcd"}),
+    ("d_null", {"@schema": "lf://dyn/1.0", "v": None}),
+]
+
+
+def test_dynamic_override_matches_jsonschema(spark):
+    # 2020-12 dynamic override — the reference subprocess cannot load
+    # 2020-12 offline (remote sub-meta resolution), so the oracle is
+    # the jsonschema library itself, built EXACTLY like the reference
+    # builds it (validator_for + FormatChecker)
+    import jsonschema
+
+    registry, _ = load_schemas(
+        [("s1.json", DYN_OVERRIDE), ("s2.json", DYN_OTHER)]
+    )
+    assert registry["lf://dyn/1.0"].warnings
+    res = run_suite(
+        spark,
+        [("s1.json", DYN_OVERRIDE), ("s2.json", DYN_OTHER)],
+        DYN_DOCS,
+        library_fallback=True,
+    )
+    v = jsonschema.validators.validator_for(DYN_OVERRIDE)(
+        DYN_OVERRIDE, format_checker=jsonschema.FormatChecker()
+    )
+    for name, doc in DYN_DOCS:
+        want = sorted(
+            e.validator if isinstance(e.validator, str) else "schema_error"
+            for e in v.iter_errors(doc)
+        )
+        assert res.per_file[name] == want, (name, res.per_file[name], want)
+
+
+CLEAN_SCHEMA = {
+    "$schema": D2020,
+    "$id": "lf://clean/1.0",
+    "type": "object",
+    "properties": {
+        "fid": {"type": "string"},
+        "n": {"type": "integer", "minimum": 0},
+    },
+    "required": ["fid"],
+    "primary_key": ["fid"],
+}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_clean_schema_never_enters_python(spark):
+    registry, issues = load_schemas([("s.json", CLEAN_SCHEMA)])
+    assert not registry["lf://clean/1.0"].warnings
+    rows = [("f1", json.dumps({"@schema": "lf://clean/1.0", "fid": "x",
+                               "n": -1}))]
+    df = spark.createDataFrame(rows, "file string, json string")
+    result, _ = validate_json_table(
+        spark, [("s.json", CLEAN_SCHEMA)], df, library_fallback=True
+    )
+    plan = _plan(result.row_viol["lf://clean/1.0"])
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    got = {(r.reason, r.row_id)
+           for r in result.row_viol["lf://clean/1.0"].collect()}
+    assert got == {("minimum", "f1")}
+
+
+def test_warned_schema_distributed_path(spark):
+    # the distributed (file, json-text) entry point takes the same
+    # escape hatch; the library stage shows up as exactly one
+    # ArrowEvalPython over __raw
+    rows = [(n, json.dumps(d)) for n, d in DOCS]
+    df = spark.createDataFrame(rows, "file string, json string")
+    result, registry = validate_json_table(
+        spark, [("s.json", WARNED_SCHEMA)], df, library_fallback=True
+    )
+    plan = _plan(result.row_viol["lf://deep/1.0"])
+    assert "ArrowEvalPython" in plan
+    per_file: dict = {n: [] for n, _ in DOCS}
+    for r in result.violations.collect():
+        per_file[r.row_id].append(r.reason)
+    ref = reference_run([WARNED_SCHEMA], DOCS)
+    assert normalize(per_file) == normalize(ref)

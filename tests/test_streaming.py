@@ -30,9 +30,15 @@ def test_foreach_batch_validation(spark):
 
         out = spark.read.parquet(sink)
         got = {(r.constraint_id, r.reason, r.row_id) for r in out.collect()}
-        # r2 with v=-3 fails pass 1 → revoked from PK world, so the
-        # surviving r2 is unique: only the row check fires
-        assert got == {("check:v:minimum", "minimum", "r2")}
+        # r2 with v=-3 fails pass 1 → revoked from the PK WORLD (no FK
+        # would match it), but rows sharing a row_id are one doc's
+        # repeated registrations under the round-5 registration-time
+        # semantics ([verified] reference probes) — the second r2
+        # registration always errors, revoked or not
+        assert got == {
+            ("check:v:minimum", "minimum", "r2"),
+            ("pk:rid", "dup_pk", "r2"),
+        }
         assert out.select("batch_id").distinct().count() == 1
 
         # second increment: a new file with a PK duplicate of r1
@@ -45,7 +51,8 @@ def test_foreach_batch_validation(spark):
         # within-batch dedup sees only the new file → no dup flagged
         # (cross-batch uniqueness is the manifest/key-dim path, as in
         # batch resume) — the new batch contributes no violations
-        assert out2.count() == 1
+        # beyond batch 0's two
+        assert out2.count() == 2
 
 
 def test_streaming_dedup_state(spark):
