@@ -1027,6 +1027,20 @@ def q_combinator_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "required": ["lg"],
                 "additionalProperties": False,
             }},
+            # round-5 NESTED arrays: scalar + combinator keywords TWO
+            # array levels deep ("ngrams[].ls[]") via the flat-filtered
+            # leaf collection (docshred.flat_instances)
+            "ngrams": {"items": {
+                "type": "object",
+                "properties": {"ls": {
+                    "type": "array",
+                    "items": {
+                        "type": "integer",
+                        "minimum": 2,
+                        "anyOf": [{"maximum": 8}, {"multipleOf": 3}],
+                    },
+                }},
+            }},
         },
         "dependencies": {"alt_src": ["alt_lang"]},
     }
@@ -1068,6 +1082,14 @@ def q_combinator_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ).alias("xt"),
                     ),
                 ).alias("recs"),
+                F.array(
+                    F.struct(
+                        F.transform(words, F.length).alias("ls")
+                    ),
+                    F.struct(
+                        F.array(F.col("n_chars") % 12).alias("ls")
+                    ),
+                ).alias("ngrams"),
                 F.struct(F.col("n_chars").alias("nc")).alias("meta"),
                 F.when(F.col("n_chars") % 3 == 0, F.col("source")).alias(
                     "alt_src"
@@ -1276,6 +1298,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'check:recs[]#keys:additionalProperties',
                    'additionalProperties', rid
             FROM d WHERE n_chars % 5 = 0
+            UNION ALL
+            SELECT 'check:ngrams[].ls[]:minimum', 'minimum', rid
+            FROM d WHERE len(list_filter(
+                list_append(list_transform(words, w -> length(w)),
+                            n_chars % 12),
+                x -> x < 2)) > 0
+            UNION ALL
+            SELECT 'check:ngrams[].ls[]:anyOf', 'anyOf', rid
+            FROM d WHERE len(list_filter(
+                list_append(list_transform(words, w -> length(w)),
+                            n_chars % 12),
+                x -> NOT (x <= 8 OR x % 3 = 0))) > 0
         """,
         "drift_check": """
             WITH cur AS (
