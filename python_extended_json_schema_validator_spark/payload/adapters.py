@@ -87,9 +87,58 @@ def soundfile_decode(buf: Optional[bytes]) -> Tuple[int, np.ndarray]:
     return int(rate), data
 
 
+def wave_decode(buf: Optional[bytes]) -> Tuple[int, np.ndarray]:
+    """Stdlib-``wave`` backed decode for UNCOMPRESSED RIFF/WAVE PCM —
+    a REAL container format with no external dependency, so one
+    real-codec path runs in every environment (round-5 item; the
+    sandbox lacks Pillow/soundfile).  8/16/32-bit integer PCM →
+    (rate, mono float64 in [-1, 1]); raises ValueError on malformed
+    input (the audio_features contract)."""
+    import wave as _wave
+
+    if not buf:
+        raise ValueError("empty clip")
+    try:
+        with _wave.open(io.BytesIO(bytes(buf)), "rb") as w:
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            nframes = w.getnframes()
+            raw = w.readframes(nframes)
+    except (_wave.Error, EOFError, OSError) as e:
+        raise ValueError(f"undecodable clip: {e}")
+    if rate == 0 or nframes == 0 or nch == 0:
+        raise ValueError("empty/zero-rate clip")
+    if width == 1:
+        # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if nch > 1:
+        x = x[: (x.size // nch) * nch].reshape(-1, nch).mean(axis=1)
+    if x.size == 0:
+        raise ValueError("empty clip")
+    return int(rate), x
+
+
+def wave_or_fake_decode(buf: Optional[bytes]) -> Tuple[int, np.ndarray]:
+    """Container-dispatched fallback decoder: RIFF/WAVE magic → the
+    stdlib ``wave`` parser, anything else → the deterministic FAUD
+    fake — so pipelines mix real WAV clips and synthetic fixtures
+    through ONE seam without soundfile installed."""
+    if buf and bytes(buf[:4]) == b"RIFF":
+        return wave_decode(buf)
+    return fake_audio_decode(buf)
+
+
 def auto_image_decoder() -> Callable:
     return pil_decode if pil_available() else fake_image_codec.decode
 
 
 def auto_audio_decoder() -> Callable:
-    return soundfile_decode if soundfile_available() else fake_audio_decode
+    return soundfile_decode if soundfile_available() else wave_or_fake_decode

@@ -33,11 +33,21 @@ def _table_report_df(
     result: ValidationResult,
     table: str,
     annotations: Optional[Dict[str, str]] = None,
+    doc_json_col: Optional[str] = None,
+    annotation_path: Optional[str] = None,
 ) -> DataFrame:
     """One table's report entries as a LAZY DataFrame ``(file,
     annotations map<string,string>, errors array<struct<reason,
-    constraint_id, observed_value, path>>)`` — one narrow
-    groupBy(row_id) + left join, no driver materialization."""
+    constraint_id, observed_value, path>>[, json, annot])`` — one
+    narrow groupBy(row_id) + left join, no driver materialization.
+
+    ``doc_json_col``: column holding each row's document JSON text
+    (``__raw`` on shredded tables) — embedded as ``json``, the
+    distributed twin of ``--verbose-report`` (reference
+    __main__.py:421-424).  ``annotation_path``: a ``$.a.b`` JSONPath
+    extracted per document into ``annot`` (⇔ --annotation,
+    __main__.py:418-421) via JVM get_json_object — string-rendered
+    (objects/arrays as JSON text, scalars bare)."""
     df = result.tables[table]
     spec = result.specs[table]
     rid = F.col(spec.row_id).cast("string").alias("file")
@@ -61,9 +71,20 @@ def _table_report_df(
         if ann_pairs
         else F.lit(None).cast("map<string,string>")
     )
-    return df.select(rid, ann_col.alias("annotations")).join(
-        viol, "file", "left"
-    )
+    cols = [rid, ann_col.alias("annotations")]
+    if doc_json_col is not None:
+        raw = (
+            F.col(doc_json_col)
+            if doc_json_col in df.columns
+            else F.lit(None).cast("string")
+        )
+        cols.append(raw.alias("json"))
+        if annotation_path is not None:
+            jp = annotation_path
+            if not jp.startswith("$"):
+                jp = "$." + jp
+            cols.append(F.get_json_object(raw, jp).alias("annot"))
+    return df.select(*cols).join(viol, "file", "left")
 
 
 def _has_errors(col: str = "errors"):
@@ -74,23 +95,42 @@ def report_df(
     result: ValidationResult,
     error_report: bool = False,
     annotations: Optional[Dict[str, str]] = None,
+    doc_json_col: Optional[str] = None,
+    annotation_path: Optional[str] = None,
 ) -> DataFrame:
     """The SCALE path for reports: every table's entries as ONE lazy
-    DataFrame ``(table, file, annotations, errors)`` — the distributed
-    analogue of ``json_report`` (which is built on the same per-table
-    frames, so the shapes agree by construction).  At 10^12 rows write
-    this to a table; nothing is collected to the driver."""
+    DataFrame ``(table, file, annotations, errors[, json, annot])`` —
+    the distributed analogue of ``json_report`` (which is built on the
+    same per-table frames, so the shapes agree by construction).
+    ``doc_json_col``/``annotation_path`` make the scale report
+    feature-complete vs the driver path's verbose mode (document
+    embedding + per-doc annotation, SuiteResult.report(quiet=False,
+    annotation=...)) — parity-tested entry-for-entry in
+    tests/test_sources_dispatch_report.py.  At 10^12 rows write this
+    to a table; nothing is collected to the driver."""
+    extra = (
+        (["json", "annot"] if annotation_path is not None else ["json"])
+        if doc_json_col is not None
+        else []
+    )
     frames = [
-        _table_report_df(result, table, annotations).select(
-            F.lit(table).alias("table"), "file", "annotations", "errors"
+        _table_report_df(
+            result, table, annotations, doc_json_col, annotation_path
+        ).select(
+            F.lit(table).alias("table"), "file", "annotations", *extra,
+            "errors",
         )
         for table in result.tables
     ]
     if not frames:
+        extra_ddl = "".join(
+            f", {c} string" for c in extra
+        )
         return result.violations.sparkSession.createDataFrame(
             [],
-            "table string, file string, annotations map<string,string>, "
-            "errors array<struct<reason:string, constraint_id:string, "
+            "table string, file string, annotations map<string,string>"
+            + extra_ddl
+            + ", errors array<struct<reason:string, constraint_id:string, "
             "observed_value:string, path:string>>",
         )
     out = frames[0]

@@ -351,6 +351,7 @@ def validate_json_table(
     engine_config: Optional[EngineConfig] = None,
     uri_col: Optional[str] = None,
     library_fallback: bool = False,
+    keep_raw: bool = False,
 ):
     """The DISTRIBUTED document-validation entry point: a DataFrame of
     ``(file, json text)`` rows — a 10^12-row table of one-JSON-per-row
@@ -407,7 +408,11 @@ def validate_json_table(
     tables = {
         uri: shred_json_strings(
             tagged.where(F.col("__uri") == uri), registry[uri],
-            keep_raw=library_fallback and bool(registry[uri].warnings),
+            # keep_raw=True: carry the document text as __raw on every
+            # table (verbose report_df embedding); otherwise only
+            # warned schemas carry it (library-fallback input)
+            keep_raw=keep_raw
+            or (library_fallback and bool(registry[uri].warnings)),
         )
         for uri in registry
     }

@@ -195,3 +195,76 @@ def test_report_df_matches_json_report(spark):
         (e["table"], e["file"])
         for e in report_mod.json_report(res, error_report=True)
     } == {("t", "r2"), ("t", "r3"), ("u", "u2")}
+
+
+def test_report_df_verbose_parity_with_driver_report(spark):
+    """Round-5 item: the DISTRIBUTED report (report_df over
+    validate_json_table's shredded tables, doc_json_col='__raw' +
+    annotation_path) is entry-for-entry equal to the driver path's
+    verbose report (SuiteResult.report(quiet=False, docs=...,
+    annotation=...)) including the `json` document embedding and the
+    `annot` key — the scale report is feature-complete vs the CLI."""
+    import json as _json
+
+    from python_extended_json_schema_validator_spark.suite import (
+        run_suite,
+        validate_json_table,
+    )
+
+    schema = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "rep://v/1.0",
+        "type": "object",
+        "required": ["rid"],
+        "properties": {
+            "rid": {"type": "string"},
+            "n": {"type": "integer", "minimum": 0},
+            "something": {
+                "type": "object",
+                "properties": {"ref_local_id": {"type": "string"}},
+            },
+        },
+    }
+    docs = [
+        ("f1", {"@schema": "rep://v/1.0", "rid": "a", "n": 3,
+                "something": {"ref_local_id": "A1"}}),
+        ("f2", {"@schema": "rep://v/1.0", "rid": "b", "n": -2}),
+        ("f3", {"@schema": "rep://v/1.0", "n": 1,
+                "something": {"ref_local_id": "C3"}}),
+    ]
+    # driver path: verbose report with embedded docs + annotation
+    res = run_suite(spark, [("s.json", schema)], docs)
+    driver = res.report(
+        quiet=False,
+        docs={f: d for f, d in docs},
+        annotation="$.something.ref_local_id",
+    )
+    driver_docs = {e["file"]: e for e in driver if "schema" not in e}
+
+    # distributed path: same docs as a (file, json) table
+    rows = [(n, _json.dumps(d)) for n, d in docs]
+    df = spark.createDataFrame(rows, "file string, json string")
+    result, registry = validate_json_table(
+        spark, [("s.json", schema)], df, keep_raw=True
+    )
+    rdf = report_mod.report_df(
+        result,
+        doc_json_col="__raw",
+        annotation_path="$.something.ref_local_id",
+    )
+    assert [f.name for f in rdf.schema.fields] == [
+        "table", "file", "annotations", "json", "annot", "errors"
+    ]
+    dist = {r.file: r for r in rdf.collect()}
+
+    assert set(dist) == set(driver_docs) == {"f1", "f2", "f3"}
+    for fname, want in driver_docs.items():
+        got = dist[fname]
+        # errors: same reason multiset and paths shape
+        assert sorted(e.reason for e in (got.errors or [])) == sorted(
+            e["reason"] for e in want["errors"]
+        )
+        # json: embedded document contents equal (verbose mode)
+        assert _json.loads(got.json) == want["json"]
+        # annot: same extraction, absent ⇔ NULL
+        assert got.annot == want.get("annot"), (fname, got.annot, want)
