@@ -151,14 +151,19 @@ def test_wave_or_fake_dispatch(spark):
     assert rows["a3"]["sample_rate"] is None  # junk → nulled, task lives
 
 
-def test_soundfile_decode_roundtrip():
-    sf = pytest.importorskip("soundfile")
-    import io
-
+def test_audio_decode_real_container_any_backend():
+    """The WAV container decodes through WHICHEVER real backend this
+    environment has — soundfile when installed, the stdlib wave parser
+    otherwise — so this test never skips (round 5: the real-codec
+    seam is exercised in every environment)."""
     x = (0.25 * np.sin(np.linspace(0, 40, 4000))).astype(np.float64)
-    bio = io.BytesIO()
-    sf.write(bio, x, 8000, format="WAV")
-    rate, got = adapters.soundfile_decode(bio.getvalue())
+    wav = _make_wav(x, 8000)
+    decoder = adapters.auto_audio_decoder()
+    rate, got = decoder(wav)
     assert rate == 8000 and got.size == 4000
-    with pytest.raises(ValueError):
-        adapters.soundfile_decode(b"not audio")
+    assert np.max(np.abs(got - x)) < 1e-3
+    if adapters.soundfile_available():
+        rate2, got2 = adapters.soundfile_decode(wav)
+        assert rate2 == 8000 and got2.size == 4000
+        with pytest.raises(ValueError):
+            adapters.soundfile_decode(b"not audio")
