@@ -22,21 +22,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# extras: round-2/3 operators, timed separately so `value` stays
-# comparable across rounds (the flagship suite list is unchanged)
+# extras: secondary operators, timed separately (per-query numbers in
+# `extra_queries` stay round-over-round comparable)
 EXTRA_QUERIES = [
     "schema_ingest",
     "key_array_fanout",
     "ann_lsh",
-    "simhash_pairs",
-    "combinator_checks",
     "drift_check",
     "ann_ivf",
     "repetition_stats",
     "image_drift",
-    "dedup_components",
 ]
 
+# flagship suite: RE-BASELINED round 5 (documented in BASELINE.md) —
+# combinator_checks / simhash_pairs / dedup_components promoted from
+# extras so regressions in the heaviest round-3/4 operators move the
+# headline `value`.  r04 headline (11 queries) ≈ r05 `value` minus the
+# three promoted rows; per-query timings remain directly comparable.
 BENCH_QUERIES = [
     "image_suite",
     "row_checks",
@@ -49,6 +51,9 @@ BENCH_QUERIES = [
     "missing_member",
     "partition_verdicts",
     "stats_profile",
+    "combinator_checks",
+    "simhash_pairs",
+    "dedup_components",
 ]
 
 
@@ -135,6 +140,14 @@ def main() -> int:
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             scaling = json.load(f)
+    # ≥1M-doc clustering-path evidence (tools/components_bench.py):
+    # iterations-to-convergence + per-iteration wall at 1.5M nodes
+    components = None
+    comp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_COMPONENTS.json")
+    if os.path.exists(comp_path):
+        with open(comp_path) as f:
+            components = json.load(f)
     print(
         json.dumps(
             {
@@ -148,6 +161,7 @@ def main() -> int:
                 "n_images": n_images,
                 "images_per_sec": images_per_sec,
                 "scaling_run": scaling,
+                "components_run": components,
                 "violation_rows": rows,
             }
         )

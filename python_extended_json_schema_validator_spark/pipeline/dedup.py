@@ -162,6 +162,7 @@ def connected_components(
     id_col: str = "id",
     max_iter: int = 25,
     strict: bool = True,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERING: connected components over a
     candidate-pair graph by min-label propagation — the
@@ -189,7 +190,14 @@ def connected_components(
     possibly-wrong labels; ``strict=False`` keeps the partial labels
     (each still a valid COARSENING: never merges two true components)
     and logs a warning for callers that prefer progress over
-    exactness."""
+    exactness.
+
+    ``stats``: a dict the call fills with per-iteration evidence —
+    ``iterations`` (propagation passes run), ``iter_secs``
+    (wall-clock per pass, including the convergence probe's
+    limit(1) count), ``converged`` — consumed by
+    tools/components_bench.py for the ≥1M-doc scale record."""
+    import time as _time
     sym = edges.select(
         F.col("src").alias("s"), F.col("dst").alias("d")
     ).unionByName(
@@ -225,8 +233,11 @@ def connected_components(
         return new, moved
 
     changed = 1
+    iter_secs = []
     for _ in range(max_iter):
+        t0 = _time.time()
         labels, changed = _propagate(labels)
+        iter_secs.append(_time.time() - t0)
         if changed == 0:
             break
     if changed != 0:
@@ -236,6 +247,10 @@ def connected_components(
         # no-change probe decides (round-4 review: a chain that
         # converges exactly on iteration max_iter must not raise)
         _, changed = _propagate(labels)
+    if stats is not None:
+        stats["iterations"] = len(iter_secs)
+        stats["iter_secs"] = [round(s, 2) for s in iter_secs]
+        stats["converged"] = changed == 0
     if changed != 0:
         # genuinely unconverged (VERDICT/ADVICE round-3: unconverged
         # labels must never be mistaken for results)

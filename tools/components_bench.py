@@ -1,0 +1,160 @@
+"""Scale evidence for the CLUSTERING path (round-5 item 4): run
+connected_components and simhash pair generation at ≥1M docs,
+recording iterations-to-convergence, per-iteration wall, and
+throughput — the strict-convergence raise must never fire.
+
+Graph shape mirrors a real near-dup candidate graph: mostly tiny
+clusters (pairs/stars from banded LSH joins) plus a controlled band
+of longer chains (the worst case for label propagation — components
+collapse one hop per iteration along a chain).
+
+SimHash runs over synthetic 12-token texts derived from the id by
+column algebra (no corpus needed); duplicate pairs are injected every
+97th doc (same token stream as its neighbor) so the pair stage has
+real work to verify.
+
+Run: python3 tools/components_bench.py [--nodes 1500000] [--docs 1500000]
+Writes BENCH_COMPONENTS.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from python_extended_json_schema_validator_spark.pipeline import dedup
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus * 4))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def components_at_scale(spark: SparkSession, n_nodes: int) -> dict:
+    """Label propagation over n_nodes with ~34% of nodes in small
+    stars (size ≤ 4) and 1% in chains of length 8 (diameter driver)."""
+    ids = spark.range(0, n_nodes, 1, 64).select(F.col("id"))
+    # stars: nodes with id%10 in (1,2,3) attach to their decade head
+    stars = (
+        spark.range(0, n_nodes, 1, 64)
+        .where((F.col("id") % 10).isin(1, 2, 3))
+        .select(
+            F.col("id").alias("src"),
+            (F.col("id") - (F.col("id") % 10)).alias("dst"),
+        )
+    )
+    # chains: in each block of 800, ids 0..7 form a path 0-1-2-...-7
+    chains = (
+        spark.range(0, n_nodes, 1, 64)
+        .where(((F.col("id") % 800) < 7))
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    edges = stars.unionByName(chains)
+    stats: dict = {}
+    t0 = time.time()
+    comp = dedup.connected_components(
+        edges, ids, max_iter=25, strict=True, stats=stats
+    )
+    # one full materialization: count of non-singleton components
+    n_clustered = (
+        comp.groupBy("component").count().where(F.col("count") > 1).count()
+    )
+    wall = time.time() - t0
+    return {
+        "n_nodes": n_nodes,
+        "n_edges": edges.count(),
+        "n_multi_components": n_clustered,
+        "wall_sec": round(wall, 2),
+        "iterations": stats["iterations"],
+        "iter_secs": stats["iter_secs"],
+        "converged": stats["converged"],
+        "nodes_per_sec": round(n_nodes / wall, 1),
+    }
+
+
+def simhash_at_scale(spark: SparkSession, n_docs: int,
+                     positions: int = 64) -> dict:
+    """simhash signatures + pigeonhole pair generation over n_docs
+    synthetic 12-token texts; every 97th doc repeats its neighbor's
+    token stream (true near-dup pairs to find).
+
+    positions=64 is the SCALE setting: with max_hamming=2 the
+    pigeonhole blocks are ~21 bits → ~2M buckets, keeping candidate
+    counts linear at millions of docs.  A 32-bit signature at 1.5M
+    docs has only ~2k buckets per block → ~500M candidate pairs —
+    quadratic blowup, exactly what simhash_near_duplicates' docstring
+    warns the `positions` knob exists for."""
+    base = F.when(
+        F.col("id") % 97 == 0, F.col("id") + 1
+    ).otherwise(F.col("id"))
+    toks = [
+        F.concat(F.lit(f"w{j}_"),
+                 ((base * (j + 3)) % 500000).cast("string"))
+        for j in range(12)
+    ]
+    docs = spark.range(0, n_docs, 1, 64).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat_ws(" ", *toks).alias("text"),
+    )
+    t0 = time.time()
+    pairs = dedup.simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=2, positions=positions
+    )
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    return {
+        "n_docs": n_docs,
+        "positions": positions,
+        "n_pairs": n_pairs,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=1_500_000)
+    ap.add_argument("--docs", type=int, default=1_500_000)
+    ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--only", choices=["components", "simhash", "both"],
+                    default="both")
+    args = ap.parse_args()
+
+    spark = build_session(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    out_path = f"{REPO}/BENCH_COMPONENTS.json"
+    result = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            result = json.load(f)
+    result["metric"] = "clustering-path scale evidence (components + simhash)"
+    result["cpus"] = args.cpus
+    if args.only in ("components", "both"):
+        result["components"] = components_at_scale(spark, args.nodes)
+    if args.only in ("simhash", "both"):
+        result["simhash"] = simhash_at_scale(spark, args.docs)
+    print(json.dumps(result))
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,11 +24,73 @@ from python_extended_json_schema_validator_spark import KeySpec, TableSpec
 from python_extended_json_schema_validator_spark.checks import uniqueness
 
 
+def element_battery_skew(spark, n_docs: int, hot_len: int) -> dict:
+    """Round-5 item 7: does the per-element forall battery straggle
+    when ONE document carries a pathologically long array (hot_len
+    elements) among n_docs normal 8-element docs?  The battery is
+    map-only (no shuffle), so the hot row only lengthens its own
+    task by the per-element work — measured as the wall ratio of the
+    skewed run over the uniform run, target ≤ 2×."""
+    from python_extended_json_schema_validator_spark.checks import row_checks
+    from python_extended_json_schema_validator_spark.spec import ColumnCheck
+
+    def docs(with_hot: bool):
+        n_el = (
+            F.when(F.col("id") == 0, F.lit(hot_len)).otherwise(F.lit(8))
+            if with_hot
+            else F.lit(8)
+        )
+        # element-literal array column, exactly the shredder's shape
+        arr = F.transform(
+            F.sequence(F.lit(1), n_el),
+            lambda i: ((F.col("id") + i) % 1000).cast("string"),
+        )
+        return spark.range(0, n_docs, 1, 32).select(
+            F.col("id").cast("string").alias("__file"),
+            arr.alias("vals[]"),
+        )
+
+    checks = [
+        ColumnCheck(
+            column="vals[]",
+            element_checks=(("minimum", 0), ("maximum", 998)),
+            element_combinators=(
+                ("anyOf", ((("maximum", 500),), (("multipleOf", 3),))),
+            ),
+        )
+    ]
+    battery = row_checks.compile_battery(checks, json_mode=True)
+    # warmup: codegen/JIT outside the timed region
+    row_checks.row_violations(
+        docs(False), F.col("__file"), battery
+    ).count()
+    out = {}
+    for label, with_hot in (("uniform", False), ("skewed", True)):
+        df = docs(with_hot).persist()
+        df.count()
+        t0 = time.time()
+        n = row_checks.row_violations(df, F.col("__file"), battery).count()
+        out[f"{label}_sec"] = round(time.time() - t0, 2)
+        out[f"{label}_violations"] = n
+        df.unpersist()
+    out["ratio"] = round(out["skewed_sec"] / out["uniform_sec"], 2)
+    out["n_docs"] = n_docs
+    out["hot_len"] = hot_len
+    out["target_ratio"] = 2.0
+    out["pass"] = out["ratio"] <= 2.0
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=5_000_000)
     ap.add_argument("--skew", type=float, default=0.2)
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--element", action="store_true",
+                    help="run the per-element battery hot-array case "
+                    "instead of the dedup-strategy comparison")
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--hot-len", type=int, default=100_000)
     args = ap.parse_args()
 
     spark = (
@@ -39,6 +101,13 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.element:
+        out = element_battery_skew(spark, args.docs, args.hot_len)
+        out["metric"] = "per-element battery hot-array straggler ratio"
+        out["cpus"] = args.cpus
+        print(json.dumps(out))
+        return
 
     # one hot key = `skew` of rows, the rest spread over 1M keys
     df = (
