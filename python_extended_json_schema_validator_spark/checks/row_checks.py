@@ -206,6 +206,18 @@ _NON_VACUOUS = frozenset({"required", "dependencies", "dependentRequired"})
 
 
 def _lit(v) -> Column:
+    """F.lit, safe for integers beyond the 64-bit long range (schema
+    authors CAN write {"minimum": 2**70} — F.lit would throw, crashing
+    the whole compilation): such values ride as doubles (±inf past the
+    double range), matching the double comparison legs they feed; the
+    decimal legs own exactness for big-int enum/multipleOf."""
+    if isinstance(v, int) and not isinstance(v, bool) and abs(v) > _LONG_MAX:
+        try:
+            return F.lit(float(v))
+        except OverflowError:
+            import math
+
+            return F.lit(math.inf if v > 0 else -math.inf)
     return F.lit(v)
 
 
@@ -281,6 +293,20 @@ def _leaf_reason(kw: str, never_as: str) -> str:
     return kw
 
 
+_LONG_MAX = 2**63 - 1
+
+
+def _dec_lit(v: int) -> Column:
+    """Integer literal as decimal(38,0) — via a STRING cast when it
+    exceeds the 64-bit long range (F.lit would throw)."""
+    if abs(v) <= _LONG_MAX:
+        return F.lit(v).cast("decimal(38,0)")
+    return F.lit(str(v)).cast("decimal(38,0)")
+
+
+_num_lit = _lit  # numeric literal for the DOUBLE comparison legs
+
+
 def _enum_pred(c: Column, values) -> Column:
     """jsonschema enum/const equality over canonical literals: numbers
     compare NUMERICALLY (2.0 matches enum [1,2,3]; 1 matches 1.0)
@@ -311,11 +337,11 @@ def _enum_pred(c: Column, values) -> Column:
         dec = c.try_cast("decimal(38,0)")
         dec_members = [m for m in int_members if abs(m) < 10**38]
         if dec_members:
+            # members ride as STRING literals cast to decimal — F.lit
+            # on a Python int beyond the 64-bit long range would throw
             pred = pred | (
-                digit
-                & dec.isNotNull()
-                & dec.isin(*[F.lit(m).cast("decimal(38,0)")
-                             for m in dec_members])
+                digit & dec.isNotNull()
+                & dec.isin(*[_dec_lit(m) for m in dec_members])
             )
         int_doubles = []
         for m in int_members:
@@ -414,17 +440,17 @@ def _scalar_kw_pred(
             # Python-UDF checkers can't run inside HOF lambdas — the
             # compiler drops them with a warning; pass defensively here
         elif kw == "minimum":
-            ok = ok & numk(num >= F.lit(arg))
+            ok = ok & numk(num >= _num_lit(arg))
         elif kw == "maximum":
-            ok = ok & numk(num <= F.lit(arg))
+            ok = ok & numk(num <= _num_lit(arg))
         elif kw in ("exclusiveMinimum", "exclusiveMinimum4"):
             # *4 = the draft-03/04 boolean-modifier form (strict bound
             # REPORTED under `minimum` — see _leaf_reason)
-            ok = ok & numk(num > F.lit(arg))
+            ok = ok & numk(num > _num_lit(arg))
         elif kw in ("exclusiveMaximum", "exclusiveMaximum4"):
-            ok = ok & numk(num < F.lit(arg))
+            ok = ok & numk(num < _num_lit(arg))
         elif kw in ("multipleOf", "divisibleBy"):
-            p = num % F.lit(arg) == 0
+            p = num % _num_lit(arg) == 0
             if literal_mode and isinstance(arg, int) and not isinstance(arg, bool):
                 # jsonschema does EXACT int % int for integer instances
                 # — double arithmetic diverges past 2^53 (e.g.
@@ -433,7 +459,7 @@ def _scalar_kw_pred(
                 dec = value.try_cast("decimal(38,0)")
                 p = F.when(
                     value.rlike("^-?[0-9]+$") & dec.isNotNull(),
-                    dec % F.lit(arg) == 0,
+                    dec % _dec_lit(arg) == 0,
                 ).otherwise(p)
             ok = ok & numk(p)
         elif kw == "never":
@@ -599,13 +625,13 @@ def compile_check(
     if check.multiple_of is not None:
         m = check.multiple_of
         if json_mode:
-            pred = num % _lit(m) == 0
+            pred = num % _num_lit(m) == 0
             if isinstance(m, int) and not isinstance(m, bool):
                 # exact integer semantics (see _scalar_kw_pred)
                 dec = c.try_cast("decimal(38,0)")
                 pred = F.when(
                     c.rlike("^-?[0-9]+$") & dec.isNotNull(),
-                    dec % _lit(m) == 0,
+                    dec % _dec_lit(m) == 0,
                 ).otherwise(pred)
             add(check.multiple_of_reason, _numk(pred))
         else:

@@ -74,6 +74,35 @@ def test_enum_const_bigint_exact(spark):
         assert mine[name] == want, (name, mine[name], want)
 
 
+def test_huge_int_literals_compile_and_compare(spark):
+    # schema literals beyond the 64-bit long range must not crash
+    # compilation (F.lit throws on them) and the decimal legs stay
+    # exact where jsonschema is exact
+    big = 2**64 + 3
+    schema = {
+        "$schema": D2020,
+        "$id": "adv://huge/1.0",
+        "type": "object",
+        "properties": {
+            "a": {"enum": [big]},
+            "b": {"multipleOf": big},
+            "c": {"minimum": 2**70},
+            "d": {"maximum": 10**309},  # beyond double range → +inf leg
+        },
+    }
+    docs = [
+        ("hit", {"a": big, "b": big * 3, "c": 2**70 + 5, "d": 1}),
+        ("miss", {"a": big - 1, "b": big + 1, "c": 5}),
+        ("float_c", {"c": 1e22}),
+    ]
+    mine, issues = _reasons(spark, schema, "adv://huge/1.0", docs)
+    assert [i for i in issues if i.severity == "error"] == [], issues
+    v = jsonschema.validators.validator_for(schema)(schema)
+    for name, doc in docs:
+        want = {e.validator for e in v.iter_errors(doc)}
+        assert mine[name] == want, (name, mine[name], want)
+
+
 def test_anchor_in_enum_data_not_resolved(spark):
     # {"$anchor": "adat"} lives inside enum DATA — jsonschema's
     # referencing would leave '#adat' unresolved; the engine must not
