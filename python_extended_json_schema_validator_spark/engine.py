@@ -66,6 +66,25 @@ class EngineConfig:
     # handful of phash values, that's when 'window' would OOM/spill
     # while 'agg' keeps hash-agg state bounded).
     dedup_strategy: str = "window"
+    # Key-holder semantics under dup errors ([verified] round-5
+    # reference probes: a doc whose ONLY error is a duplicate key is
+    # forget()-ten too, de-registering its OTHER keys — which can
+    # re-enable later docs' registrations, a sequential cascade):
+    # - 'oneshot' (default): holders = rows passing the ROW checks;
+    #   dup errors do not revoke a row's other keys.  One window pass,
+    #   exact whenever no row both duplicates one key and holds
+    #   another — the overwhelmingly common shape, and the scale
+    #   default.
+    # - 'sequential': reference-exact clean-set fixpoint (engine
+    #   _sequential_clean): iterate holders ↔ dups to convergence
+    #   (alternating over/under approximations of the reference's
+    #   greedy order), O(cascade depth) narrow (row_id,key) joins.
+    #   run_suite / validate_json_table default to this — the
+    #   reference-CLI parity surface.
+    forget_mode: str = "oneshot"
+    # iteration cap for the sequential fixpoint (strict raise beyond —
+    # unconverged holder sets must never be mistaken for results)
+    forget_max_iter: int = 25
 
 
 @dataclass
@@ -178,6 +197,105 @@ class ValidationEngine:
             out.append(p.dimension(spark))
         return out
 
+    def _sequential_clean(
+        self, spark: SparkSession, name: str, df: DataFrame,
+        spec: TableSpec, struct_ok,
+    ) -> Optional[DataFrame]:
+        """The reference's CLEAN SET C* under sequential
+        register-then-forget semantics ([verified] round-5 probes):
+        X ∈ C* ⟺ X passes the row checks, has no self-duplicate
+        registration, matches no shadow-provider key, and no EARLIER
+        C* member holds any of X's unique/PK keys.  Self-referential
+        through the order — computed by fixpoint iteration: starting
+        from all struct-ok rows, each round recomputes dups against
+        the current set; the iterates alternate over/under
+        approximations of C* (more holders → more dups → fewer
+        members → fewer holders ...), so equality of consecutive
+        iterates IS convergence, reached in O(cascade depth) rounds.
+
+        Scale shape: every frame is (row_id[, spec ordinal, key])
+        strings — one groupBy + one join per round, localCheckpoint
+        keeps lineage flat, convergence is two limit(1) anti-join
+        probes.  Cascades are register-order chains across DISTINCT
+        keys; like near-dup clusters they are shallow in practice.
+
+        Returns the C* row_id frame (column ``__row_id``), or None
+        when the table declares no unique/PK keys (no dup revocation
+        possible — C* = struct-ok rows)."""
+        from pyspark.sql import functions as F
+
+        keyspecs = list(spec.unique) + list(spec.primary_keys)
+        if not keyspecs:
+            return None
+        regs = None
+        for i, ks in enumerate(keyspecs):
+            k = uniqueness.keyed(df, spec, ks).select(
+                F.lit(i).alias("__spec"), "__key", "__row_id"
+            )
+            regs = k if regs is None else regs.unionByName(k)
+        regs = regs.localCheckpoint()
+
+        S = (
+            df.where(struct_ok)
+            .select(F.col(spec.row_id).cast("string").alias("__row_id"))
+            .distinct()
+        )
+        # a self-duplicate registration errors unconditionally → the
+        # row is forgotten (probe F: revoked self-dups still error)
+        selfdup = (
+            regs.groupBy("__spec", "__key", "__row_id")
+            .count()
+            .where(F.col("count") > 1)
+            .select("__row_id")
+            .distinct()
+        )
+        S = S.join(selfdup, "__row_id", "left_anti")
+        # shadow-provider keys are pre-registered before any doc: any
+        # match errors → forgotten
+        shadow_ids = None
+        for ks in spec.primary_keys:
+            for pdim in self._provider_shadow(spark, name, ks.name):
+                hit = (
+                    uniqueness.keyed(df, spec, ks)
+                    .join(F.broadcast(pdim), "__key", "left_semi")
+                    .select("__row_id")
+                )
+                shadow_ids = (
+                    hit if shadow_ids is None
+                    else shadow_ids.unionByName(hit)
+                )
+        if shadow_ids is not None:
+            S = S.join(shadow_ids.distinct(), "__row_id", "left_anti")
+        S = S.localCheckpoint()
+
+        C = S
+        for _ in range(self.config.forget_max_iter):
+            first = (
+                regs.join(C, "__row_id", "left_semi")
+                .groupBy("__spec", "__key")
+                .agg(F.min("__row_id").alias("__first"))
+            )
+            dup_ids = (
+                regs.join(first, ["__spec", "__key"])
+                .where(F.col("__first") < F.col("__row_id"))
+                .select("__row_id")
+                .distinct()
+            )
+            C2 = S.join(dup_ids, "__row_id", "left_anti").localCheckpoint()
+            moved = (
+                C2.join(C, "__row_id", "left_anti").limit(1).count()
+                + C.join(C2, "__row_id", "left_anti").limit(1).count()
+            )
+            C = C2
+            if moved == 0:
+                return C
+        raise RuntimeError(
+            f"sequential forget fixpoint did not converge within "
+            f"forget_max_iter={self.config.forget_max_iter} rounds for "
+            f"table {name!r} (pathologically deep dup cascade); raise "
+            f"the cap or use forget_mode='oneshot'."
+        )
+
     # -- main --------------------------------------------------------------
 
     def validate(
@@ -266,10 +384,34 @@ class ValidationEngine:
             # probes): EVERY row's registrations are reporters (a row
             # failing pass 1 still errors against present keys — the
             # reference's forget() runs only after its errors print),
-            # while only SURVIVORS hold keys — so dup detection scans
-            # the FULL table with the pass-1 predicate as holder flag
+            # while only CLEAN rows hold keys — so dup detection scans
+            # the FULL table with the holder predicate as a flag.
+            # forget_mode decides the holder set: 'oneshot' = rows
+            # passing the row checks; 'sequential' = the reference-
+            # exact clean-set fixpoint C* (dup errors revoke a row's
+            # OTHER keys too, cascading — see _sequential_clean)
             full = tables[name]
             ok_col = pass1_cols[name]
+            if self.config.forget_mode == "sequential":
+                cstar = self._sequential_clean(
+                    spark, name, full, spec, ok_col
+                )
+                if cstar is not None:
+                    memb = cstar.select(
+                        F.col("__row_id").alias("__cstar_id"),
+                        F.lit(True).alias("__cstar"),
+                    )
+                    full = full.join(
+                        memb,
+                        full[spec.row_id].cast("string")
+                        == memb["__cstar_id"],
+                        "left",
+                    ).drop("__cstar_id")
+                    ok_col = F.coalesce(F.col("__cstar"), F.lit(False))
+                    # dims, FK gather and pass-2 all read the CLEAN
+                    # rows — forgotten rows contribute nothing
+                    df = full.where(ok_col).drop("__cstar")
+                    survivors[name] = df
             kv: List[DataFrame] = []
             for ks in spec.unique:
                 kv.append(

@@ -420,7 +420,10 @@ def validate_json_table(
     engine = ValidationEngine(
         specs,
         providers=providers_from_config(config, schema_uris=list(registry)),
-        config=engine_config,
+        # the suite surfaces default to the reference-EXACT sequential
+        # forget semantics (dup cascades, round-5 probes); pass an
+        # explicit EngineConfig to opt back into the scale default
+        config=engine_config or EngineConfig(forget_mode="sequential"),
     )
     result = engine.validate(
         tables, row_overrides=_library_overrides(registry, library_fallback)
@@ -637,7 +640,9 @@ def run_suite(
             cache_dir=cache_dir,
             cache_read_only=cache_read_only,
         ),
-        config=engine_config,
+        # reference-exact sequential forget on the CLI surface (see
+        # validate_json_table / EngineConfig.forget_mode)
+        config=engine_config or EngineConfig(forget_mode="sequential"),
     )
     result = engine.validate(
         tables, row_overrides=_library_overrides(registry, library_fallback)

@@ -260,3 +260,85 @@ def test_warned_schema_distributed_path(spark):
         per_file[r.row_id].append(r.reason)
     ref = reference_run([WARNED_SCHEMA], DOCS)
     assert normalize(per_file) == normalize(ref)
+
+
+# ---------------------------------------------------------------------------
+# round-5: sequential forget cascades (EngineConfig.forget_mode)
+# ---------------------------------------------------------------------------
+
+CASCADE_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "$id": "casc://v/1.0",
+    "type": "object",
+    "properties": {
+        "a": {"type": "string", "unique": True},
+        "b": {"type": "string", "unique": True},
+        "n": {"type": "integer", "minimum": 0},
+    },
+}
+
+
+def _casc_docs(rows):
+    return [
+        (f"d{i+1}", {"@schema": "casc://v/1.0", **r})
+        for i, r in enumerate(rows)
+    ]
+
+
+CASCADE_CASES = {
+    # d2 dups a → forgotten → its b=q de-registered → d3 clean
+    "cascade": _casc_docs(
+        [{"a": "x", "b": "p"}, {"a": "x", "b": "q"}, {"a": "y", "b": "q"}]
+    ),
+    # control: d2 clean → d3 dups b
+    "control": _casc_docs(
+        [{"a": "x", "b": "p"}, {"a": "z", "b": "q"}, {"a": "y", "b": "q"}]
+    ),
+    # d2 forgotten, d3 becomes the b=q holder, d4 dups d3
+    "chain4": _casc_docs(
+        [{"a": "x", "b": "p"}, {"a": "x", "b": "q"},
+         {"a": "y", "b": "q"}, {"a": "w", "b": "q"}]
+    ),
+    # STRUCTURAL failure also forgets: d2 fails minimum AND holds
+    # fresh b=q → d3 clean; d2 still reports its a-dup (registration
+    # precedes forget)
+    "struct_forget": _casc_docs(
+        [{"a": "x", "b": "p"}, {"a": "x", "b": "q", "n": -1},
+         {"a": "y", "b": "q"}]
+    ),
+    # deeper alternation: d2 dup-a forgotten; d3 holds b; d4 dups b
+    # (forgotten) releasing c?—no third key, keep simple depth-2 mix
+    "mixed": _casc_docs(
+        [{"a": "x"}, {"a": "x", "b": "q"}, {"b": "q"}, {"b": "q"}]
+    ),
+}
+
+
+@pytest.mark.parametrize("case", sorted(CASCADE_CASES))
+def test_sequential_forget_matches_reference(spark, case):
+    docs = CASCADE_CASES[case]
+    res = run_suite(spark, [("s.json", CASCADE_SCHEMA)], docs)
+    ref = reference_run([CASCADE_SCHEMA], docs)
+    assert normalize(res.per_file) == normalize(ref), (
+        case, res.per_file, ref,
+    )
+
+
+def test_oneshot_vs_sequential_divergence_documented(spark):
+    # the scale default ('oneshot') intentionally approximates: d3 is
+    # flagged against the struct-ok d2 even though the reference
+    # forgets d2 — this test PINS the documented divergence so a
+    # future change is a conscious one
+    from python_extended_json_schema_validator_spark.engine import (
+        EngineConfig,
+    )
+
+    docs = CASCADE_CASES["cascade"]
+    seq = run_suite(spark, [("s.json", CASCADE_SCHEMA)], docs)
+    one = run_suite(
+        spark, [("s.json", CASCADE_SCHEMA)], docs,
+        engine_config=EngineConfig(forget_mode="oneshot"),
+    )
+    assert seq.per_file["d3"] == []          # reference-exact
+    assert one.per_file["d3"] == ["dup_unique"]  # one-pass approximation
+    assert seq.per_file["d2"] == one.per_file["d2"] == ["dup_unique"]
