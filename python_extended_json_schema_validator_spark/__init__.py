@@ -30,7 +30,7 @@ from .spec import (
 )
 from .engine import EngineConfig, ValidationEngine, ValidationResult
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "ColumnCheck",

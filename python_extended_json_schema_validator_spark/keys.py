@@ -452,3 +452,79 @@ def with_key(
 ) -> DataFrame:
     key, obs = key_columns(members, limit_scope, scope_col)
     return df.withColumn(key_name, key).withColumn(observed_name, obs)
+
+
+def key_strings_py(doc, members, limit_scope: bool = False, scope=None):
+    """Driver-side twin of ``key_strings`` over one PARSED document —
+    the exact GenKeyStrings semantics (index_check.py:262-293) the
+    Spark columns implement, for the places that must probe key worlds
+    sequentially on the driver (guess-mode claim simulation,
+    suite._guess_dispatch).  Returns the list of canonical key strings
+    WITH registration multiplicity (fan-out order preserved):
+
+    - any member with zero values → no keys;
+    - single member, single atomic value → the raw scalar literal;
+    - otherwise compact JSON arrays per cartesian combination;
+    - element-grouped members (``loc#e#rel``) run the atomic decision
+      PER ELEMENT, matching _grouped_key_strings;
+    - ``limit_scope`` prefixes ``<scope literal>|`` like key_strings.
+    """
+    import itertools
+    import json as _json
+
+    from .docshred import ATOMIC, materialize_jpath, _canon
+
+    def vlist(node, member):
+        return [
+            _canon(v) if isinstance(v, ATOMIC)
+            else _json.dumps(v, sort_keys=True, ensure_ascii=False)
+            for v in materialize_jpath(node, member)
+        ]
+
+    grouped = [m for m in members if "#e#" in m]
+    keys: list = []
+    if grouped:
+        if len(grouped) != len(members):
+            raise ValueError(
+                "mixed element-grouped and plain key members are not "
+                "expressible (a trigger's members share one location)"
+            )
+        locs = {m.split("#e#", 1)[0] for m in members}
+        if len(locs) != 1:
+            raise ValueError("element-grouped members must share one location")
+        loc = locs.pop()
+        rels = [m.split("#e#", 1)[1] for m in members]
+        for el in materialize_jpath(doc, loc):
+            per = [vlist(el, r) for r in rels]
+            if any(not p for p in per):
+                continue
+            if len(per) == 1:
+                inner = per[0]
+                if len(inner) == 1:
+                    keys.extend(inner)
+                else:
+                    keys.extend("[" + v + "]" for v in inner)
+            else:
+                keys.extend(
+                    "[" + ",".join(c) + "]"
+                    for c in itertools.product(*per)
+                )
+    else:
+        per = [vlist(doc, m) for m in members]
+        if any(not p for p in per):
+            per = None
+        if per is None:
+            keys = []
+        elif len(per) == 1:
+            inner = per[0]
+            keys = inner if len(inner) == 1 else ["[" + v + "]" for v in inner]
+        else:
+            keys = ["[" + ",".join(c) + "]" for c in itertools.product(*per)]
+    if limit_scope and keys:
+        sc = (
+            _canon(scope)
+            if isinstance(scope, ATOMIC)
+            else _json.dumps(scope, sort_keys=True, ensure_ascii=False)
+        )
+        keys = [f"{sc}|{k}" for k in keys]
+    return keys

@@ -448,35 +448,58 @@ def _guess_dispatch(
     registry: Mapping[str, CompiledSchema],
     candidates: Sequence[str],
     pending: Sequence[Tuple[str, Any]],
+    dispatched: Sequence[Tuple[str, Any, str]] = (),
+    providers: Sequence = (),
     library_fallback: bool = False,
-) -> Dict[str, str]:
-    """Distributed guess-mode dispatch: score ALL unmatched documents
-    against ALL candidate batteries in ONE job (round-5 rework of the
-    per-schema sequential collect loop).
+) -> Tuple[Dict[str, str], Dict[str, List[str]]]:
+    """Guess-mode dispatch with the reference's EXACT sequential
+    semantics ([verified] round-5 probes): guessing INTERLEAVES with
+    dispatched validation in corpus order — a guessed doc's keys can
+    make a LATER dispatched doc a duplicate — and a try is REJECTED
+    not only on structural failure but also when the doc's keys
+    collide with the keys registered so far (falling through to the
+    next candidate; extensible_validator.py:1229-1340 + the extension
+    validators firing during each try).  A doc claimed by nobody
+    reports the accumulated errors of every failed try (structural
+    leaf reasons + dup_* per colliding registration).
 
-    Shape: one merged shred over the union of every candidate's column
-    families (a given path+kind shreds identically for every schema,
-    so the union is well-defined), then one projection computing each
-    candidate's ``pass1_ok`` boolean, then a first-true-wins coalesce
-    in LOAD ORDER — exactly the reference's sequential guessing order
-    (extensible_validator.py:1229-1340) without its O(candidates)
-    passes.  The collect returns only the (file → claimed uri) verdict
-    map, which the CLI report needs on the driver anyway.
+    Split of labor (the Spark-first shape):
+    - ONE distributed job computes every (document, schema)
+      structural verdict: merged shred over the union of all relevant
+      schemas' column families + one fused projection of per-schema
+      ``pass1_ok`` booleans (warned schemas score through the library
+      fallback when enabled — the reference's guess also runs the full
+      jsonschema stack, :1259-1263);
+    - ONE distributed job collects the failed-try structural REASONS
+      for the pending docs (lazy per-candidate violation frames,
+      unioned);
+    - the sequential claim/forget/register walk itself is a pure
+      Python pass over (file, key-string) sets — ``keys.
+      key_strings_py`` is the property-tested driver twin of the
+      engine's key canonicalization — sized by the corpus file count,
+      the same driver budget as the per-file report this CLI mode
+      exists to produce.  Shadow providers (allow_duplicates=False)
+      seed the worlds, exactly like the engine's dims.
 
-    Warned candidates under ``library_fallback`` score through the
-    jsonschema stack (the reference's guess loop also runs the full
-    library validator, extensible_validator.py:1259-1263) — a warned
-    schema must not CLAIM a document its uncompiled residue would
-    reject."""
+    Returns ``(assigned {file: uri}, failed {file: [reasons]})``.
+    Claimed docs then flow through the engine run, whose sequential
+    forget fixpoint reproduces the same worlds — dup violations and
+    FK behavior stay consistent by construction."""
     import dataclasses
+    from functools import reduce as _reduce
 
     from pyspark.sql import functions as F
 
     from .checks import row_checks
+    from .keys import key_strings_py
+    from .providers import canonical_key_py
 
     if not candidates or not pending:
-        return {}
-    css = [registry[u] for u in candidates]
+        return {}, {}
+    relevant = list(dict.fromkeys(
+        list(candidates) + [u for _, _, u in dispatched]
+    ))
+    css = [registry[u] for u in relevant]
     merged = dataclasses.replace(
         css[0],
         instance_paths=tuple(
@@ -495,9 +518,13 @@ def _guess_dispatch(
         ),
     )
     any_lib = library_fallback and any(c.warnings for c in css)
-    shredded = shred_documents(spark, pending, merged, keep_raw=any_lib)
-    claims = []
-    for uri in candidates:
+    all_docs = [(f, d) for f, d, _ in dispatched] + list(pending)
+    shredded = shred_documents(spark, all_docs, merged, keep_raw=any_lib)
+
+    # ---- distributed job 1: every (doc, schema) structural verdict
+    ok_cols = []
+    batteries: Dict[str, tuple] = {}
+    for i, uri in enumerate(relevant):
         cs = registry[uri]
         if library_fallback and cs.warnings:
             from .library_fallback import (
@@ -505,27 +532,120 @@ def _guess_dispatch(
                 library_pass1_ok,
             )
 
-            ok = library_pass1_ok(
-                library_errors_column(
-                    cs.schema, uri, cs.ref_cache or {uri: cs.schema},
-                    cs.table_spec.custom_formats,
-                )
+            errs = library_errors_column(
+                cs.schema, uri, cs.ref_cache or {uri: cs.schema},
+                cs.table_spec.custom_formats,
             )
+            ok = library_pass1_ok(errs)
+            batteries[uri] = ("lib", errs)
         else:
             battery = row_checks.compile_battery(
                 cs.table_spec.checks, json_mode=True,
                 formats=cs.table_spec.custom_formats,
             )
             ok = row_checks.pass1_ok(battery)
-        claims.append(F.when(ok, F.lit(uri)))
-    verdict = F.coalesce(*claims)
-    return {
-        r["__file"]: r["__guess"]
-        for r in shredded.select(
-            F.col("__file"), verdict.alias("__guess")
-        ).collect()
-        if r["__guess"] is not None
-    }
+            batteries[uri] = ("bat", battery)
+        ok_cols.append(ok.alias(f"__ok_{i}"))
+    ok_map: Dict[str, Dict[str, bool]] = {}
+    for r in shredded.select(F.col("__file"), *ok_cols).collect():
+        ok_map[r["__file"]] = {
+            relevant[i]: bool(r[f"__ok_{i}"]) for i in range(len(relevant))
+        }
+
+    # ---- distributed job 2: failed-try structural reasons (pending)
+    pending_names = [f for f, _ in pending]
+    pend_df = shredded.where(F.col("__file").isin(pending_names))
+    frames = []
+    for uri in candidates:
+        kind, obj = batteries[uri]
+        if kind == "bat":
+            v = row_checks.row_violations(
+                pend_df, F.col("__file"), obj
+            ).select(F.lit(uri).alias("__uri"), "row_id", "reason")
+        else:
+            v = pend_df.select(
+                F.lit(uri).alias("__uri"),
+                F.col("__file").alias("row_id"),
+                F.explode(obj).alias("e"),
+            ).select("__uri", "row_id", F.col("e.reason").alias("reason"))
+        frames.append(v)
+    struct_reasons: Dict[Tuple[str, str], List[str]] = {}
+    if frames:
+        allv = _reduce(lambda a, b: a.unionByName(b), frames)
+        for r in allv.collect():
+            struct_reasons.setdefault(
+                (r["__uri"], r["row_id"]), []
+            ).append(r["reason"])
+
+    # ---- sequential claim walk (pure Python, corpus order)
+    keylist: Dict[str, list] = {}
+    worlds: Dict[tuple, set] = {}
+    for u in relevant:
+        spec = registry[u].table_spec
+        kl = [(ks, "dup_unique", False) for ks in spec.unique] + [
+            (ks, "dup_pk", True) for ks in spec.primary_keys
+        ]
+        keylist[u] = kl
+        for ki, (ks, _, is_pk) in enumerate(kl):
+            w: set = set()
+            if is_pk:
+                for prov in providers:
+                    if prov.table != u or prov.allow_duplicates:
+                        continue
+                    if (
+                        prov.refers_to is not None
+                        and prov.refers_to != ks.name
+                    ):
+                        continue
+                    w.update(canonical_key_py(k) for k in prov.keys)
+            worlds[(u, ki)] = w
+
+    def try_doc(doc, uri, fname):
+        """(dup reasons, local registrations) of one try — failed
+        tries leave no residue (the reference's forget)."""
+        dups: List[str] = []
+        local: Dict[tuple, set] = {}
+        for ki, (ks, reason, _) in enumerate(keylist[uri]):
+            for k in key_strings_py(
+                doc, ks.members, limit_scope=ks.limit_scope, scope=fname
+            ):
+                w = (uri, ki)
+                if k in worlds[w] or k in local.get(w, set()):
+                    dups.append(reason)
+                else:
+                    local.setdefault(w, set()).add(k)
+        return dups, local
+
+    assigned: Dict[str, str] = {}
+    failed: Dict[str, List[str]] = {}
+    events = sorted(
+        [(f, d, u) for f, d, u in dispatched]
+        + [(f, d, None) for f, d in pending]
+    , key=lambda e: e[0])
+    for fname, doc, uri in events:
+        if uri is not None:
+            # dispatched doc: clean ⟺ struct-ok AND dup-free at its
+            # turn; only then do its keys hold (register-then-forget)
+            dups, local = try_doc(doc, uri, fname)
+            if ok_map.get(fname, {}).get(uri, False) and not dups:
+                for w, ks_ in local.items():
+                    worlds[w].update(ks_)
+            continue
+        reasons: List[str] = []
+        for cand in candidates:
+            dups, local = try_doc(doc, cand, fname)
+            if ok_map.get(fname, {}).get(cand, False) and not dups:
+                for w, ks_ in local.items():
+                    worlds[w].update(ks_)
+                assigned[fname] = cand
+                break
+            # failed try: its errors accumulate (cumulative report,
+            # extensible_validator.py:1310-1340)
+            reasons.extend(struct_reasons.get((cand, fname), []))
+            reasons.extend(dups)
+        else:
+            failed[fname] = reasons
+    return assigned, failed
 
 
 def run_suite(
@@ -550,16 +670,15 @@ def run_suite(
     ``guess_unmatched`` (⇔ the CLI --guess-schema,
     extensible_validator.py:1229-1340): documents with no recognizable
     schema id are tried against every loaded schema IN LOAD ORDER
-    (optionally restricted to a given uri list); the first schema whose
-    compiled structural battery (type/enum/bounds/required/
-    additionalProperties/...) fully passes claims the document — its
-    keys then register in that schema's worlds and its FKs are checked,
-    exactly as if dispatched (failed tries leave no key residue, the
-    declarative form of the reference's forget()).  Known divergence:
-    the reference also rejects a guess when the doc's KEYS duplicate
-    already-registered values mid-pass (order-dependent, row-at-a-time
-    state); here duplicate keys among guessed docs surface as normal
-    dup_* violations instead."""
+    (optionally restricted to a given uri list), with the reference's
+    EXACT sequential semantics since round 5 ([verified] probes):
+    guessing interleaves with dispatched validation in corpus order, a
+    try is rejected on structural failure OR key collision with the
+    registered-so-far worlds (falling through to the next candidate),
+    claimed docs register keys / FK-check exactly as if dispatched,
+    failed tries leave no key residue (forget), and a doc claimed by
+    nobody reports every try's accumulated errors.  See
+    _guess_dispatch for the distributed/driver split."""
     if isinstance(config, str):
         config = parse_json_or_yaml(config)
     registry, issues = load_schemas(schemas)
@@ -601,6 +720,13 @@ def run_suite(
             exit_code=1, per_file=per_file, schema_issues=issues, unmatched=unmatched
         )
 
+    providers = providers_from_config(
+        config,
+        schema_uris=list(registry),
+        cache_dir=cache_dir,
+        cache_read_only=cache_read_only,
+    )
+
     if guess_unmatched and unmatched:
         parsed = {f: d for f, d, e in scanned if e is None}
         pending = [(f, parsed[f]) for f in unmatched if f in parsed]
@@ -610,8 +736,15 @@ def run_suite(
             if not isinstance(guess_unmatched, (list, tuple))
             or uri in guess_unmatched
         ]
-        assigned = _guess_dispatch(
-            spark, registry, candidates, pending, library_fallback
+        assigned, failed = _guess_dispatch(
+            spark, registry, candidates, pending,
+            dispatched=[
+                (f, d, uri)
+                for uri, grp in by_uri.items()
+                for f, d in grp
+            ],
+            providers=providers,
+            library_fallback=library_fallback,
         )
         for f, doc in pending:
             uri = assigned.get(f)
@@ -619,9 +752,11 @@ def run_suite(
                 doc_schema[f] = uri
                 by_uri.setdefault(uri, []).append((f, doc))
             else:
-                # failed every candidate (⇔ cumulative schema errors,
+                # failed every candidate: the accumulated errors of
+                # every try — structural leaf reasons plus dup_* per
+                # colliding registration (⇔ cumulative schema errors,
                 # extensible_validator.py:1310-1340)
-                per_file[f].append("schema_error")
+                per_file[f].extend(failed.get(f, []))
         unmatched = [f for f in unmatched if f not in doc_schema]
 
     tables = {
@@ -634,12 +769,7 @@ def run_suite(
     specs = [cs.table_spec for cs in registry.values()]
     engine = ValidationEngine(
         specs,
-        providers=providers_from_config(
-            config,
-            schema_uris=list(registry),
-            cache_dir=cache_dir,
-            cache_read_only=cache_read_only,
-        ),
+        providers=providers,
         # reference-exact sequential forget on the CLI surface (see
         # validate_json_table / EngineConfig.forget_mode)
         config=engine_config or EngineConfig(forget_mode="sequential"),

@@ -100,3 +100,76 @@ def test_unicode_keys_join_across_encoders(spark):
     res = ValidationEngine([dspec, fspec], providers=[prov]).validate({"f": fdf})
     got = sorted((r.row_id, r.reason) for r in res.violations.collect())
     assert got == [("r3", "stale_fk")]
+
+
+def test_key_strings_py_matches_spark_keyed(spark):
+    """key_strings_py (the driver-side guess-world twin) produces the
+    SAME multiset of key strings as uniqueness.keyed over shredded
+    documents, for fan-out, composite, scoped and missing-member
+    shapes."""
+    import random
+
+    from python_extended_json_schema_validator_spark import (
+        KeySpec,
+        TableSpec,
+    )
+    from python_extended_json_schema_validator_spark.checks import uniqueness
+    from python_extended_json_schema_validator_spark.docshred import (
+        shred_documents,
+    )
+    from python_extended_json_schema_validator_spark.keys import (
+        key_strings_py,
+    )
+    from python_extended_json_schema_validator_spark.schemas import (
+        load_schemas,
+    )
+
+    schema = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "kp://t/1.0",
+        "type": "object",
+        "properties": {"a": {"unique": True}, "b": {}, "c": {}},
+        "unique": ["a", "b"],
+    }
+    registry, issues = load_schemas([("s.json", schema)])
+    assert not [i for i in issues if i.severity == "error"], issues
+    cs = registry["kp://t/1.0"]
+    # a SCOPED key on the same shredded table (grammar holds one
+    # unique per node, so this one is spec-level)
+    scoped = KeySpec(("c",), name="kc", limit_scope=True)
+
+    rng = random.Random(20260817)
+    pool = [1, 2.5, "x", "esc\"d", True, None, [1, 2], {"k": "v"}, [],
+            {"n": [3, "y"]}, "ü"]
+
+    def gen():
+        d = {}
+        for m in ("a", "b", "c"):
+            if rng.random() < 0.85:
+                d[m] = rng.choice(pool)
+        return d
+
+    docs = [(f"f{i:03d}", gen()) for i in range(120)]
+    # the scoped key reads the "c" instance column — make sure the
+    # shredder emits it (spec-level keys are outside the compiled
+    # schema's touch set)
+    import dataclasses
+    cs = dataclasses.replace(
+        cs, value_paths=tuple(sorted(set(cs.value_paths) | {"c"}))
+    )
+    shredded = shred_documents(spark, docs, cs)
+    for ks in list(cs.table_spec.unique) + [scoped]:
+        k = uniqueness.keyed(shredded, cs.table_spec, ks)
+        got = {}
+        for r in k.collect():
+            got.setdefault(r["__row_id"], []).append(r["__key"])
+        for fname, doc in docs:
+            want = sorted(
+                key_strings_py(
+                    doc, ks.members, limit_scope=ks.limit_scope,
+                    scope=fname,
+                )
+            )
+            assert sorted(got.get(fname, [])) == want, (
+                ks.name, fname, doc, got.get(fname), want,
+            )

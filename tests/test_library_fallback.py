@@ -342,3 +342,75 @@ def test_oneshot_vs_sequential_divergence_documented(spark):
     assert seq.per_file["d3"] == []          # reference-exact
     assert one.per_file["d3"] == ["dup_unique"]  # one-pass approximation
     assert seq.per_file["d2"] == one.per_file["d2"] == ["dup_unique"]
+
+
+# ---------------------------------------------------------------------------
+# round-5: guess-mode sequential key semantics (reference probes)
+# ---------------------------------------------------------------------------
+
+GUESS_S1 = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "$id": "g://one/1.0",
+    "type": "object",
+    "properties": {"a": {"type": "string", "unique": True}},
+    "required": ["a"],
+}
+GUESS_S2 = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "$id": "g://two/1.0",
+    "type": "object",
+    "properties": {"a": {"type": "string"}},
+    "required": ["a"],
+}
+
+GUESS_CASES = {
+    # unmatched doc dups the dispatched holder → try rejected → claim
+    # falls through to the key-less second schema → clean
+    "fallthrough": (
+        [GUESS_S1, GUESS_S2],
+        [("d1", {"@schema": "g://one/1.0", "a": "x"}), ("u1", {"a": "x"})],
+    ),
+    # single candidate: the failed try's dup error is REPORTED
+    "guess_dup": (
+        [GUESS_S1],
+        [("d1", {"@schema": "g://one/1.0", "a": "x"}), ("u1", {"a": "x"})],
+    ),
+    # unmatched doc EARLIER in corpus order claims and registers; the
+    # dispatched doc after it becomes the duplicate
+    "guess_first": (
+        [GUESS_S1],
+        [("a_u1", {"a": "x"}), ("b_d2", {"@schema": "g://one/1.0", "a": "x"})],
+    ),
+    # guessed docs register sequentially among themselves
+    "guess_seq": (
+        [GUESS_S1],
+        [("a_u1", {"a": "x"}), ("b_u2", {"a": "x"}), ("c_u3", {"a": "y"})],
+    ),
+    # structural failure reasons accumulate per failed try
+    "guess_struct": (
+        [GUESS_S1, GUESS_S2],
+        [("u1", {"b": 1})],
+    ),
+}
+
+
+@pytest.mark.parametrize("case", sorted(GUESS_CASES))
+def test_guess_sequential_matches_reference(spark, case):
+    schemas, docs = GUESS_CASES[case]
+    res = run_suite(
+        spark, [(f"s{i}.json", s) for i, s in enumerate(schemas)],
+        docs, guess_unmatched=True,
+    )
+    payload = json.dumps(
+        {"schemas": schemas, "docs": [[n, d] for n, d in docs],
+         "config": {}, "guess": True}
+    )
+    proc = subprocess.run(
+        [sys.executable, RUNNER], input=payload, capture_output=True,
+        text=True, timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    ref = json.loads(proc.stdout)
+    assert normalize(res.per_file) == normalize(ref), (
+        case, res.per_file, ref,
+    )
