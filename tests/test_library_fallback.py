@@ -414,3 +414,102 @@ def test_guess_sequential_matches_reference(spark, case):
     assert normalize(res.per_file) == normalize(ref), (
         case, res.per_file, ref,
     )
+
+
+def test_custom_formats_ride_the_fallback(spark):
+    """Custom formats (regex AND reference-protocol callables) must
+    register on the fallback's FormatChecker exactly like the
+    reference's customFormatCheckerInstance.checks registration
+    (extensible_validator.py:132-138)."""
+
+    class EvenFormat:
+        FormatName = "evenlen"
+
+        @staticmethod
+        def IsCorrectFormat(v):
+            return not isinstance(v, str) or len(v) % 2 == 0
+
+    schema = {
+        "$schema": D07,
+        "$id": "lf://fmt/1.0",
+        "type": "object",
+        "properties": {
+            # items.anyOf object branches → warned → fallback active;
+            # the format sits INSIDE the residue so only the library
+            # stack can enforce it
+            "recs": {
+                "items": {
+                    "anyOf": [
+                        {
+                            "type": "object",
+                            "properties": {
+                                "code": {
+                                    "type": "string",
+                                    "format": "hexcode",
+                                },
+                            },
+                            "required": ["code"],
+                        },
+                        {"type": "integer"},
+                    ]
+                }
+            },
+            "tag": {"type": "string", "format": "evenlen"},
+        },
+    }
+    from python_extended_json_schema_validator_spark.schemas import (
+        normalize_custom_formats,
+    )
+
+    registry, issues = load_schemas(
+        [("s.json", schema)],
+        custom_formats={"hexcode": r"^[0-9a-f]+$"},
+    )
+    cs = registry["lf://fmt/1.0"]
+    assert cs.warnings
+    # merge in the protocol-class format (callable with py_pred)
+    import dataclasses
+
+    fmts = dict(cs.table_spec.custom_formats or {})
+    fmts.update(normalize_custom_formats([EvenFormat]))
+    cs = dataclasses.replace(
+        cs, table_spec=dataclasses.replace(
+            cs.table_spec, custom_formats=fmts
+        )
+    )
+    registry = {cs.uri: cs}
+
+    from python_extended_json_schema_validator_spark.library_fallback import (
+        build_validator,
+        library_errors_column,
+        library_pass1_ok,
+    )
+
+    # executor-side construction smoke: the validator itself
+    v = build_validator(cs.schema, cs.uri, {cs.uri: cs.schema}, fmts)
+    errs = {e.validator for e in v.iter_errors(
+        {"recs": [{"code": "xyz!"}], "tag": "odd"}
+    )}
+    assert errs == {"anyOf", "format"}
+
+    # end-to-end through the Spark stage (pickling the format closures)
+    import json as _json
+
+    rows = [
+        ("ok", _json.dumps({"recs": [{"code": "1a2b"}, 5], "tag": "ab"})),
+        ("bad_code", _json.dumps({"recs": [{"code": "XYZ"}]})),
+        ("bad_tag", _json.dumps({"tag": "abc"})),
+    ]
+    df = spark.createDataFrame(rows, "file string, json string").withColumnRenamed("json", "__raw")
+    col = library_errors_column(
+        cs.schema, cs.uri, {cs.uri: cs.schema}, fmts
+    )
+    got = {
+        r["file"]: sorted(e["reason"] for e in (r["e"] or []))
+        for r in df.select("file", col.alias("e")).collect()
+    }
+    assert got == {
+        "ok": [],
+        "bad_code": ["anyOf"],
+        "bad_tag": ["format"],
+    }, got
