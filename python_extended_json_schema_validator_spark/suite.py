@@ -350,7 +350,7 @@ def validate_json_table(
     probes: Sequence[str] = SCHEMA_KEY_PROBES,
     engine_config: Optional[EngineConfig] = None,
     uri_col: Optional[str] = None,
-    library_fallback: bool = False,
+    library_fallback: bool = True,
     keep_raw: bool = False,
 ):
     """The DISTRIBUTED document-validation entry point: a DataFrame of
@@ -366,6 +366,18 @@ def validate_json_table(
     names.  Documents matching no schema are simply not validated
     (mirroring the reference's skip; count them by anti-joining the
     input against the union of shredded tables).
+
+    ``library_fallback`` defaults to True (round 6): the reference
+    enforces EVERY JSON-Schema shape unconditionally
+    (extensible_validator.py:1163-1194), so a default-config run must
+    never under-report vs it — warned schemas validate through the
+    jsonschema library in one Arrow-batched map-only stage
+    (library_fallback.py), matching ``forget_mode="sequential"``'s
+    parity-by-default policy.  Compiled-clean schemas never enter
+    Python regardless (plan-asserted, tests/test_plans.py); at 10^12
+    rows only the warned schemas' documents pay the Python stage, so
+    opt out (``library_fallback=False``) only when a warned schema's
+    partial JVM enforcement is an acceptable trade for that stage.
 
     Scan shape: one filtered pass over the input PER SCHEMA (the
     filter + (file, json) projection push into the scan, so each pass
@@ -450,7 +462,7 @@ def _guess_dispatch(
     pending: Sequence[Tuple[str, Any]],
     dispatched: Sequence[Tuple[str, Any, str]] = (),
     providers: Sequence = (),
-    library_fallback: bool = False,
+    library_fallback: bool = True,
 ) -> Tuple[Dict[str, str], Dict[str, List[str]]]:
     """Guess-mode dispatch with the reference's EXACT sequential
     semantics ([verified] round-5 probes): guessing INTERLEAVES with
@@ -660,7 +672,7 @@ def run_suite(
     max_violations: int = 1_000_000,
     cache_dir: Optional[str] = None,
     cache_read_only: bool = False,
-    library_fallback: bool = False,
+    library_fallback: bool = True,
 ) -> SuiteResult:
     """Run one suite.  ``schemas``: directory or [(file, schema dict)];
     ``docs``: directory or [(file, parsed doc)].  ``config``: the

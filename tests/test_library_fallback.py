@@ -513,3 +513,85 @@ def test_custom_formats_ride_the_fallback(spark):
         "bad_code": ["anyOf"],
         "bad_tag": ["format"],
     }, got
+
+
+# ---------------------------------------------------------------- #
+# Round 6: reference parity is the DEFAULT, not an opt-in.  The     #
+# reference enforces every JSON-Schema shape unconditionally        #
+# (extend_validator_helpers.py:50-64 via                            #
+# extensible_validator.py:1163-1194), so a default-config run must  #
+# never under-report vs it.  library_fallback now defaults to True  #
+# on run_suite / validate_json_table / the CLI, matching the        #
+# forget_mode="sequential" parity-by-default policy.                #
+# ---------------------------------------------------------------- #
+
+
+def test_default_run_suite_matches_reference(spark):
+    """run_suite with NO library_fallback argument (the default
+    surface a reference user lands on) bit-matches the reference's
+    per-file reasons on a warned schema."""
+    res = run_suite(spark, [("s.json", WARNED_SCHEMA)], DOCS)
+    ref = reference_run([WARNED_SCHEMA], DOCS)
+    assert normalize(res.per_file) == normalize(ref)
+
+
+def test_default_cli_matches_reference(spark, tmp_path):
+    """The module CLI with NO flags on a warned schema: per-file
+    report reasons bit-match the reference subprocess, and
+    --no-library-fallback is the documented opt-OUT (under-reports
+    the residue, loudly warned)."""
+    from python_extended_json_schema_validator_spark.__main__ import main
+
+    sdir = tmp_path / "schemas"
+    ddir = tmp_path / "docs"
+    sdir.mkdir()
+    ddir.mkdir()
+    (sdir / "s.json").write_text(json.dumps(WARNED_SCHEMA))
+    for name, doc in DOCS:
+        (ddir / f"{name}.json").write_text(json.dumps(doc))
+
+    rep = tmp_path / "rep.json"
+    rc = main([str(sdir), str(ddir), "--report", str(rep),
+               "--quiet-report"])
+    assert rc == 2
+    entries = json.load(open(rep))
+    got = {
+        os.path.splitext(os.path.basename(e["file"]))[0]:
+            sorted(x["reason"] for x in e.get("errors", []))
+        for e in entries if "uri" not in e
+    }
+    ref = reference_run([WARNED_SCHEMA], DOCS)
+    assert normalize(got) == normalize(ref)
+    # the residue-only failure is present by DEFAULT now
+    assert got["short_xy"] != []
+
+    # opt-out: --no-library-fallback restores the compiled-only plan
+    # (short_xy's object-branch residue is invisible again)
+    rep2 = tmp_path / "rep2.json"
+    rc = main([str(sdir), str(ddir), "--report", str(rep2),
+               "--quiet-report", "--no-library-fallback"])
+    assert rc == 2
+    entries2 = json.load(open(rep2))
+    got2 = {
+        os.path.splitext(os.path.basename(e["file"]))[0]:
+            sorted(x["reason"] for x in e.get("errors", []))
+        for e in entries2 if "uri" not in e
+    }
+    assert got2["short_xy"] == []
+    assert normalize(got2) != normalize(ref)
+
+
+def test_default_validate_json_table_enforces_residue(spark):
+    """validate_json_table's default now routes warned-schema rows
+    through the library stage: the residue-only failure (short_xy)
+    produces violations with no explicit flag."""
+    rows = [(n, json.dumps(d)) for n, d in DOCS]
+    df = spark.createDataFrame(rows, "file string, json string")
+    result, registry = validate_json_table(
+        spark, [("s.json", WARNED_SCHEMA)], df
+    )
+    files = {
+        r.row_id for r in
+        result.row_viol["lf://deep/1.0"].select("row_id").collect()
+    }
+    assert "short_xy" in files
