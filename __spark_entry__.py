@@ -1253,6 +1253,130 @@ def q_fk_dangling_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ref_viol["orders"].select(*VIOL_COLS)
 
 
+def q_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed resume (manifest.PartitionManifest): increment 1
+    validates partitions 0-3 of customer (part = c_custkey % 8) and
+    records them 'ok'; partitions 2-3 are then re-recorded 'failed';
+    increment 2 resumes over the FULL table and — via the latest-wins
+    completed set + broadcast LEFT ANTI pending filter — must validate
+    EXACTLY partitions 2-7.  Returns the manifest lineage (partition,
+    seq, metrics, status): the oracle predicts every row from the base
+    table alone, so a resume filter that re-validates a completed
+    partition (or skips a failed one) breaks seq-3's row set, and
+    wrong per-partition metrics break the hash.
+
+    North-rule surface: "resumable from a checkpointed manifest of
+    completed partitions with per-partition lineage and metrics"."""
+    import tempfile
+
+    from python_extended_json_schema_validator_spark.manifest import (
+        PartitionManifest,
+        partition_metrics,
+    )
+
+    base = _t(spark, sf_dir, "customer").withColumn(
+        "part", F.pmod(F.col("c_custkey"), F.lit(8)).cast("string")
+    )
+    spec = TableSpec(
+        name="customer",
+        row_id="c_custkey",
+        checks=[ColumnCheck(column="c_acctbal", minimum=0.0)],
+        primary_keys=[KeySpec(("c_custkey",))],
+    )
+    man = PartitionManifest(tempfile.mkdtemp(prefix="manifest_q"))
+
+    def run(df: DataFrame) -> DataFrame:
+        res = ValidationEngine([spec]).validate({"customer": df})
+        return partition_metrics(df, res.violations, "c_custkey", "part")
+
+    inc1 = base.where(F.col("part").isin("0", "1", "2", "3"))
+    m1 = run(inc1)
+    man.record(m1, run_id="inc1")  # seq 1: 0-3 ok
+    # partitions 2-3 flagged bad after the fact (latest-wins probe)
+    man.record(
+        m1.where(F.col("partition").isin("2", "3")),
+        run_id="redo",
+        status="failed",
+    )  # seq 2
+    pending = man.filter_pending(base, "part")  # must be parts 2-7
+    man.record(run(pending), run_id="inc2")  # seq 3
+    return man.read(spark).select(
+        "partition", "seq", "n_rows", "n_failed", "n_violations", "status"
+    )
+
+
+def q_ledger_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-increment uniqueness (manifest.KeyLedger): increment 1
+    (even o_orderkey) registers its pass-1 survivors' unique(o_custkey)
+    keys in the persistent ledger; increment 2 (odd o_orderkey) is
+    checked against the ledger — its survivors whose key a PRIOR
+    increment holds are dup_unique.  The oracle recomputes increment
+    2's verdicts as a semi-join against increment 1's surviving key
+    set; rows failing pass 1 (o_totalprice < 5000) neither register
+    nor flag, mirroring the engine's revocation semantics
+    (cross_increment_dup_violations materializes violations BEFORE the
+    ledger append — self-collision would add even-row dups and break
+    the hash)."""
+    import tempfile
+
+    from python_extended_json_schema_validator_spark.manifest import (
+        KeyLedger,
+        cross_increment_dup_violations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    spec = TableSpec(
+        name="orders",
+        row_id="o_orderkey",
+        checks=[ColumnCheck(column="o_totalprice", minimum=5000.0)],
+        unique=[KeySpec(("o_custkey",))],
+    )
+    led = KeyLedger(tempfile.mkdtemp(prefix="ledger_q"))
+    inc1 = orders.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0)
+    inc2 = orders.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == 1)
+    v1 = cross_increment_dup_violations(inc1, spec, led)  # registers keys
+    v2 = cross_increment_dup_violations(inc2, spec, led, update=False)
+    return v1.unionByName(v2).select(*VIOL_COLS)
+
+
+def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental validation over Structured Streaming
+    (streaming.incremental.validate_stream_foreach_batch): increment 1
+    (c_custkey % 3 != 0) lands as a parquet file and is validated by an
+    availableNow foreachBatch run (batch 0); increment 2 lands after
+    the first run terminates and a SECOND run over the same checkpoint
+    must process ONLY the new file (batch 1).  The oracle derives each
+    violation's batch_id from increment membership — a broken
+    checkpoint resume that re-validates increment 1 duplicates batch-0
+    rows under batch 1 and breaks rows+hash."""
+    import tempfile
+
+    from python_extended_json_schema_validator_spark.streaming.incremental import (
+        validate_stream_foreach_batch,
+    )
+
+    base = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="stream_q")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+    spec = TableSpec(
+        name="customer",
+        row_id="c_custkey",
+        checks=[ColumnCheck(column="c_acctbal", minimum=0.0)],
+    )
+    inc1 = base.where(F.pmod(F.col("c_custkey"), F.lit(3)) != 0)
+    inc2 = base.where(F.pmod(F.col("c_custkey"), F.lit(3)) == 0)
+    for inc in (inc1, inc2):
+        inc.coalesce(1).write.mode("append").parquet(src)
+        q = validate_stream_foreach_batch(
+            spark.readStream.schema(base.schema).parquet(src),
+            spec,
+            sink,
+            ckpt,
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink).select(*VIOL_COLS, "batch_id")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1315,6 +1439,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pattern (exact companions + always-true accuracy verdicts)
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        # round 6: resume / cross-increment / streaming surfaces —
+        # the last first-class components without an oracle row
+        "resume_manifest": q_resume_manifest,
+        "ledger_increments": q_ledger_increments,
+        "stream_incremental": q_stream_incremental,
     }
 
 
@@ -1324,6 +1453,63 @@ LI_ID = "CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)"
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_lsh": _ann_lsh_oracle(),
+        # round 6: resume lineage — every manifest row predicted from
+        # the base table (seq 1: partitions 0-3 ok; seq 2: 2-3 failed;
+        # seq 3: latest-wins pending set = 2-7 re/first-validated)
+        "resume_manifest": """
+            WITH agg AS (
+              SELECT CAST(c_custkey % 8 AS VARCHAR) AS "partition",
+                     COUNT(*) AS n_rows,
+                     COUNT(CASE WHEN c_acctbal IS NOT NULL
+                                 AND NOT (c_acctbal >= 0.0) THEN 1 END)
+                       AS n_failed,
+                     COUNT(CASE WHEN c_acctbal IS NOT NULL
+                                 AND NOT (c_acctbal >= 0.0) THEN 1 END)
+                       AS n_violations
+              FROM customer GROUP BY 1
+            )
+            SELECT "partition", CAST(1 AS BIGINT) AS seq, n_rows,
+                   n_failed, n_violations, 'ok' AS status
+            FROM agg WHERE "partition" IN ('0','1','2','3')
+            UNION ALL
+            SELECT "partition", CAST(2 AS BIGINT), n_rows, n_failed,
+                   n_violations, 'failed'
+            FROM agg WHERE "partition" IN ('2','3')
+            UNION ALL
+            SELECT "partition", CAST(3 AS BIGINT), n_rows, n_failed,
+                   n_violations, 'ok'
+            FROM agg WHERE "partition" IN ('2','3','4','5','6','7')
+        """,
+        # round 6: increment 2's dup verdicts against increment 1's
+        # REGISTERED (surviving) keys, recomputed as a semi-join
+        "ledger_increments": """
+            SELECT 'unique:o_custkey' AS constraint_id,
+                   'dup_unique' AS reason,
+                   CAST(o_orderkey AS VARCHAR) AS row_id,
+                   CAST(o_custkey AS VARCHAR) AS observed_value
+            FROM orders o2
+            WHERE o_orderkey % 2 = 1 AND o_custkey IS NOT NULL
+              AND (o_totalprice IS NULL OR o_totalprice >= 5000.0)
+              AND EXISTS (
+                SELECT 1 FROM orders o1
+                WHERE o1.o_orderkey % 2 = 0
+                  AND o1.o_custkey = o2.o_custkey
+                  AND (o1.o_totalprice IS NULL
+                       OR o1.o_totalprice >= 5000.0)
+              )
+        """,
+        # round 6: each violation's batch_id follows increment
+        # membership — checkpoint re-processing would duplicate rows
+        "stream_incremental": """
+            SELECT 'check:c_acctbal:minimum' AS constraint_id,
+                   'minimum' AS reason,
+                   CAST(c_custkey AS VARCHAR) AS row_id,
+                   CAST(c_acctbal AS VARCHAR) AS observed_value,
+                   CAST(CASE WHEN c_custkey % 3 <> 0 THEN 0 ELSE 1 END
+                        AS INTEGER) AS batch_id
+            FROM customer
+            WHERE c_acctbal IS NOT NULL AND NOT (c_acctbal >= 0.0)
+        """,
         "combinator_checks": """
             WITH d AS (
               SELECT 'doc-' || doc_id AS rid, n_chars, lang, text,
