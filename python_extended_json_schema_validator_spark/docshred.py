@@ -49,9 +49,11 @@ def _canon(v: Any) -> str:
     for objects/arrays (index_check.py:240-242 / GenKeyStrings).
     ensure_ascii=False so Python-side literals byte-match Spark's
     to_json (raw UTF-8) — keys from shredded tables, typed tables, and
-    providers must all join.  (Known residual divergence: doubles in
-    scientific range render as Python '1e+20' here vs Java '1.0E20'
-    in typed columns — documented in keys.json_scalar.)"""
+    providers must all join.  Doubles: Python's repr form here IS the
+    canonical rendering; typed columns match it via
+    keys.py_double_repr (round 6 — previously a documented '1e+20' vs
+    '1.0E20' divergence; now property-tested identical in
+    tests/test_double_keys.py)."""
     return json.dumps(v, sort_keys=True, separators=(",", ":"),
                       ensure_ascii=False)
 

@@ -104,20 +104,37 @@ def member_values(member: str, df: Optional[DataFrame], canonical: bool = False)
     empty array (⇒ no key at all downstream).
 
     ``canonical``: the column already holds canonical JSON literals
-    (shredded document tables) — no re-encoding; key members resolve
-    to their ``<path>#v`` value-list column when present.
+    (shredded document tables) — float literals normalize through
+    ``canon_literal_norm`` so they join typed-column keys; everything
+    else passes through unchanged.
     """
     if canonical and df is not None and member + "#v" in df.columns:
-        return F.coalesce(flat_col(member + "#v"), F.array())
+        vcol = flat_col(member + "#v")
+        if isinstance(
+            df.schema[member + "#v"].dataType.elementType, T.ArrayType
+        ):
+            vcol = F.transform(
+                vcol, lambda inner: F.transform(inner, canon_literal_norm)
+            )
+        else:
+            vcol = F.transform(vcol, canon_literal_norm)
+        return F.coalesce(vcol, F.array())
     # exact shredded column: scalar literal or array of literals
     if df is not None and member in df.columns:
         c = flat_col(member)
         if isinstance(df.schema[member].dataType, T.ArrayType):
             arr = F.coalesce(c, F.array())
             if not canonical:
-                arr = F.transform(arr, lambda x: _element_literal(x))
+                et = df.schema[member].dataType.elementType
+                arr = F.transform(arr, lambda x: _element_literal(x, et))
+            else:
+                arr = F.transform(arr, canon_literal_norm)
             return arr
-        lit = c if canonical else json_scalar(c, df.schema[member].dataType)
+        lit = (
+            canon_literal_norm(c)
+            if canonical
+            else json_scalar(c, df.schema[member].dataType)
+        )
         return F.when(c.isNull(), F.array()).otherwise(F.array(lit))
 
     steps = member.split(".")
@@ -155,17 +172,155 @@ def member_values(member: str, df: Optional[DataFrame], canonical: bool = False)
     if multi is not None:
         # drop objectives lost to missing struct fields mid-path
         vals = F.filter(multi, lambda x: x.isNotNull())
-        return F.transform(vals, lambda x: _element_literal(x))
+        et = None
+        if df is not None:
+            try:
+                t = df.select(vals.alias("__v")).schema[0].dataType
+                if isinstance(t, T.ArrayType):
+                    et = t.elementType
+            except Exception:
+                et = None
+        return F.transform(vals, lambda x: _element_literal(x, et))
     dtype = _resolve_dtype(df, member) if df is not None else None
     lit = json_scalar(expr, dtype)
     return F.when(expr.isNull(), F.array()).otherwise(F.array(lit))
 
 
-def _element_literal(x: Column) -> Column:
-    """Canonical JSON literal of an array element (generic to_json
-    path — element dtypes are not statically specialized)."""
+def _element_literal(x: Column, etype: Optional[T.DataType] = None) -> Column:
+    """Canonical JSON literal of an array element.  When the caller
+    statically knows the element dtype, doubles route through
+    ``py_double_repr`` so array-member keys join with Python-rendered
+    keys (same contract as json_scalar); otherwise the generic to_json
+    path (struct/map elements, or unresolvable dotted walks — the
+    documented residue: doubles NESTED inside such elements keep Java
+    rendering)."""
+    if etype is not None and isinstance(etype, (T.DoubleType, T.FloatType)):
+        return py_double_repr(x.cast("double"))
+    if etype is not None and isinstance(etype, _PLAIN_CAST_TYPES):
+        return x.cast("string")
     arr = F.to_json(F.array(x))
     return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
+
+
+def py_double_repr(c: Column) -> Column:
+    """THE canonical rendering of a double key member: Java's
+    ``Double.toString`` digits reformatted into Python's ``repr`` /
+    ``json.dumps`` STYLE, computed in pure JVM Column algebra (string
+    surgery on the cast — codegen builtins, HOF-safe, no Python
+    stage, no per-row formatting calls).
+
+    Why: canonical keys from PYTHON-side serialization (shredded
+    document tables via docshred._canon, provider keys via
+    key_strings_py — both ``json.dumps``, matching the reference's
+    GenKeyStrings, index_check.py:240-242) must byte-join with keys
+    rendered from TYPED columns.  Java and Python disagree on form
+    ('1.0E20' vs '1e+20'; plain/sci switch at 1e7 vs 1e16; exponent
+    zero-padding), so raw to_json/cast output silently miss-joins.
+
+    Join correctness comes from normalizing EVERY key source through
+    this one expression (typed columns here; Python-rendered float
+    literals re-parse through ``canon_literal_norm`` at key-build
+    time), so the output is identical across sources BY CONSTRUCTION
+    — a pure function of the double value.
+
+    Rendering parity with json.dumps is exact in FORM (plain decimal
+    for repr exponent n in [-4, 15], ``1e+20`` / ``1.5e-05`` sci
+    outside, sign, two-digit-min negative exponents) and exact in
+    DIGITS except where this JVM's legacy ``Double.toString`` emits a
+    non-shortest digit (JDK-4511638, fixed in JDK 19; measured
+    582/203k uniform-bit doubles on JDK 17).  Those renderings still
+    round-trip to the exact value and are value-deterministic — they
+    just carry one more digit than CPython would print.  Operational
+    caveat: a persisted KeyLedger written under one JDK major line
+    and read under another (legacy → Ryū, JDK ≤18 → ≥19) can
+    miss-join that ~0.3% residue of float keys — rebuild/compact
+    float-keyed ledgers on JVM major upgrades.  Property-tested
+    (validity, form, cross-source joins) in tests/test_double_keys.py.
+    """
+    s = c.cast("string")
+    neg = s.startswith("-")
+    sign = F.when(neg, F.lit("-")).otherwise(F.lit(""))
+    body_in = F.when(neg, s.substr(F.lit(2), F.length(s))).otherwise(s)
+
+    mant = F.substring_index(body_in, "E", 1)
+    n = F.substring_index(body_in, "E", -1).cast("int")
+    # digit string without point or trailing zeros ("1.0" -> "1");
+    # nonzero doubles never yield all-zero digits here (x == 0.0 has
+    # no exponent and stays on the plain pass-through)
+    digits = F.regexp_replace(
+        F.replace(mant, F.lit("."), F.lit("")), "0+$", ""
+    )
+    digits = F.when(F.length(digits) == 0, F.lit("0")).otherwise(digits)
+    ln = F.length(digits)
+
+    def zeros(m: Column) -> Column:
+        return F.lit("0" * 24).substr(F.lit(1), F.greatest(m, F.lit(0)))
+
+    plain = (
+        F.when(n < 0, F.concat(F.lit("0."), zeros(-n - F.lit(1)), digits))
+        .when(
+            n >= ln - 1,
+            F.concat(digits, zeros(n - ln + F.lit(1)), F.lit(".0")),
+        )
+        .otherwise(
+            F.concat(
+                digits.substr(F.lit(1), n + F.lit(1)),
+                F.lit("."),
+                digits.substr(n + F.lit(2), ln),
+            )
+        )
+    )
+    sci_mant = F.when(ln == 1, digits).otherwise(
+        F.concat(
+            digits.substr(F.lit(1), F.lit(1)),
+            F.lit("."),
+            digits.substr(F.lit(2), ln),
+        )
+    )
+    # exponent: two-digit minimum like Python ('1e-05'), but NEVER
+    # truncate larger ones (lpad truncates, so pad by branch)
+    neg_exp = F.when(
+        n > -10, F.concat(F.lit("0"), (-n).cast("string"))
+    ).otherwise((-n).cast("string"))
+    sci = F.when(
+        n >= 0, F.concat(sci_mant, F.lit("e+"), n.cast("string"))
+    ).otherwise(F.concat(sci_mant, F.lit("e-"), neg_exp))
+    converted = F.when((n >= 16) | (n <= -5), sci).otherwise(plain)
+    return (
+        # NaN / ±Infinity: Java names == Python json.dumps names
+        # (plain pass-through); no 'E' means Java plain form, which
+        # byte-matches Python's in its [1e-3, 1e7) window
+        F.when(~body_in.contains("E"), s).otherwise(
+            F.concat(sign, converted)
+        )
+    )
+
+
+# a JSON number literal that is a FLOAT (has a fraction and/or
+# exponent — json.dumps emits one of them for every Python float);
+# integer literals are exact digit runs on every source and must NOT
+# be re-rendered (type-distinct keys: '1.0' never collides with '1')
+_FLOAT_LIT = r"^-?[0-9]+(\.[0-9]+([eE][+-]?[0-9]+)?|[eE][+-]?[0-9]+)$"
+
+
+def canon_literal_norm(c: Column) -> Column:
+    """Normalize a PYTHON-rendered canonical JSON literal for key
+    joins: float literals re-parse and re-render through
+    ``py_double_repr`` so shredded-table and provider keys
+    byte-match typed-column keys regardless of which side rendered
+    first ('1e+20' vs '1.0E20' vs a legacy-digit variant all
+    normalize to the same string — the join contract is the
+    EXPRESSION, not any language's formatter).  Non-float literals
+    (strings, ints, bools, null, objects/arrays) pass through
+    untouched; the integer fast path is a single rlike.  Residue:
+    floats nested INSIDE object/array-valued literals are not
+    re-rendered (their Python form is then itself the canonical one —
+    consistent as long as such exotic members only come from
+    shredded/Python sources, which is the only place they can occur:
+    json_scalar's struct leg documents the same boundary)."""
+    return F.when(
+        c.rlike(_FLOAT_LIT), py_double_repr(c.cast("double"))
+    ).otherwise(c)
 
 
 # characters whose presence forces the exact (interpreted) JSON
@@ -191,12 +346,23 @@ def json_scalar(c: Column, dtype: Optional[T.DataType] = None) -> Column:
     - string: quote-concat fast path, falling back to the exact
       ``to_json`` escape path only when escape-worthy characters are
       present (codegen branch + rare interpreted branch);
-    - anything else (double, struct, array, binary): the generic
+    - double/float: ``py_double_repr`` — Python's shortest-round-trip
+      rendering in Column algebra, so typed-column keys byte-join with
+      Python-serialized keys (shredded tables, providers, the
+      reference's own GenKeyStrings; round-6 fix — to_json's Java form
+      '1.0E20' could silently miss-join against Python '1e+20');
+    - anything else (struct, array, binary): the generic
       ``to_json(array(x))`` minus brackets, which Spark escapes and
-      type-tags correctly (e.g. 1e20 → JSON exponent form).
+      type-tags correctly.  Doubles nested INSIDE such composites keep
+      Java rendering — the documented residue.
     """
     if dtype is not None and isinstance(dtype, _PLAIN_CAST_TYPES):
         return c.cast("string")
+    if dtype is not None and isinstance(dtype, (T.DoubleType, T.FloatType)):
+        rendered = py_double_repr(c.cast("double"))
+        return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+            rendered
+        )
     generic = None
     arr = F.to_json(F.array(c))
     generic = arr.substr(F.lit(2), F.length(arr) - F.lit(2))
@@ -333,7 +499,16 @@ def _grouped_key_strings(
     array-element instance, so GenKeyStrings — including the
     atomic-fast-path decision — runs per element and the results
     union across elements."""
-    outers = [F.coalesce(flat_col(m + "#v"), F.array()) for m in members]
+    outers = [
+        F.coalesce(
+            F.transform(
+                flat_col(m + "#v"),
+                lambda inner: F.transform(inner, canon_literal_norm),
+            ),
+            F.array(),
+        )
+        for m in members
+    ]
     _wrap = lambda x: F.concat(F.lit("["), x, F.lit("]"))  # noqa: E731
     if len(members) == 1:
         o = outers[0]
@@ -411,10 +586,10 @@ def key_columns(
     """
     cols = [member_col(m, df) for m in members]
     if canonical:
-        scalars = cols
+        scalars = [canon_literal_norm(c) for c in cols]
         if len(cols) == 1:
-            key = cols[0]
-            obs = F.regexp_replace(cols[0], '^"|"$', "")
+            key = scalars[0]
+            obs = F.regexp_replace(scalars[0], '^"|"$', "")
         else:
             key = F.concat(F.lit("["), F.concat_ws(",", *scalars), F.lit("]"))
             obs = key

@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 from typing import Iterable, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def canonical_key_py(values) -> str:
@@ -53,8 +54,14 @@ class InlineProvider:
     allow_duplicates: bool = True  # ⇔ allow_provider_duplicates
 
     def dimension(self, spark: SparkSession) -> DataFrame:
+        from .keys import canon_literal_norm
+
         canon = sorted({canonical_key_py(k) for k in self.keys})
-        return spark.createDataFrame([(k,) for k in canon], "__key string")
+        df = spark.createDataFrame([(k,) for k in canon], "__key string")
+        # float keys re-render through the engine's canonical double
+        # expression so provider dims byte-join typed-column keys
+        # (keys.canon_literal_norm; ints/strings pass through)
+        return df.select(canon_literal_norm(F.col("__key")).alias("__key"))
 
 
 def fetch_remote_provider(
