@@ -136,8 +136,23 @@ def wave_or_fake_decode(buf: Optional[bytes]) -> Tuple[int, np.ndarray]:
     return fake_audio_decode(buf)
 
 
+def png_or_fake_decode(
+    buf: Optional[bytes],
+) -> Tuple[bool, Optional[str], int, int, Optional[np.ndarray]]:
+    """Container-dispatched image fallback (round-6 twin of
+    wave_or_fake_decode): PNG magic → the vendored pure-stdlib PNG
+    parser (payload/png.py — real chunk framing, CRCs, inflate,
+    defilter), anything else → the deterministic FIMG fake — so the
+    image battery decodes a REAL container in every environment."""
+    if buf and bytes(buf[:8]) == b"\x89PNG\r\n\x1a\n":
+        from . import png as _png
+
+        return _png.decode(buf)
+    return fake_image_codec.decode(buf)
+
+
 def auto_image_decoder() -> Callable:
-    return pil_decode if pil_available() else fake_image_codec.decode
+    return pil_decode if pil_available() else png_or_fake_decode
 
 
 def auto_audio_decoder() -> Callable:
