@@ -148,24 +148,69 @@ def main() -> int:
     if os.path.exists(comp_path):
         with open(comp_path) as f:
             components = json.load(f)
-    print(
-        json.dumps(
+    # Round-6 fix (BENCH_r05 "parsed": null): the driver's tail
+    # capture is FIXED-SIZE and truncates from the LEFT, so the final
+    # line must stay compact or its opening brace is cut off and the
+    # record unparseable.  The contract line carries the headline +
+    # per-query timings + compact scaling evidence; everything bulky
+    # (raw run arrays, violation row counts, clustering detail) goes
+    # to BENCH_DETAIL.json alongside.
+    detail = {
+        "extra_queries": extras,
+        "scaling_run": scaling,
+        "components_run": components,
+        "violation_rows": rows,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    scaling_brief = None
+    if scaling:
+        scaling_brief = {
+            k: scaling.get(k)
+            for k in (
+                "n_images",
+                "low_cpus",
+                "low_images_per_sec",
+                "high_cpus",
+                "high_images_per_sec",
+                "scaling_efficiency",
+                "pass",
+            )
+        }
+    line = json.dumps(
+        {
+            "metric": "validation suite wall time (flagship: validated images/sec over full engine+payload suite)",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "extra_queries": extras,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "cpus": args.cpus,
+            "n_images": n_images,
+            "images_per_sec": images_per_sec,
+            "scaling": scaling_brief,
+            "detail": "BENCH_DETAIL.json",
+        }
+    )
+    if len(line) > 1900:  # driver tail window is 2000 chars (measured
+        # from BENCH_r04/r05: r04's 2000-char tail parsed, r05's
+        # left-truncated at 2000 and did not)
+        line = json.dumps(
             {
                 "metric": "validation suite wall time (flagship: validated images/sec over full engine+payload suite)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "extra_queries": extras,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": args.cpus,
-                "n_images": n_images,
                 "images_per_sec": images_per_sec,
-                "scaling_run": scaling,
-                "components_run": components,
-                "violation_rows": rows,
+                "scaling": scaling_brief,
+                "detail": "BENCH_DETAIL.json",
             }
         )
-    )
+    sys.stdout.flush()
+    print(line, flush=True)
     spark.stop()
     return 0
 
