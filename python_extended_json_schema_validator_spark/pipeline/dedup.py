@@ -177,11 +177,21 @@ def connected_components(
 
     Scale shape: one narrow shuffle per iteration (edges⋈labels on
     id + groupBy min over (id, label) longs — the texts/vectors never
-    enter the loop), converging in O(graph diameter) iterations;
-    near-dup clusters are shallow (a few hops), which is why plain
-    propagation is used instead of the large-star/small-star dance.
+    enter the loop), converging in O(graph diameter) iterations.
     Each iteration ends in localCheckpoint() to cut the join lineage,
     and convergence is a limit(1) probe, not a full count.
+
+    Algorithm choice (round-6 A/B, BENCH_COMPONENTS.json star_ab):
+    this plain loop wins BELOW ~100k nodes (fewer actions per round —
+    1.8 s vs 2.1 s on the 75-node flagship graph); the two-phase
+    large-star/small-star variant (connected_components_star) wins
+    from ~200k up (28 s vs 47 s at 1.5M on the near-dup shape, equal
+    output) and is the ONLY option on deep graphs (a 5M-node chain:
+    star converges in 24 rounds where this loop's strict guard
+    rightly raises at max_iter).  Default pipelines keep this loop
+    because banded near-dup graphs are shallow and flagship-scale;
+    reach for the star variant on unknown-diameter or ≥10^6-node
+    graphs.
 
     A graph whose diameter exceeds ``max_iter`` (a pathological long
     chain at scale) would return INCOMPLETE components — chains
@@ -266,6 +276,128 @@ def connected_components(
 
         logging.getLogger(__name__).warning(msg)
     return labels.select("id", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    ids: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 50,
+    strict: bool = True,
+    stats: Optional[dict] = None,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the DEEP-GRAPH path.
+
+    Plain min-label propagation (connected_components) moves a
+    component's min label ONE HOP per iteration: O(diameter) rounds,
+    perfect for shallow near-dup clusters, hopeless on a chained
+    graph (a 5M-node path would need 5M rounds).  The star rounds
+    contract paths DOUBLY-logarithmically: large-star hangs every
+    node's larger neighbors directly onto its smallest reachable
+    node, small-star re-hangs the smaller ones, and the edge set
+    converges to per-component stars in O(log² n) rounds (~10-25 for
+    any realistic n) REGARDLESS of diameter.
+
+    Per round: 2 grouped mins + 2 joins + a distinct — all on (long,
+    long) edges, nothing wider ever shuffles; lineage cut by
+    localCheckpoint like the plain loop.  Convergence = the small-star
+    edge set reaches a fixpoint (count equal + one anti-join
+    limit(1) probe); the strict raise-guard is identical to
+    connected_components.  Pick by graph shape: near-dup banding
+    output → plain propagation (fewer shuffles/round, diameter is
+    small); unknown/chain-risk graphs → this (BENCH_COMPONENTS.json
+    round-6 A/B: equal output on shallow graphs, star alone finishes
+    the 5M-node chain).
+    """
+    import time as _time
+
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("u"),
+            F.col("dst").cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _large_star(ed):
+        sym = ed.unionByName(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(ed):
+        o = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        hang = (
+            o.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        root = o.join(mins, "u").select("u", F.col("m").alias("v"))
+        return (
+            hang.unionByName(root)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    iter_secs = []
+    converged = False
+    for _ in range(max_iter):
+        t0 = _time.time()
+        new = _small_star(_large_star(e)).localCheckpoint()
+        same_count = new.count() == e.count()
+        moved = (
+            0
+            if not same_count
+            else new.exceptAll(e).limit(1).count()
+        )
+        done = same_count and moved == 0
+        e = new
+        iter_secs.append(_time.time() - t0)
+        if done:
+            converged = True
+            break
+    if stats is not None:
+        stats["iterations"] = len(iter_secs)
+        stats["iter_secs"] = [round(s, 2) for s in iter_secs]
+        stats["converged"] = converged
+    if not converged:
+        msg = (
+            f"connected_components_star did not reach an edge fixpoint "
+            f"within max_iter={max_iter} rounds; labels are an "
+            f"incomplete coarsening. Raise max_iter or pass "
+            f"strict=False to accept partial labels."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
+    # converged edges are per-component stars: (node, component-min)
+    stars = e.groupBy("u").agg(F.min("v").alias("component"))
+    out = (
+        ids.select(F.col(id_col).cast("long").alias("id"))
+        .join(stars, F.col("id") == F.col("u"), "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    )
+    return out
 
 
 def minhash_near_duplicates(

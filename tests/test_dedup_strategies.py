@@ -98,3 +98,92 @@ def test_window_agg_parity_testdata(spark):
         outs[strat] = multiset(res.violations)
     assert outs["window"] == outs["agg"]
     assert sum(outs["window"].values()) > 100
+
+
+# ------------------------------------------------------------------ #
+# Round 6: large-star/small-star vs plain propagation (verdict #7)    #
+# ------------------------------------------------------------------ #
+
+
+def test_star_components_equal_plain(spark):
+    """The two-phase star variant (Kiveris et al. 2014) produces
+    EXACTLY the labels of plain min-label propagation on a random
+    graph + stars + short chains + singletons."""
+    import random
+
+    from python_extended_json_schema_validator_spark.pipeline.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(3)
+    n = 1500
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(1100)]
+    edges += [(5000 + i, 5000 + i + 1) for i in range(15)]
+    ids = (
+        [(i,) for i in range(n)]
+        + [(5000 + i,) for i in range(16)]
+        + [(99999,)]  # singleton never in edges
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    idf = spark.createDataFrame(ids, "id long")
+    plain = {
+        r.id: r.component
+        for r in connected_components(e, idf, max_iter=100).collect()
+    }
+    st: dict = {}
+    star = {
+        r.id: r.component
+        for r in connected_components_star(e, idf, stats=st).collect()
+    }
+    assert plain == star
+    assert st["converged"] and st["iterations"] <= 15
+    assert star[99999] == 99999  # singleton labels itself
+
+
+def test_star_components_collapse_deep_chain(spark):
+    """Worst-case diameter: a 400-node path.  Plain propagation
+    raises its strict guard at max_iter=25 (documented); the star
+    variant converges in O(log² n) rounds with every node labeled by
+    the chain head."""
+    import pytest as _pytest
+
+    from python_extended_json_schema_validator_spark.pipeline.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    ce = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "src long, dst long"
+    )
+    cids = spark.createDataFrame([(i,) for i in range(401)], "id long")
+    with _pytest.raises(RuntimeError):
+        connected_components(ce, cids, max_iter=25)
+    st: dict = {}
+    comp = connected_components_star(ce, cids, stats=st)
+    assert st["converged"] and st["iterations"] <= 15
+    assert {r.component for r in comp.collect()} == {0}
+
+
+def test_star_components_strict_guard(spark):
+    """max_iter exhaustion raises (strict) / warns with partial
+    labels (strict=False) — same contract as plain propagation."""
+    import pytest as _pytest
+
+    from python_extended_json_schema_validator_spark.pipeline.dedup import (
+        connected_components_star,
+    )
+
+    ce = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "src long, dst long"
+    )
+    cids = spark.createDataFrame([(i,) for i in range(301)], "id long")
+    with _pytest.raises(RuntimeError):
+        connected_components_star(ce, cids, max_iter=2)
+    st: dict = {}
+    out = connected_components_star(
+        ce, cids, max_iter=2, strict=False, stats=st
+    )
+    assert not st["converged"]
+    # partial labels are still a valid coarsening: never cross-merge
+    assert out.count() == 301

@@ -127,12 +127,111 @@ def simhash_at_scale(spark: SparkSession, n_docs: int,
     }
 
 
+def star_ab_at_scale(spark: SparkSession, n_nodes: int) -> dict:
+    """Round-6 A/B (verdict #7): plain label propagation vs the
+    large-star/small-star variant.
+
+    Phase 1 — EQUAL OUTPUT on the realistic near-dup graph shape
+    (same generator as components_at_scale): both algorithms, same
+    labels (checked via count + component-sum fingerprint), walls
+    side by side.  Phase 2 — the worst case plain propagation cannot
+    touch: ONE chain across n_nodes (diameter = n_nodes).  Plain
+    raises its strict guard at max_iter=25 (documented, recorded);
+    star converges in O(log² n) rounds and must label every node 0."""
+    # phase 1: shallow near-dup shape at the round-5 record's 1.5M
+    # cardinality (keeps the numbers comparable); phase 2 = n_nodes
+    shallow_n = min(n_nodes, 1_500_000)
+    ids = spark.range(0, shallow_n, 1, 64).select(F.col("id"))
+    stars = (
+        spark.range(0, shallow_n, 1, 64)
+        .where((F.col("id") % 10).isin(1, 2, 3))
+        .select(
+            F.col("id").alias("src"),
+            (F.col("id") - (F.col("id") % 10)).alias("dst"),
+        )
+    )
+    chains = (
+        spark.range(0, shallow_n, 1, 64)
+        .where(((F.col("id") % 800) < 7))
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    edges = stars.unionByName(chains)
+
+    def _fingerprint(comp):
+        row = comp.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("component")).alias("s"),
+            F.sum(F.hash("id", "component").cast("long")).alias("h"),
+        ).first()
+        return (row.n, row.s, row.h)
+
+    plain_stats: dict = {}
+    t0 = time.time()
+    fp_plain = _fingerprint(
+        dedup.connected_components(
+            edges, ids, max_iter=25, strict=True, stats=plain_stats
+        )
+    )
+    plain_wall = time.time() - t0
+    star_stats: dict = {}
+    t0 = time.time()
+    fp_star = _fingerprint(
+        dedup.connected_components_star(edges, ids, stats=star_stats)
+    )
+    star_wall = time.time() - t0
+    assert fp_plain == fp_star, (fp_plain, fp_star)
+
+    # phase 2: one n_nodes-long chain — worst-case diameter
+    deep_ids = spark.range(0, n_nodes, 1, 64).select(F.col("id"))
+    deep_edges = (
+        spark.range(0, n_nodes - 1, 1, 64)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    plain_raises = False
+    try:
+        dedup.connected_components(
+            deep_edges, deep_ids, max_iter=25, strict=True
+        ).limit(1).count()
+    except RuntimeError:
+        plain_raises = True
+    deep_stats: dict = {}
+    t0 = time.time()
+    deep = dedup.connected_components_star(
+        deep_edges, deep_ids, stats=deep_stats
+    )
+    n_bad = deep.where(F.col("component") != 0).count()
+    deep_wall = time.time() - t0
+    assert n_bad == 0, f"{n_bad} nodes not labeled 0 on the chain"
+    return {
+        "shallow": {
+            "n_nodes": shallow_n,
+            "plain_wall_sec": round(plain_wall, 2),
+            "plain_iterations": plain_stats["iterations"],
+            "star_wall_sec": round(star_wall, 2),
+            "star_iterations": star_stats["iterations"],
+            "equal_output": True,
+            "winner": "plain" if plain_wall <= star_wall else "star",
+        },
+        "deep_chain": {
+            "n_nodes": n_nodes,
+            "diameter": n_nodes - 1,
+            "plain_raises_at_max_iter_25": plain_raises,
+            "star_wall_sec": round(deep_wall, 2),
+            "star_iterations": deep_stats["iterations"],
+            "star_converged": deep_stats["converged"],
+            "all_labels_zero": True,
+        },
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=1_500_000)
     ap.add_argument("--docs", type=int, default=1_500_000)
+    ap.add_argument("--star-nodes", type=int, default=5_000_000)
     ap.add_argument("--cpus", type=int, default=16)
-    ap.add_argument("--only", choices=["components", "simhash", "both"],
+    ap.add_argument("--only", choices=["components", "simhash", "both",
+                                       "star_ab"],
                     default="both")
     args = ap.parse_args()
 
@@ -149,6 +248,8 @@ def main() -> int:
         result["components"] = components_at_scale(spark, args.nodes)
     if args.only in ("simhash", "both"):
         result["simhash"] = simhash_at_scale(spark, args.docs)
+    if args.only == "star_ab":
+        result["star_ab"] = star_ab_at_scale(spark, args.star_nodes)
     print(json.dumps(result))
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
