@@ -1253,6 +1253,83 @@ def q_fk_dangling_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ref_viol["orders"].select(*VIOL_COLS)
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 large-star/small-star variant
+    (dedup.connected_components_star, Kiveris et al. 2014 — the
+    deep-graph path) over EXACTLY the q_dedup_components graph: same
+    corpus, same ≤1-symmetric-difference edge rule, same recursive-CTE
+    oracle — algorithm-independent labels, so both oracle rows share
+    one SQL text.  Proves the star rounds' edge-fixpoint labeling
+    hash-matches plain propagation under the driver's hard signal."""
+    from python_extended_json_schema_validator_spark.pipeline import dedup
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 25)
+        .select("doc_id", "text")
+    )
+    b = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq1")).alias("text"),
+    )
+    c = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq1 zq2")).alias("text"),
+    )
+    corpus = docs.unionByName(b).unionByName(c)
+    sh = dedup.word_shingles(corpus, "doc_id", k=3)
+    ids_a = corpus.select(F.col("doc_id").alias("doc_a"))
+    ids_b = corpus.select(F.col("doc_id").alias("doc_b"))
+    pairs = ids_a.crossJoin(ids_b).where(F.col("doc_a") < F.col("doc_b"))
+    jac = dedup.jaccard_on_pairs(pairs, sh)
+    edges = jac.where(
+        (F.col("sz_a") + F.col("sz_b") - 2 * F.col("inter")) <= 1
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = dedup.connected_components_star(
+        edges, corpus.select("doc_id"), id_col="doc_id"
+    )
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def q_stream_stateful_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch duplicate VIOLATIONS via the custom stateful
+    streaming operator (streaming.incremental.stateful_dup_violations,
+    applyInPandasWithState): orders stream in as one availableNow
+    batch, state holds one survivor row_id per o_custkey (min string
+    row_id), and every later registration EMITS (key, row_id,
+    survivor).  The oracle recomputes the emissions with a window —
+    the operator's state discipline (not just dedup survivors) is
+    what the hash checks."""
+    import tempfile
+
+    from python_extended_json_schema_validator_spark.streaming.incremental import (
+        stateful_dup_violations,
+    )
+
+    base = _t(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_custkey")
+    root = tempfile.mkdtemp(prefix="sdup_q")
+    src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    base.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    dups = stateful_dup_violations(stream, "o_custkey", "o_orderkey")
+    q = (
+        dups.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "key string, row_id string, survivor string"
+    ).parquet(out)
+
+
 def q_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed resume (manifest.PartitionManifest): increment 1
     validates partitions 0-3 of customer (part = c_custkey % 8) and
@@ -1444,6 +1521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_manifest": q_resume_manifest,
         "ledger_increments": q_ledger_increments,
         "stream_incremental": q_stream_incremental,
+        "dedup_components_star": q_dedup_components_star,
+        "stream_stateful_dups": q_stream_stateful_dups,
     }
 
 
@@ -1451,8 +1530,22 @@ LI_ID = "CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)"
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "ann_lsh": _ann_lsh_oracle(),
+        # round 6: the stateful streaming dedup operator's emissions —
+        # every non-survivor registration, survivor = min string
+        # row_id per key (single availableNow batch => one state pass)
+        "stream_stateful_dups": """
+            SELECT CAST(o_custkey AS VARCHAR) AS key,
+                   CAST(o_orderkey AS VARCHAR) AS row_id,
+                   mn AS survivor
+            FROM (
+              SELECT o_orderkey, o_custkey,
+                     MIN(CAST(o_orderkey AS VARCHAR))
+                       OVER (PARTITION BY o_custkey) AS mn
+              FROM orders WHERE o_custkey IS NOT NULL
+            ) WHERE CAST(o_orderkey AS VARCHAR) <> mn
+        """,
         # round 6: resume lineage — every manifest row predicted from
         # the base table (seq 1: partitions 0-3 ok; seq 2: 2-3 failed;
         # seq 3: latest-wins pending set = 2-7 re/first-validated)
@@ -2426,3 +2519,7 @@ def oracle_sql() -> dict[str, str]:
             FROM range(0, 20) t(i), (VALUES (0), (2), (4)) u(f)
         """,
     }
+    # the star variant labels the SAME graph identically (round-6 A/B:
+    # algorithm-independent output) — one oracle text, two queries
+    d["dedup_components_star"] = d["dedup_components"]
+    return d
