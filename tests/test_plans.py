@@ -263,3 +263,47 @@ def test_element_battery_stays_jvm_side(spark):
     assert plan.count("ArrowEvalPython") == 0
     assert plan.count("BatchEvalPython") == 0
     assert "Exchange" not in plan
+
+
+def test_double_key_canonicalization_stays_jvm_side(spark):
+    """Round 6: py_double_repr / canon_literal_norm are pure Column
+    algebra — a unique-key dedup over a DOUBLE member plus a
+    canonical-literal member must show zero Python stages and exactly
+    the one dedup Exchange the window always costs, with the double
+    branch compiled away for int/string keys (identical plan shape)."""
+    from python_extended_json_schema_validator_spark import (
+        KeySpec,
+        TableSpec,
+        ValidationEngine,
+    )
+
+    df = spark.range(0, 1000, 1, 4).select(
+        F.col("id").cast("string").alias("rid"),
+        (F.col("id") % 37 * 1e18).alias("dval"),
+        F.concat(F.lit("1e+"), (F.col("id") % 5 + 18).cast("string")).alias(
+            "lit"
+        ),
+    )
+    spec = TableSpec(
+        name="t",
+        row_id="rid",
+        unique=[KeySpec(("dval",))],
+    )
+    res = ValidationEngine([spec]).validate({"t": df})
+    plan = final_plan(res.row_viol["t"].unionByName(
+        res.violations.limit(0)
+    ))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+    # canonical-literal table: the float-literal normalization (rlike
+    # gate + surgery) also compiles to pure JVM expressions
+    lit_spec = TableSpec(
+        name="lt", row_id="rid", canonical_json=True,
+        unique=[KeySpec(("lit",))],
+    )
+    ldf = df.select("rid", "lit")
+    lres = ValidationEngine([lit_spec]).validate({"lt": ldf})
+    lplan = final_plan(lres.violations)
+    assert "ArrowEvalPython" not in lplan
+    assert "BatchEvalPython" not in lplan and "PythonUDF" not in lplan
