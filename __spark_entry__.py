@@ -1330,6 +1330,44 @@ def q_stream_stateful_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(out)
 
 
+def q_neardup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-increment NEAR-dup ledger
+    (pipeline/incremental_neardup.py): increment 1 (docs < 30)
+    records its MinHash band buckets + signatures; increment 2 (the
+    ' extra token' mutants) is checked against the LEDGER ONLY — its
+    band collisions with prior sketches, verified by the
+    signature-component Jaccard estimator.  The oracle recomputes
+    both increments' md5 minhash signatures, the banded candidate
+    join, and the component-agreement fraction in SQL (the m/8
+    estimate is a dyadic rational — bitwise-stable division).
+    Increment 1 itself must emit ZERO rows (empty ledger — and the
+    materialize-before-append ordering keeps it from colliding with
+    itself)."""
+    import tempfile
+
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        MinHashLedger,
+        cross_increment_near_duplicates,
+    )
+
+    base = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    inc1 = base.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    inc2 = base.select(
+        (F.col("doc_id") + 100000).cast("string").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    led = MinHashLedger(tempfile.mkdtemp(prefix="nd_ledger"), num_hashes=8)
+    v1 = cross_increment_near_duplicates(inc1, "doc_id", led, bands=4)
+    v2 = cross_increment_near_duplicates(
+        inc2, "doc_id", led, bands=4, update=False
+    )
+    return v1.unionByName(v2).select(
+        F.col("doc_new").cast("long").alias("doc_new"),
+        F.col("doc_prior").cast("long").alias("doc_prior"),
+        F.col("est_jaccard").cast("double").alias("est_jaccard"),
+    )
+
+
 def q_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed resume (manifest.PartitionManifest): increment 1
     validates partitions 0-3 of customer (part = c_custkey % 8) and
@@ -1523,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incremental": q_stream_incremental,
         "dedup_components_star": q_dedup_components_star,
         "stream_stateful_dups": q_stream_stateful_dups,
+        "neardup_ledger": q_neardup_ledger,
     }
 
 
@@ -2522,4 +2561,75 @@ def oracle_sql() -> dict[str, str]:
     # the star variant labels the SAME graph identically (round-6 A/B:
     # algorithm-independent output) — one oracle text, two queries
     d["dedup_components_star"] = d["dedup_components"]
+    # cross-increment near-dup ledger: increment 2's band collisions
+    # against increment 1's recorded sketches + the m/8 component
+    # estimator (dyadic → bitwise-stable), increment 1 emits nothing
+    d["neardup_ledger"] = """
+        WITH inc1 AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc, text
+          FROM documents WHERE doc_id < 30
+        ), inc2 AS (
+          SELECT CAST(doc_id + 100000 AS VARCHAR) AS doc,
+                 text || ' extra token' AS text
+          FROM documents WHERE doc_id < 30
+        ), sh1 AS (
+          SELECT DISTINCT doc,
+                 CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+                      ELSE array_to_string(t, ' ') END AS shingle
+          FROM (SELECT doc,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                FROM inc1),
+               LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+        ), sh2 AS (
+          SELECT DISTINCT doc,
+                 CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+                      ELSE array_to_string(t, ' ') END AS shingle
+          FROM (SELECT doc,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                FROM inc2),
+               LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+        ), sig1 AS (
+          SELECT doc,
+                 min(md5('s0:' || shingle)) AS h0, min(md5('s1:' || shingle)) AS h1,
+                 min(md5('s2:' || shingle)) AS h2, min(md5('s3:' || shingle)) AS h3,
+                 min(md5('s4:' || shingle)) AS h4, min(md5('s5:' || shingle)) AS h5,
+                 min(md5('s6:' || shingle)) AS h6, min(md5('s7:' || shingle)) AS h7
+          FROM sh1 GROUP BY doc
+        ), sig2 AS (
+          SELECT doc,
+                 min(md5('s0:' || shingle)) AS h0, min(md5('s1:' || shingle)) AS h1,
+                 min(md5('s2:' || shingle)) AS h2, min(md5('s3:' || shingle)) AS h3,
+                 min(md5('s4:' || shingle)) AS h4, min(md5('s5:' || shingle)) AS h5,
+                 min(md5('s6:' || shingle)) AS h6, min(md5('s7:' || shingle)) AS h7
+          FROM sh2 GROUP BY doc
+        ), b1 AS (
+          SELECT doc, 0 AS band, h0 || '|' || h1 AS bucket FROM sig1
+          UNION ALL SELECT doc, 1, h2 || '|' || h3 FROM sig1
+          UNION ALL SELECT doc, 2, h4 || '|' || h5 FROM sig1
+          UNION ALL SELECT doc, 3, h6 || '|' || h7 FROM sig1
+        ), b2 AS (
+          SELECT doc, 0 AS band, h0 || '|' || h1 AS bucket FROM sig2
+          UNION ALL SELECT doc, 1, h2 || '|' || h3 FROM sig2
+          UNION ALL SELECT doc, 2, h4 || '|' || h5 FROM sig2
+          UNION ALL SELECT doc, 3, h6 || '|' || h7 FROM sig2
+        ), cands AS (
+          SELECT DISTINCT n.doc AS doc_new, p.doc AS doc_prior
+          FROM b2 n JOIN b1 p
+            ON n.band = p.band AND n.bucket = p.bucket
+        )
+        SELECT CAST(c.doc_new AS BIGINT) AS doc_new,
+               CAST(c.doc_prior AS BIGINT) AS doc_prior,
+               ((CASE WHEN n.h0 = p.h0 THEN 1 ELSE 0 END
+               + CASE WHEN n.h1 = p.h1 THEN 1 ELSE 0 END
+               + CASE WHEN n.h2 = p.h2 THEN 1 ELSE 0 END
+               + CASE WHEN n.h3 = p.h3 THEN 1 ELSE 0 END
+               + CASE WHEN n.h4 = p.h4 THEN 1 ELSE 0 END
+               + CASE WHEN n.h5 = p.h5 THEN 1 ELSE 0 END
+               + CASE WHEN n.h6 = p.h6 THEN 1 ELSE 0 END
+               + CASE WHEN n.h7 = p.h7 THEN 1 ELSE 0 END) / 8.0)
+                 AS est_jaccard
+        FROM cands c
+        JOIN sig2 n ON n.doc = c.doc_new
+        JOIN sig1 p ON p.doc = c.doc_prior
+    """
     return d

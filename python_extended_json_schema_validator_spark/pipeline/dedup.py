@@ -92,11 +92,14 @@ def minhash_signatures(
     return shingles.groupBy("doc").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     signatures: DataFrame, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
-    """Band the signature (rows = num_hashes/bands) and self-join
-    within band buckets → candidate pairs (doc_a < doc_b, distinct)."""
+    """(doc, band, bucket) rows: the signature split into ``bands``
+    bands of ``num_hashes/bands`` rows each, bucket = the band's
+    hash components joined — the LSH join key, shared by in-corpus
+    candidate generation (lsh_candidate_pairs) and the
+    cross-increment ledger (incremental_neardup.MinHashLedger)."""
     rows = num_hashes // bands
     banded = []
     for b in range(bands):
@@ -111,6 +114,15 @@ def lsh_candidate_pairs(
     all_bands = banded[0]
     for d in banded[1:]:
         all_bands = all_bands.unionByName(d)
+    return all_bands
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows = num_hashes/bands) and self-join
+    within band buckets → candidate pairs (doc_a < doc_b, distinct)."""
+    all_bands = band_buckets(signatures, num_hashes, bands)
     a = all_bands.alias("a")
     b = all_bands.alias("b")
     return (

@@ -1,0 +1,159 @@
+"""Cross-increment NEAR-duplicate detection: a persistent MinHash
+band/signature ledger (round 6).
+
+The KeyLedger (manifest.py) extends EXACT uniqueness across
+increments; this module does the same for near-duplicates — the shape
+a continuously-ingesting training-data pipeline actually needs: when
+increment N+1 arrives, its documents must be checked against
+EVERYTHING already accepted without re-reading prior text.
+
+Design (the at-scale sketch discipline):
+- the ledger persists, per accepted document, its H-component MinHash
+  SIGNATURE (doc, h0..h{H-1}) and its LSH BAND BUCKETS (doc, band,
+  bucket) — ~a few hundred bytes per doc; raw text never re-enters.
+- an increment's candidates against history = its band buckets
+  equi-joined to the ledger's (bucketed, never all-pairs — the same
+  recall contract as in-corpus LSH: any pair agreeing on ≥1 band
+  surfaces).
+- verification is SIGNATURE-estimated Jaccard (fraction of agreeing
+  components, the standard MinHash estimator) because prior shingle
+  sets are gone by design; in-corpus pairs keep exact verification
+  (dedup.jaccard_on_pairs).
+
+Same crash-ordering contract as the exact ledger: candidates are
+materialized BEFORE the increment's own sketches are appended, so an
+increment never collides with itself on plan recomputation.
+
+Sandbox note: parquet-dir ledgers behind the SnapshotFS seam, exactly
+like manifest.KeyLedger — swap for Iceberg appends in production.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..manifest import LocalFS, SnapshotFS
+from . import dedup
+
+
+@dataclass
+class MinHashLedger:
+    """Persistent MinHash sketches: ``<root>/sigs`` (doc string,
+    h0..h{H-1} string) and ``<root>/bands`` (doc, band int, bucket
+    string), append-only parquet with pinned-file-list reads (the
+    SnapshotFS seam — appends after a dim is taken stay invisible to
+    that dim's plan)."""
+
+    root: str
+    num_hashes: int = 8
+    fs: SnapshotFS = field(default_factory=LocalFS)
+
+    def _read(self, spark: SparkSession, sub: str, schema: str):
+        files = self.fs.list_files(f"{self.root}/{sub}")
+        if not files:
+            return None
+        return spark.read.schema(schema).parquet(*files)
+
+    def sigs_dim(self, spark: SparkSession) -> Optional[DataFrame]:
+        cols = ", ".join(f"h{i} string" for i in range(self.num_hashes))
+        return self._read(spark, "sigs", f"doc string, {cols}")
+
+    def bands_dim(self, spark: SparkSession) -> Optional[DataFrame]:
+        return self._read(
+            spark, "bands", "doc string, band int, bucket string"
+        )
+
+    def record(self, signatures: DataFrame, bands: int) -> None:
+        """Append an increment's sketches (caller must have
+        materialized any candidates that read the ledger first)."""
+        sig = signatures.select(
+            F.col("doc").cast("string"),
+            *[F.col(f"h{i}") for i in range(self.num_hashes)],
+        )
+        sig.write.mode("append").parquet(f"{self.root}/sigs")
+        dedup.band_buckets(sig, self.num_hashes, bands).select(
+            F.col("doc").cast("string"),
+            F.col("band").cast("int"),
+            "bucket",
+        ).write.mode("append").parquet(f"{self.root}/bands")
+
+
+def cross_increment_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    ledger: MinHashLedger,
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 4,
+    min_est_jaccard: float = 0.0,
+    update: bool = True,
+) -> DataFrame:
+    """(doc_new, doc_prior, est_jaccard) for this increment's
+    documents whose MinHash bands collide with a PRIOR increment's
+    ledger entries, estimated-Jaccard ≥ ``min_est_jaccard``; then
+    (optionally) records this increment's sketches.
+
+    est_jaccard = fraction of agreeing signature components (the
+    unbiased MinHash estimator) — exact-shingle verification is
+    impossible and UNDESIRABLE here: the ledger's whole point is that
+    prior increments' text is never re-read.  Scale shape: one
+    groupBy (signatures), one bucketed equi-join (candidates), one
+    hash join on doc_prior (signature fetch) — texts ride only the
+    first aggregation."""
+    spark = df.sparkSession
+    H = ledger.num_hashes
+    sh = dedup.word_shingles(df, id_col, text_col, k)
+    sig = dedup.minhash_signatures(sh, H).select(
+        F.col("doc").cast("string"), *[f"h{i}" for i in range(H)]
+    )
+    prior_bands = ledger.bands_dim(spark)
+    if prior_bands is None:
+        out = spark.createDataFrame(
+            [], "doc_new string, doc_prior string, est_jaccard double"
+        )
+    else:
+        mine = dedup.band_buckets(sig, H, bands)
+        cands = (
+            mine.alias("n")
+            .join(
+                prior_bands.alias("p"),
+                (F.col("n.band") == F.col("p.band"))
+                & (F.col("n.bucket") == F.col("p.bucket")),
+            )
+            .select(
+                F.col("n.doc").alias("doc_new"),
+                F.col("p.doc").alias("doc_prior"),
+            )
+            .distinct()
+        )
+        prior_sigs = ledger.sigs_dim(spark)
+        agree = sum(
+            F.when(
+                F.col(f"n.h{i}") == F.col(f"p.h{i}"), 1
+            ).otherwise(0)
+            for i in range(H)
+        )
+        out = (
+            cands.join(
+                sig.alias("n"), cands["doc_new"] == F.col("n.doc")
+            )
+            .join(
+                prior_sigs.alias("p"),
+                cands["doc_prior"] == F.col("p.doc"),
+            )
+            .select(
+                "doc_new",
+                "doc_prior",
+                (agree / F.lit(float(H))).alias("est_jaccard"),
+            )
+            .where(F.col("est_jaccard") >= min_est_jaccard)
+        )
+        out = out.persist()
+        out.count()  # materialize BEFORE the ledger grows
+    if update:
+        ledger.record(sig, bands)
+    return out
