@@ -1368,6 +1368,78 @@ def q_neardup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-increment distribution drift
+    (pipeline/drift_ledger.py): increment 1 (even o_orderkey) records
+    its per-priority o_totalprice decile snapshot; increment 2 (odd,
+    with 1-URGENT prices doubled — an injected location shift) is
+    checked against the LEDGER baseline only.  Exact percentile ⇔
+    quantile_cont is bitwise (quantiles_exact oracle), and the shift
+    algebra (abs/sub/div/greatest/nullif) is bitwise-stable, so the
+    whole ledger path hash-checks.  Increment 1 emits zero rows (no
+    baseline yet; verdicts materialize before its snapshot
+    appends)."""
+    import tempfile
+
+    from python_extended_json_schema_validator_spark.pipeline.drift_ledger import (
+        QuantileLedger,
+        cross_increment_drift,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    inc1 = orders.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0).select(
+        "o_orderpriority", "o_totalprice"
+    )
+    inc2 = orders.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == 1).select(
+        "o_orderpriority",
+        (
+            F.col("o_totalprice")
+            * F.when(F.col("o_orderpriority") == "1-URGENT", 2.0).otherwise(
+                1.0
+            )
+        ).alias("o_totalprice"),
+    )
+    led = QuantileLedger(tempfile.mkdtemp(prefix="drift_led"))
+    v1 = cross_increment_drift(
+        inc1, led, "orders", "o_totalprice", ["o_orderpriority"]
+    )
+    v2 = cross_increment_drift(
+        inc2, led, "orders", "o_totalprice", ["o_orderpriority"],
+        update=False,
+    )
+    return v1.unionByName(v2)
+
+
+def _drift_ledger_oracle() -> str:
+    probs = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    lbl = lambda p: f"p{int(round(p * 100))}"  # noqa: E731
+    bq = ", ".join(
+        f"quantile_cont(o_totalprice, {p}) AS b_{lbl(p)}" for p in probs
+    )
+    inj = (
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2.0 "
+        "ELSE o_totalprice END"
+    )
+    cq = ", ".join(f"quantile_cont({inj}, {p}) AS c_{lbl(p)}" for p in probs)
+    shifts = ", ".join(
+        f"abs(c_{lbl(p)} - b_{lbl(p)}) / NULLIF(b_p90 - b_p10, 0.0)"
+        for p in probs
+    )
+    return f"""
+        WITH b AS (
+          SELECT o_orderpriority AS g, {bq}
+          FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+        ), c AS (
+          SELECT o_orderpriority AS g, {cq}
+          FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+        ), j AS (
+          SELECT c.g, greatest({shifts}) AS shift
+          FROM c JOIN b ON b.g = c.g
+        )
+        SELECT g AS o_orderpriority, shift, shift > 0.1 AS drifted FROM j
+    """
+
+
 def q_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed resume (manifest.PartitionManifest): increment 1
     validates partitions 0-3 of customer (part = c_custkey % 8) and
@@ -1562,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_star": q_dedup_components_star,
         "stream_stateful_dups": q_stream_stateful_dups,
         "neardup_ledger": q_neardup_ledger,
+        "drift_ledger": q_drift_ledger,
     }
 
 
@@ -2561,6 +2634,7 @@ def oracle_sql() -> dict[str, str]:
     # the star variant labels the SAME graph identically (round-6 A/B:
     # algorithm-independent output) — one oracle text, two queries
     d["dedup_components_star"] = d["dedup_components"]
+    d["drift_ledger"] = _drift_ledger_oracle()
     # cross-increment near-dup ledger: increment 2's band collisions
     # against increment 1's recorded sketches + the m/8 component
     # estimator (dyadic → bitwise-stable), increment 1 emits nothing

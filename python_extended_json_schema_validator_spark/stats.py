@@ -181,6 +181,20 @@ def decile_drift(
     else:
         qc = exact_quantiles(current, group_by, column, probs)
         qb = exact_quantiles(baseline, group_by, column, probs)
+    return quantile_shift(qc, qb, group_by, probs, threshold)
+
+
+def quantile_shift(
+    qc: DataFrame,
+    qb: DataFrame,
+    group_by: Sequence[str],
+    probs: Sequence[float] = DECILES,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """The compare half of decile_drift, over PRECOMPUTED per-group
+    quantile frames (columns: group_by…, p10..p90) — shared with the
+    cross-increment drift ledger, where the baseline side comes from a
+    persisted snapshot instead of a live aggregation."""
     labels = [_plabel(p) for p in probs]
     qc = qc.select(*group_by, *[F.col(l).alias(f"c_{l}") for l in labels])
     qb = qb.select(*group_by, *[F.col(l).alias(f"b_{l}") for l in labels])

@@ -307,3 +307,25 @@ def test_double_key_canonicalization_stays_jvm_side(spark):
     lplan = final_plan(lres.violations)
     assert "ArrowEvalPython" not in lplan
     assert "BatchEvalPython" not in lplan and "PythonUDF" not in lplan
+
+
+def test_resume_pending_filter_is_broadcast_anti_join(spark, tmp_path):
+    """manifest.filter_pending: the completed-partition set is tiny by
+    construction (one row per partition) and must reach the plan as a
+    BroadcastHashJoin LeftAnti — never a shuffle of the full scan."""
+    from python_extended_json_schema_validator_spark.manifest import (
+        PartitionManifest,
+    )
+
+    man = PartitionManifest(str(tmp_path / "man"))
+    metrics = spark.createDataFrame(
+        [("p0", 10, 0, 0), ("p1", 5, 1, 2)],
+        "partition string, n_rows long, n_failed long, n_violations long",
+    )
+    man.record(metrics)
+    df = spark.range(0, 1000, 1, 4).select(
+        F.col("id"), F.concat(F.lit("p"), (F.col("id") % 8).cast("string")).alias("part")
+    )
+    plan = final_plan(man.filter_pending(df, "part"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
