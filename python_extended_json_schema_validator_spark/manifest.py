@@ -294,6 +294,11 @@ def run_resumable(
     row_id: str = "image_id",
     run_id: Optional[str] = None,
     key_ledger: Optional[KeyLedger] = None,
+    neardup_ledger=None,
+    caption_col: str = "caption",
+    drift_ledger=None,
+    drift_columns: tuple = ("w", "h", "phash"),
+    drift_threshold: float = 0.1,
 ):
     """One resumable validation increment over the north-star table:
     validates only pending partitions, records their lineage/metrics,
@@ -302,7 +307,19 @@ def run_resumable(
     Uniqueness semantics: within-increment duplicates always flag;
     with ``key_ledger`` set, keys recorded by prior increments also
     flag (cross-increment uniqueness — the persistent form of the
-    reference's key worlds) and this increment's keys are recorded."""
+    reference's key worlds) and this increment's keys are recorded.
+
+    The other increment-ledger families plug in the same way
+    (round 6): ``neardup_ledger`` (a
+    pipeline.incremental_neardup.MinHashLedger) flags pending rows
+    whose ``caption_col`` near-duplicates a PRIOR increment's
+    captions (reason ``near_duplicate``, observed = prior id @ est);
+    ``drift_ledger`` (a pipeline.drift_ledger.QuantileLedger) flags
+    ``drift_columns`` whose distribution drifted vs the first
+    recorded snapshot (reason ``distribution_drift``).  All ledger
+    appends land AFTER the manifest commit — same crash ordering as
+    the key ledger (a crash loses this increment's sketches: bounded
+    false negatives, never self-collision false positives)."""
     from .payload.validate import image_table_spec, validate_images
 
     pending = manifest.filter_pending(images, scope_col)
@@ -315,6 +332,41 @@ def run_resumable(
             pending, spec, key_ledger, update=False
         )
         violations = violations.unionByName(ledger_viol).persist()
+    if neardup_ledger is not None:
+        from .pipeline.incremental_neardup import (
+            cross_increment_near_duplicates,
+        )
+
+        nd = cross_increment_near_duplicates(
+            pending, row_id, neardup_ledger, text_col=caption_col,
+            update=False,
+        ).select(
+            F.lit(f"neardup:{caption_col}").alias("constraint_id"),
+            F.lit("near_duplicate").alias("reason"),
+            F.col("doc_new").alias("row_id"),
+            F.concat(
+                F.col("doc_prior"), F.lit(" @ "),
+                F.round("est_jaccard", 3).cast("string"),
+            ).alias("observed_value"),
+            F.lit("/" + caption_col).alias("path"),
+        )
+        violations = violations.unionByName(nd).persist()
+    if drift_ledger is not None:
+        from .pipeline.drift_ledger import cross_increment_drift
+
+        for dcol in drift_columns:
+            dv = cross_increment_drift(
+                pending, drift_ledger, "images", dcol,
+                threshold=drift_threshold, update=False,
+            ).where(F.col("drifted")).select(
+                F.lit(f"drift:{dcol}").alias("constraint_id"),
+                F.lit("distribution_drift").alias("reason"),
+                F.lit("(all)").alias("row_id"),
+                F.col("shift").cast("string").alias("observed_value"),
+                F.lit("/" + dcol).alias("path"),
+            )
+            violations = violations.unionByName(dv)
+        violations = violations.persist()
     metrics = partition_metrics(pending, violations, row_id, scope_col)
     # ORDER MATTERS for crash recovery: mark partitions complete
     # BEFORE appending their keys to the ledger.  A crash between the
@@ -332,4 +384,15 @@ def run_resumable(
             key_ledger.record(
                 uniqueness.keyed(pending, spec, ks), spec.name, ks.label
             )
+    if neardup_ledger is not None:
+        from .pipeline.incremental_neardup import record_sketches
+
+        record_sketches(
+            pending, row_id, neardup_ledger, text_col=caption_col
+        )
+    if drift_ledger is not None:
+        from .pipeline.drift_ledger import record_snapshot
+
+        for dcol in drift_columns:
+            record_snapshot(pending, drift_ledger, "images", dcol)
     return violations, metrics, rid

@@ -127,3 +127,20 @@ def cross_increment_drift(
             qc, table, column, ledger.next_seq(spark, table, column)
         )
     return out
+
+
+def record_snapshot(
+    df: DataFrame,
+    ledger: QuantileLedger,
+    table: str,
+    column: str,
+    group_by: Sequence[str] = (),
+    probs: Sequence[float] = stats.DECILES,
+) -> None:
+    """Record an increment's quantile snapshot without drifting —
+    for callers sequencing ledger appends after other commits (see
+    incremental_neardup.record_sketches)."""
+    qc = stats.exact_quantiles(df, list(group_by), column, probs)
+    ledger.record(
+        qc, table, column, ledger.next_seq(df.sparkSession, table, column)
+    )

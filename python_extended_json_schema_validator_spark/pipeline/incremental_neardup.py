@@ -157,3 +157,25 @@ def cross_increment_near_duplicates(
     if update:
         ledger.record(sig, bands)
     return out
+
+
+def record_sketches(
+    df: DataFrame,
+    id_col: str,
+    ledger: MinHashLedger,
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 4,
+) -> None:
+    """Record an increment's sketches WITHOUT producing verdicts —
+    for callers that sequence ledger appends after other commits
+    (run_resumable appends sketches only once the manifest marks the
+    partitions complete, mirroring the KeyLedger crash ordering; the
+    signature aggregation re-runs — persist ``df`` upstream if that
+    matters at your scale)."""
+    sh = dedup.word_shingles(df, id_col, text_col, k)
+    sig = dedup.minhash_signatures(sh, ledger.num_hashes).select(
+        F.col("doc").cast("string"),
+        *[f"h{i}" for i in range(ledger.num_hashes)],
+    )
+    ledger.record(sig, bands)

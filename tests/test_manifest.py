@@ -200,3 +200,93 @@ def test_hadoop_fs_listing_matches_local(spark, tmp_path):
 
     hm = PartitionManifest(path, fs=HadoopFS(spark))
     assert hm.completed(spark).count() == 1
+
+
+def test_run_resumable_all_ledger_families(spark):
+    """Round 6: one resumable increment call carries all three
+    increment-ledger families — exact keys (KeyLedger), caption
+    near-dups (MinHashLedger), distribution drift (QuantileLedger) —
+    with every sketch append landing after the manifest commit."""
+    import tempfile as tf
+
+    from pyspark.sql import functions as F
+
+    from python_extended_json_schema_validator_spark.manifest import (
+        KeyLedger,
+    )
+    from python_extended_json_schema_validator_spark.pipeline.drift_ledger import (
+        QuantileLedger,
+    )
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        MinHashLedger,
+    )
+
+    def caption(idc):
+        # disjoint 5-token captions per image so only the crafted
+        # copycat is a near-dup
+        return F.concat_ws(
+            " ",
+            F.concat(F.lit("w"), idc), F.concat(F.lit("x"), idc),
+            F.concat(F.lit("y"), idc), F.concat(F.lit("z"), idc),
+            F.concat(F.lit("q"), idc),
+        )
+
+    with tf.TemporaryDirectory() as d:
+        manifest = PartitionManifest(path=f"{d}/man")
+        kled = KeyLedger(root=f"{d}/keys")
+        ndled = MinHashLedger(root=f"{d}/nd", num_hashes=8)
+        dled = QuantileLedger(root=f"{d}/drift")
+        kwargs = dict(
+            key_ledger=kled, neardup_ledger=ndled, drift_ledger=dled,
+            drift_columns=("w", "h"),
+        )
+        formats = synth.formats_dim(spark)
+
+        # 425 = lcm(25, 17): consecutive 425-key windows sample the
+        # synthetic w/h cycles EVENLY, so untouched columns have
+        # exactly equal decile snapshots across increments (no
+        # false drift from fixture phase)
+        inc1 = (
+            synth.images_from_range(spark, 425, partitions=2)
+            .withColumn("part", F.lit("a"))
+            .withColumn("caption", caption(F.col("image_id")))
+            .cache()
+        )
+        v1, m1, _ = run_resumable(inc1, formats, manifest, **kwargs)
+        assert v1.where("reason = 'near_duplicate'").count() == 0
+        assert v1.where("reason = 'distribution_drift'").count() == 0
+
+        # increment 2: fresh ids, part 'b'; one caption copies an
+        # inc1 caption (+1 token), and w is scaled 5x (drift)
+        copy_of = "img00000007"
+        inc2 = (
+            synth.images_from_range(spark, 850, partitions=2)
+            .where("image_id > 'img00000425'")
+            .withColumn("part", F.lit("b"))
+            .withColumn(
+                "caption",
+                F.when(
+                    F.col("image_id") == "img00000426",
+                    F.concat(
+                        caption(F.lit(copy_of)), F.lit(" extra")
+                    ),
+                ).otherwise(caption(F.col("image_id"))),
+            )
+            .withColumn("w", F.col("w") * 5)
+            .cache()
+        )
+        v2, m2, _ = run_resumable(inc2, formats, manifest, **kwargs)
+        nd = {
+            (r.row_id, r.observed_value.split(" @ ")[0])
+            for r in v2.where("reason = 'near_duplicate'").collect()
+        }
+        assert ("img00000426", copy_of) in nd, nd
+        drifts = {
+            r.constraint_id
+            for r in v2.where("reason = 'distribution_drift'").collect()
+        }
+        assert drifts == {"drift:w"}, drifts  # h untouched
+
+        # resume: everything completed → nothing pending, no verdicts
+        v3, m3, _ = run_resumable(inc2, formats, manifest, **kwargs)
+        assert v3.count() == 0 and m3.count() == 0
