@@ -1,0 +1,164 @@
+"""Scale evidence for the ROUND-6 increment ledgers: record a
+1M-document increment's MinHash sketches, then probe a 100k-doc
+second increment (10% crafted near-dups of increment 1) against the
+ledger — wall, candidate counts, and throughput for both phases,
+plus the drift ledger at the same cardinality.
+
+Texts are synthetic 12-token streams derived from the id by column
+algebra (same generator family as tools/components_bench.py); every
+10th probe doc repeats an increment-1 doc's token stream with one
+appended token, so the banded join has real cross-increment work.
+NOTE the generator's mod-500000 token space also makes ids that
+differ by exactly 500k EXACT duplicates — at 1M recorded docs each
+probe id has two such partners in increment 1 (p-500k, p-1M), so the
+measured 1M-run hit count (~2 per probe doc) is the ledger finding
+every wrap-around duplicate, not noise (assertion only lower-bounds
+with the crafted mirrors).
+
+Run: python3 tools/ledger_bench.py [--docs 1000000] [--probe 100000]
+Writes BENCH_LEDGER.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from python_extended_json_schema_validator_spark.pipeline.drift_ledger import (
+    QuantileLedger,
+    cross_increment_drift,
+)
+from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+    MinHashLedger,
+    cross_increment_near_duplicates,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus * 4))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def _texts(spark: SparkSession, lo: int, hi: int, mirror_every=None):
+    """12-token synthetic docs for ids [lo, hi); with mirror_every=m,
+    every m-th doc repeats doc (id - lo)'s token stream from the BASE
+    range plus one extra token (a crafted cross-increment near-dup)."""
+    base = F.col("id")
+    if mirror_every:
+        base = F.when(
+            F.col("id") % mirror_every == 0, F.col("id") - F.lit(lo)
+        ).otherwise(F.col("id"))
+    toks = [
+        F.concat(F.lit(f"w{j}_"), ((base * (j + 3)) % 500000).cast("string"))
+        for j in range(12)
+    ]
+    text = F.concat_ws(" ", *toks)
+    if mirror_every:
+        text = F.when(
+            F.col("id") % mirror_every == 0,
+            F.concat(text, F.lit(" extramark")),
+        ).otherwise(text)
+    return spark.range(lo, hi, 1, 64).select(
+        F.col("id").cast("string").alias("doc_id"), text.alias("text")
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--probe", type=int, default=100_000)
+    ap.add_argument("--cpus", type=int, default=16)
+    args = ap.parse_args()
+
+    spark = build_session(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="ledger_bench")
+
+    # phase 1: record increment 1's sketches
+    nd = MinHashLedger(f"{root}/nd", num_hashes=8)
+    inc1 = _texts(spark, 0, args.docs)
+    t0 = time.time()
+    v1 = cross_increment_near_duplicates(inc1, "doc_id", nd, bands=4)
+    n_v1 = v1.count()
+    rec_wall = time.time() - t0
+
+    # phase 2: probe increment 2 (10% mirrors) against the ledger
+    inc2 = _texts(
+        spark, args.docs, args.docs + args.probe, mirror_every=10
+    )
+    t0 = time.time()
+    v2 = cross_increment_near_duplicates(
+        inc2, "doc_id", nd, bands=4, update=False, min_est_jaccard=0.5
+    )
+    n_hits = v2.count()
+    probe_wall = time.time() - t0
+
+    # drift ledger at the same cardinality (one long column)
+    dl = QuantileLedger(f"{root}/drift")
+    nums1 = spark.range(0, args.docs, 1, 64).select(
+        (F.col("id") % 997).cast("double").alias("x")
+    )
+    t0 = time.time()
+    cross_increment_drift(nums1, dl, "t", "x")
+    snap_wall = time.time() - t0
+    nums2 = spark.range(0, args.docs, 1, 64).select(
+        ((F.col("id") % 997) + 500).cast("double").alias("x")
+    )
+    t0 = time.time()
+    drifted = (
+        cross_increment_drift(nums2, dl, "t", "x", update=False)
+        .first()
+    )
+    drift_wall = time.time() - t0
+
+    result = {
+        "metric": "increment-ledger scale evidence (minhash sketch + drift)",
+        "cpus": args.cpus,
+        "neardup": {
+            "inc1_docs": args.docs,
+            "inc1_self_verdicts": n_v1,  # must be 0
+            "record_wall_sec": round(rec_wall, 2),
+            "record_docs_per_sec": round(args.docs / rec_wall, 1),
+            "probe_docs": args.probe,
+            "probe_hits_est_ge_0.5": n_hits,
+            "expected_min_hits": args.probe // 10,
+            "probe_wall_sec": round(probe_wall, 2),
+            "probe_docs_per_sec": round(args.probe / probe_wall, 1),
+        },
+        "drift": {
+            "rows": args.docs,
+            "snapshot_wall_sec": round(snap_wall, 2),
+            "compare_wall_sec": round(drift_wall, 2),
+            "drifted": bool(drifted.drifted),
+            "shift": round(drifted.shift, 4),
+        },
+    }
+    assert n_v1 == 0, "first increment must not self-collide"
+    assert n_hits >= args.probe // 10, (n_hits, args.probe // 10)
+    assert drifted.drifted
+    print(json.dumps(result))
+    with open(f"{REPO}/BENCH_LEDGER.json", "w") as f:
+        json.dump(result, f, indent=2)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
