@@ -412,6 +412,90 @@ def connected_components_star(
     return out
 
 
+def connected_components_hybrid(
+    edges: DataFrame,
+    ids: DataFrame,
+    id_col: str = "id",
+    plain_iters: int = 8,
+    star_max_iter: int = 50,
+    strict: bool = True,
+    stats: Optional[dict] = None,
+) -> DataFrame:
+    """The don't-make-me-choose components API: a few cheap plain
+    min-label-propagation rounds FIRST (near-dup graphs usually
+    converge right there — fewer shuffles per round), then, only if
+    labels are still moving, CONTRACT the graph to its label quotient
+    (distinct (label(src), label(dst)) pairs — shallow clusters
+    collapse to nothing, deep chains shrink ~``plain_iters``-fold)
+    and let the star rounds finish the residue in O(log² n)
+    regardless of diameter; final labels compose through one join.
+
+    Correctness: every plain round yields a valid coarsening (never
+    merges two true components), the quotient graph's components map
+    1:1 onto the residue's, and star is exact on any graph — so the
+    composition equals plain/star run alone (equality-tested).  Cost
+    when plain converges (the common near-dup case): exactly plain's
+    cost plus one convergence probe — the contraction never runs.
+    """
+    import time as _time
+
+    st_plain: dict = {}
+    partial = connected_components(
+        edges, ids, id_col=id_col, max_iter=plain_iters, strict=False,
+        stats=st_plain,
+    ).persist()
+    if stats is not None:
+        stats["plain_iterations"] = st_plain["iterations"]
+        stats["plain_converged"] = st_plain["converged"]
+    if st_plain["converged"]:
+        if stats is not None:
+            stats["star_iterations"] = 0
+            stats["converged"] = True
+        return partial
+    # quotient graph over the partial labels
+    t0 = _time.time()
+    lbl = partial.select(
+        F.col("id").alias("__n"), F.col("component").alias("__l")
+    )
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    q = (
+        e.join(lbl, e["src"] == lbl["__n"])
+        .select(F.col("__l").alias("src"), "dst")
+        .join(
+            lbl.select(
+                F.col("__n").alias("__n2"), F.col("__l").alias("__l2")
+            ),
+            F.col("dst") == F.col("__n2"),
+        )
+        .select("src", F.col("__l2").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    qids = partial.select(F.col("component").alias("id")).distinct()
+    st_star: dict = {}
+    quotient = connected_components_star(
+        q, qids, max_iter=star_max_iter, strict=strict, stats=st_star
+    )
+    if stats is not None:
+        stats["star_iterations"] = st_star["iterations"]
+        stats["converged"] = st_star["converged"]
+        stats["contract_sec"] = round(_time.time() - t0, 2)
+    # compose: node -> partial label -> quotient component
+    out = (
+        partial.join(
+            quotient.select(
+                F.col("id").alias("__q"), F.col("component").alias("__c")
+            ),
+            partial["component"] == F.col("__q"),
+        )
+        .select("id", F.col("__c").alias("component"))
+    )
+    return out
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,

@@ -187,3 +187,60 @@ def test_star_components_strict_guard(spark):
     assert not st["converged"]
     # partial labels are still a valid coarsening: never cross-merge
     assert out.count() == 301
+
+
+def test_hybrid_components_equal_plain_and_star(spark):
+    """connected_components_hybrid == plain == star on graphs from
+    BOTH regimes: a shallow random graph (plain phase converges, star
+    never runs) and a deep chain (plain phase leaves residue, the
+    contracted quotient finishes under star)."""
+    import random
+
+    from python_extended_json_schema_validator_spark.pipeline.dedup import (
+        connected_components,
+        connected_components_hybrid,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    n = 1200
+    shallow = [(rng.randrange(n), rng.randrange(n)) for _ in range(700)]
+    deep = [(10000 + i, 10000 + i + 1) for i in range(300)]
+    edges = spark.createDataFrame(
+        shallow + deep, "src long, dst long"
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(10000 + i,) for i in range(301)],
+        "id long",
+    )
+    want = {
+        r.id: r.component
+        for r in connected_components(edges, ids, max_iter=400).collect()
+    }
+    st: dict = {}
+    hybrid = {
+        r.id: r.component
+        for r in connected_components_hybrid(
+            edges, ids, plain_iters=6, stats=st
+        ).collect()
+    }
+    assert hybrid == want
+    assert not st["plain_converged"] and st["converged"]
+    assert st["star_iterations"] > 0  # the deep chain forced phase 2
+
+    # truly-shallow graph (hub-spoke stars, diameter 2 — the banded
+    # near-dup shape): plain phase converges, star never runs
+    spokes = [(h * 10 + s, h * 10) for h in range(40) for s in (1, 2, 3)]
+    e2 = spark.createDataFrame(spokes, "src long, dst long")
+    i2 = spark.createDataFrame([(i,) for i in range(400)], "id long")
+    st2: dict = {}
+    h2 = {
+        r.id: r.component
+        for r in connected_components_hybrid(e2, i2, stats=st2).collect()
+    }
+    w2 = {
+        r.id: r.component
+        for r in connected_components_star(e2, i2).collect()
+    }
+    assert h2 == w2
+    assert st2["converged"] and st2["star_iterations"] == 0
