@@ -441,6 +441,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup END TO END (dedup.dedup_survivors): the
+    dedup_minhash corpus and knobs, composed through verified-pair
+    edges → hybrid components → survivor = min id per component.
+    One row per doc with (component, is_survivor); the oracle
+    recomputes the whole chain — md5 minhash, banded candidates,
+    exact Jaccard ≥ 0.5, recursive-CTE components — and the survivor
+    flag is id = component in BOTH engines (labels are min reachable
+    ids, so the keep-set needs no extra pass)."""
+    from python_extended_json_schema_validator_spark.pipeline import dedup
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    out = dedup.dedup_survivors(
+        corpus, "doc_id", k=3, num_hashes=8, bands=4, threshold=0.5
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        "is_survivor",
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_extended_json_schema_validator_spark.pipeline import dedup
 
@@ -630,16 +652,15 @@ def q_quality_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERING with true transitivity: corpus = docs <25
-    plus two mutants per doc (one / two appended marker tokens).  The
-    edge rule is shingle-set symmetric difference ≤ 1, so A—B and B—C
-    are edges but A—C (diff 2) is NOT — the component {k, k+100000,
-    k+200000} only forms through label propagation.  The oracle
-    replicates the graph AND the components with a recursive CTE
-    (min reachable id per node).  The all-pairs candidate set is for
-    oracle tractability; at scale edges come from the minhash/simhash
-    candidate generators."""
+def _components_graph(spark: SparkSession, sf_dir: str):
+    """The shared near-dup clustering graph used by all three
+    connected-components contract queries: corpus = docs <25 plus two
+    mutants per doc (one / two appended marker tokens); the edge rule
+    is shingle-set symmetric difference ≤ 1, so A—B and B—C are edges
+    but A—C (diff 2) is NOT — the component {k, k+100000, k+200000}
+    only forms through transitive closure.  The all-pairs candidate
+    set is for oracle tractability; at scale edges come from the
+    minhash/simhash candidate generators.  Returns (edges, ids)."""
     from python_extended_json_schema_validator_spark.pipeline import dedup
 
     docs = (
@@ -664,9 +685,18 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = jac.where(
         (F.col("sz_a") + F.col("sz_b") - 2 * F.col("inter")) <= 1
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    comp = dedup.connected_components(
-        edges, corpus.select("doc_id"), id_col="doc_id"
-    )
+    return edges, corpus.select("doc_id")
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING with true transitivity over the shared
+    `_components_graph` (see its docstring for the corpus/edge rule).
+    The oracle replicates the graph AND the components with a
+    recursive CTE (min reachable id per node)."""
+    from python_extended_json_schema_validator_spark.pipeline import dedup
+
+    edges, ids = _components_graph(spark, sf_dir)
+    comp = dedup.connected_components(edges, ids, id_col="doc_id")
     return comp.select(
         F.col("id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
@@ -1263,35 +1293,40 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches plain propagation under the driver's hard signal."""
     from python_extended_json_schema_validator_spark.pipeline import dedup
 
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < 25)
-        .select("doc_id", "text")
-    )
-    b = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zq1")).alias("text"),
-    )
-    c = docs.select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zq1 zq2")).alias("text"),
-    )
-    corpus = docs.unionByName(b).unionByName(c)
-    sh = dedup.word_shingles(corpus, "doc_id", k=3)
-    ids_a = corpus.select(F.col("doc_id").alias("doc_a"))
-    ids_b = corpus.select(F.col("doc_id").alias("doc_b"))
-    pairs = ids_a.crossJoin(ids_b).where(F.col("doc_a") < F.col("doc_b"))
-    jac = dedup.jaccard_on_pairs(pairs, sh)
-    edges = jac.where(
-        (F.col("sz_a") + F.col("sz_b") - 2 * F.col("inter")) <= 1
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    comp = dedup.connected_components_star(
-        edges, corpus.select("doc_id"), id_col="doc_id"
-    )
+    edges, ids = _components_graph(spark, sf_dir)
+    comp = dedup.connected_components_star(edges, ids, id_col="doc_id")
     return comp.select(
         F.col("id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
     )
+
+
+def q_dedup_components_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid default (dedup.connected_components_hybrid): plain
+    min-label rounds, then label-quotient contraction + star on the
+    residue.  `plain_iters=1` deliberately under-provisions the plain
+    phase so BOTH legs execute under the driver's hard signal (one
+    propagation round cannot converge on the 3-chains), and the stats
+    dict is asserted to prove the star phase really ran — then the
+    composed labels must still hash-match the recursive-CTE oracle
+    shared with the plain and star rows."""
+    from python_extended_json_schema_validator_spark.pipeline import dedup
+
+    edges, ids = _components_graph(spark, sf_dir)
+    st: dict = {}
+    comp = dedup.connected_components_hybrid(
+        edges, ids, id_col="doc_id", plain_iters=1, stats=st
+    )
+    out = comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+    if st["plain_converged"] or st["star_iterations"] == 0:
+        raise AssertionError(
+            "hybrid contract query must exercise the contraction+star "
+            f"leg; stats={st}"
+        )
+    return out
 
 
 def q_stream_stateful_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1594,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_survivors": q_dedup_survivors,
         "dedup_simhash": q_dedup_simhash,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
@@ -1632,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ledger_increments": q_ledger_increments,
         "stream_incremental": q_stream_incremental,
         "dedup_components_star": q_dedup_components_star,
+        "dedup_components_hybrid": q_dedup_components_hybrid,
         "stream_stateful_dups": q_stream_stateful_dups,
         "neardup_ledger": q_neardup_ledger,
         "drift_ledger": q_drift_ledger,
@@ -2373,6 +2410,71 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes zb ON zb.doc = p.doc_b
             WHERE COALESCE(i.i, 0) * 1.0 / (za.sz + zb.sz - COALESCE(i.i, 0)) >= 0.5
         """,
+        # the dedup_minhash chain composed to its corpus-level verdict:
+        # verified pairs -> symmetric edges -> recursive-CTE components
+        # -> survivor = min reachable id (= the component label itself)
+        "dedup_survivors": """
+            WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text || ' extra token' FROM documents
+              WHERE doc_id < 30
+            ), toks AS (
+              SELECT doc_id AS doc,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM corpus
+            ), sh AS (
+              SELECT DISTINCT doc,
+                     CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+                          ELSE array_to_string(t, ' ') END AS shingle
+              FROM toks,
+                   LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+            ), sig AS (
+              SELECT doc,
+                     min(md5('s0:' || shingle)) AS h0, min(md5('s1:' || shingle)) AS h1,
+                     min(md5('s2:' || shingle)) AS h2, min(md5('s3:' || shingle)) AS h3,
+                     min(md5('s4:' || shingle)) AS h4, min(md5('s5:' || shingle)) AS h5,
+                     min(md5('s6:' || shingle)) AS h6, min(md5('s7:' || shingle)) AS h7
+              FROM sh GROUP BY doc
+            ), bands AS (
+              SELECT doc, 0 AS band, h0 || '|' || h1 AS bucket FROM sig
+              UNION ALL SELECT doc, 1, h2 || '|' || h3 FROM sig
+              UNION ALL SELECT doc, 2, h4 || '|' || h5 FROM sig
+              UNION ALL SELECT doc, 3, h6 || '|' || h7 FROM sig
+            ), cand AS (
+              SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+            ), sizes AS (
+              SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+            ), inter AS (
+              SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+              FROM cand p
+              JOIN sh sa ON sa.doc = p.doc_a
+              JOIN sh sb ON sb.doc = p.doc_b AND sb.shingle = sa.shingle
+              GROUP BY p.doc_a, p.doc_b
+            ), und AS (
+              SELECT p.doc_a, p.doc_b
+              FROM cand p
+              LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+              JOIN sizes za ON za.doc = p.doc_a
+              JOIN sizes zb ON zb.doc = p.doc_b
+              WHERE COALESCE(i.i, 0) * 1.0 / (za.sz + zb.sz - COALESCE(i.i, 0)) >= 0.5
+            ), edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM und
+              UNION ALL
+              SELECT doc_b, doc_a FROM und
+            ), walk AS (
+              SELECT doc_id AS id, doc_id AS label FROM corpus
+              UNION
+              SELECT e.dst, w.label
+              FROM walk w JOIN edges e ON e.src = w.id
+            )
+            SELECT CAST(id AS BIGINT) AS doc_id,
+                   CAST(min(label) AS BIGINT) AS component,
+                   (id = min(label)) AS is_survivor
+            FROM walk GROUP BY id
+        """,
         "dedup_simhash": """
             WITH toks AS (
               SELECT doc_id, md5(u.tok) AS th
@@ -2634,6 +2736,7 @@ def oracle_sql() -> dict[str, str]:
     # the star variant labels the SAME graph identically (round-6 A/B:
     # algorithm-independent output) — one oracle text, two queries
     d["dedup_components_star"] = d["dedup_components"]
+    d["dedup_components_hybrid"] = d["dedup_components"]
     d["drift_ledger"] = _drift_ledger_oracle()
     # cross-increment near-dup ledger: increment 2's band collisions
     # against increment 1's recorded sketches + the m/8 component

@@ -175,6 +175,7 @@ def connected_components(
     max_iter: int = 25,
     strict: bool = True,
     stats: Optional[dict] = None,
+    warn_on_partial: bool = True,
 ) -> DataFrame:
     """Near-duplicate CLUSTERING: connected components over a
     candidate-pair graph by min-label propagation — the
@@ -203,7 +204,9 @@ def connected_components(
     rightly raises at max_iter).  Default pipelines keep this loop
     because banded near-dup graphs are shallow and flagship-scale;
     reach for the star variant on unknown-diameter or ≥10^6-node
-    graphs.
+    graphs, or connected_components_hybrid when you'd rather not
+    choose (plain rounds first, contracted star finishes any deep
+    residue).
 
     A graph whose diameter exceeds ``max_iter`` (a pathological long
     chain at scale) would return INCOMPLETE components — chains
@@ -211,7 +214,9 @@ def connected_components(
     raises RuntimeError in that case instead of silently returning
     possibly-wrong labels; ``strict=False`` keeps the partial labels
     (each still a valid COARSENING: never merges two true components)
-    and logs a warning for callers that prefer progress over
+    and logs a warning (``warn_on_partial=False`` silences it for
+    callers like connected_components_hybrid whose phase 1 is partial
+    BY DESIGN) for callers that prefer progress over
     exactness.
 
     ``stats``: a dict the call fills with per-iteration evidence —
@@ -284,9 +289,10 @@ def connected_components(
         )
         if strict:
             raise RuntimeError(msg)
-        import logging
+        if warn_on_partial:
+            import logging
 
-        logging.getLogger(__name__).warning(msg)
+            logging.getLogger(__name__).warning(msg)
     return labels.select("id", F.col("label").alias("component"))
 
 
@@ -442,7 +448,7 @@ def connected_components_hybrid(
     st_plain: dict = {}
     partial = connected_components(
         edges, ids, id_col=id_col, max_iter=plain_iters, strict=False,
-        stats=st_plain,
+        stats=st_plain, warn_on_partial=False,
     ).persist()
     if stats is not None:
         stats["plain_iterations"] = st_plain["iterations"]
@@ -511,6 +517,58 @@ def minhash_near_duplicates(
     sig = minhash_signatures(sh, num_hashes)
     pairs = lsh_candidate_pairs(sig, num_hashes, bands)
     return jaccard_on_pairs(pairs, sh).where(F.col("jaccard") >= threshold)
+
+
+def dedup_survivors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+    plain_iters: int = 8,
+    stats: Optional[dict] = None,
+) -> DataFrame:
+    """Corpus-level near-dup DEDUPLICATION, end to end: the answer to
+    "give me the deduplicated corpus", not just "show me the pairs".
+    minhash LSH candidates → exact-Jaccard verify (≥ ``threshold``)
+    → connected_components_hybrid over the verified pair graph →
+    survivor = the smallest id of each component.
+
+    Returns ONE row per input doc: (``id_col``, component,
+    is_survivor).  Keep-side filter is ``is_survivor``; the
+    drop-side rows carry WHICH survivor absorbed them (component),
+    so the decision is auditable — the trait every validation-engine
+    verdict in this repo shares.
+
+    Survivor selection costs NOTHING beyond the components run:
+    component labels ARE min reachable ids, so is_survivor is the
+    map-side comparison id = component — no extra shuffle, no window.
+    Scale shape = the sum of its parts (banded equi-join candidates,
+    shingle-join verify, (id,label)-only hybrid clustering); texts
+    never ride the clustering loop.  ``id_col`` must be integral
+    (the components contract).
+    """
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components_hybrid(
+        edges,
+        df.select(F.col(id_col)),
+        id_col=id_col,
+        plain_iters=plain_iters,
+        stats=stats,
+    )
+    return comp.select(
+        F.col("id").alias(id_col),
+        "component",
+        (F.col("id") == F.col("component")).alias("is_survivor"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -244,3 +244,40 @@ def test_hybrid_components_equal_plain_and_star(spark):
     }
     assert h2 == w2
     assert st2["converged"] and st2["star_iterations"] == 0
+
+
+def test_dedup_survivors_end_to_end(spark):
+    """dedup_survivors returns one row per doc; components chain
+    through transitivity (A~B~C with no A—C pair) and is_survivor is
+    exactly id == component (min reachable id)."""
+    from python_extended_json_schema_validator_spark.pipeline.dedup import (
+        dedup_survivors,
+    )
+
+    base = "the quick brown fox jumps over the lazy sleeping dog today"
+    rows = [
+        (1, base),
+        (2, base + " zz"),          # near-dup of 1
+        (3, base + " zz yy"),       # near-dup of 2, farther from 1
+        (10, "completely different words about spark dataframes here"),
+        (11, "completely different words about spark dataframes here"),
+        (20, "a lone unique document with nothing in common at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    st: dict = {}
+    out = dedup_survivors(
+        df, "doc_id", k=3, num_hashes=8, bands=4, threshold=0.4, stats=st
+    ).collect()
+    got = {r.doc_id: (r.component, r.is_survivor) for r in out}
+    assert len(got) == 6  # one row per input doc, always
+    # exact dup pair collapses; survivor is the min id
+    assert got[10] == (10, True) and got[11] == (10, False)
+    # the lone doc survives itself
+    assert got[20] == (20, True)
+    # the near-dup chain shares ONE component rooted at 1
+    assert got[1] == (1, True)
+    assert got[2][0] == 1 and not got[2][1]
+    # every doc's flag is exactly id == component
+    for i, (comp, surv) in got.items():
+        assert surv == (i == comp)
+    assert st["converged"]

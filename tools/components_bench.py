@@ -180,6 +180,13 @@ def star_ab_at_scale(spark: SparkSession, n_nodes: int) -> dict:
     )
     star_wall = time.time() - t0
     assert fp_plain == fp_star, (fp_plain, fp_star)
+    hyb_stats: dict = {}
+    t0 = time.time()
+    fp_hyb = _fingerprint(
+        dedup.connected_components_hybrid(edges, ids, stats=hyb_stats)
+    )
+    hyb_wall = time.time() - t0
+    assert fp_plain == fp_hyb, (fp_plain, fp_hyb)
 
     # phase 2: one n_nodes-long chain — worst-case diameter
     deep_ids = spark.range(0, n_nodes, 1, 64).select(F.col("id"))
@@ -202,6 +209,18 @@ def star_ab_at_scale(spark: SparkSession, n_nodes: int) -> dict:
     n_bad = deep.where(F.col("component") != 0).count()
     deep_wall = time.time() - t0
     assert n_bad == 0, f"{n_bad} nodes not labeled 0 on the chain"
+    # hybrid on the same worst case: its plain phase contracts the
+    # chain plain_iters-fold, then star finishes the quotient — must
+    # converge AND label every node 0
+    deep_hyb_stats: dict = {}
+    t0 = time.time()
+    deep_hyb = dedup.connected_components_hybrid(
+        deep_edges, deep_ids, stats=deep_hyb_stats
+    )
+    n_bad_hyb = deep_hyb.where(F.col("component") != 0).count()
+    deep_hyb_wall = time.time() - t0
+    assert n_bad_hyb == 0, f"hybrid: {n_bad_hyb} nodes not labeled 0"
+    assert deep_hyb_stats["converged"]
     return {
         "shallow": {
             "n_nodes": shallow_n,
@@ -209,6 +228,8 @@ def star_ab_at_scale(spark: SparkSession, n_nodes: int) -> dict:
             "plain_iterations": plain_stats["iterations"],
             "star_wall_sec": round(star_wall, 2),
             "star_iterations": star_stats["iterations"],
+            "hybrid_wall_sec": round(hyb_wall, 2),
+            "hybrid_star_iterations": hyb_stats["star_iterations"],
             "equal_output": True,
             "winner": "plain" if plain_wall <= star_wall else "star",
         },
@@ -219,6 +240,9 @@ def star_ab_at_scale(spark: SparkSession, n_nodes: int) -> dict:
             "star_wall_sec": round(deep_wall, 2),
             "star_iterations": deep_stats["iterations"],
             "star_converged": deep_stats["converged"],
+            "hybrid_wall_sec": round(deep_hyb_wall, 2),
+            "hybrid_star_iterations": deep_hyb_stats["star_iterations"],
+            "hybrid_converged": deep_hyb_stats["converged"],
             "all_labels_zero": True,
         },
     }
