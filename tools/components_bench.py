@@ -248,6 +248,56 @@ def star_ab_at_scale(spark: SparkSession, n_nodes: int) -> dict:
     }
 
 
+def survivors_at_scale(spark: SparkSession, n_docs: int) -> dict:
+    """End-to-end dedup_survivors (minhash LSH → Jaccard verify →
+    hybrid components → survivor flags) over n_docs synthetic
+    12-token texts.  Dup structure at n_docs=1M: the mod-500000
+    token generator makes doc i and doc i+500000 EXACT twins (50%
+    dup rate — a heavy-dup corpus), and every 97th doc additionally
+    repeats its neighbor's stream, merging {97k, 97k+1, 97k+500001}
+    into one 3-doc family while stranding {97k+500000} as a
+    singleton — so the expected keep-set at 1M is exactly 500,000
+    (2 components per 97-family, 1 per plain twin pair; verified).
+    Checks the invariants (one row per doc, survivors = distinct
+    components) and records wall + docs/sec."""
+    base = F.when(
+        F.col("id") % 97 == 0, F.col("id") + 1
+    ).otherwise(F.col("id"))
+    toks = [
+        F.concat(F.lit(f"w{j}_"),
+                 ((base * (j + 3)) % 500000).cast("string"))
+        for j in range(12)
+    ]
+    docs = spark.range(0, n_docs, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *toks).alias("text"),
+    )
+    st: dict = {}
+    t0 = time.time()
+    out = dedup.dedup_survivors(
+        docs, "doc_id", threshold=0.7, stats=st
+    ).persist()
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_survivor").cast("long")).alias("kept"),
+        F.countDistinct("component").alias("ncomp"),
+    ).first()
+    wall = time.time() - t0
+    out.unpersist()
+    assert row.n == n_docs, (row.n, n_docs)
+    assert row.kept == row.ncomp  # one survivor per component, always
+    return {
+        "n_docs": n_docs,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "kept": row.kept,
+        "dropped": int(n_docs - row.kept),
+        "plain_converged": st["plain_converged"],
+        "star_iterations": st.get("star_iterations", 0),
+        "converged": st["converged"],
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=1_500_000)
@@ -255,7 +305,7 @@ def main() -> int:
     ap.add_argument("--star-nodes", type=int, default=5_000_000)
     ap.add_argument("--cpus", type=int, default=16)
     ap.add_argument("--only", choices=["components", "simhash", "both",
-                                       "star_ab"],
+                                       "star_ab", "survivors"],
                     default="both")
     args = ap.parse_args()
 
@@ -274,6 +324,8 @@ def main() -> int:
         result["simhash"] = simhash_at_scale(spark, args.docs)
     if args.only == "star_ab":
         result["star_ab"] = star_ab_at_scale(spark, args.star_nodes)
+    if args.only == "survivors":
+        result["survivors"] = survivors_at_scale(spark, args.docs)
     print(json.dumps(result))
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
