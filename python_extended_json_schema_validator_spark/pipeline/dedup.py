@@ -558,15 +558,35 @@ def dedup_survivors(
         df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands,
         threshold=threshold,
     )
+    return survivors_from_pairs(
+        pairs, df.select(F.col(id_col)), id_col=id_col,
+        plain_iters=plain_iters, stats=stats,
+    )
+
+
+def survivors_from_pairs(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    plain_iters: int = 8,
+    stats: Optional[dict] = None,
+) -> DataFrame:
+    """The clustering + survivor-flag tail of dedup_survivors,
+    factored out so ANY pair generator feeds the same verdict —
+    minhash (dedup_survivors), simhash_near_duplicates /
+    simhash_pairs_from_signatures, embedding LSH
+    (similarity.embedding_near_duplicates), or a hand-built edge
+    list.  ``pairs``: (``a_col``, ``b_col``) verified near-dup
+    pairs; ``ids``: one row per corpus doc (``id_col``, integral).
+    Returns one row per doc: (``id_col``, component, is_survivor
+    = id = component)."""
     edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
     comp = connected_components_hybrid(
-        edges,
-        df.select(F.col(id_col)),
-        id_col=id_col,
-        plain_iters=plain_iters,
-        stats=stats,
+        edges, ids, id_col=id_col, plain_iters=plain_iters, stats=stats
     )
     return comp.select(
         F.col("id").alias(id_col),

@@ -281,3 +281,25 @@ def test_dedup_survivors_end_to_end(spark):
     for i, (comp, surv) in got.items():
         assert surv == (i == comp)
     assert st["converged"]
+
+
+def test_survivors_from_pairs_any_generator(spark):
+    """survivors_from_pairs gives the same verdict shape over a
+    simhash pair generator as dedup_survivors does over minhash —
+    any (doc_a, doc_b) source plugs into the clustering tail."""
+    from python_extended_json_schema_validator_spark.pipeline import dedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+        (3, "totally different content with other words inside it"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_near_duplicates(
+        df, "doc_id", "text", max_hamming=0, positions=16
+    )
+    out = dedup.survivors_from_pairs(
+        pairs, df.select("doc_id"), id_col="doc_id"
+    ).collect()
+    got = {r.doc_id: (r.component, r.is_survivor) for r in out}
+    assert got == {1: (1, True), 2: (1, False), 3: (3, True)}
