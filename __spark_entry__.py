@@ -501,6 +501,39 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The factored survivors tail (dedup.survivors_from_pairs) fed
+    by the EMBEDDING pair generator: the embed_neardup corpus and
+    knobs (seeded hyperplane LSH, cosine ≥ 0.95 — full recall on
+    this corpus, same contract as embed_neardup), clustered to the
+    one-row-per-vector (component, is_survivor) verdict.  Oracle =
+    exact cosine pairs → recursive-CTE components → flag, proving
+    the pair-source-agnostic tail end-to-end on a second modality."""
+    from python_extended_json_schema_validator_spark.pipeline import (
+        dedup,
+        similarity,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(clones)
+    pairs = similarity.cosine_near_duplicates(
+        corpus, threshold=0.95, bits=8
+    )
+    out = dedup.survivors_from_pairs(
+        pairs,
+        corpus.select(F.col("vec_id").cast("long").alias("vec_id")),
+        id_col="vec_id",
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+        "is_survivor",
+    )
+
+
 def q_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 schema dispatch: a mixed-schema document table routed to
     per-schema plans via the _schema probe; no_id / schema_unknown
@@ -1633,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
+        "embed_survivors": q_embed_survivors,
         "dispatch": q_dispatch,
         "events_json": q_events_json,
         "quantiles_exact": q_quantiles_exact,
@@ -2526,6 +2560,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS doc_a, b.id AS doc_b
             FROM corpus a JOIN corpus b ON a.id < b.id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        # the embed_neardup pair contract composed through the
+        # survivors tail: exact cosine pairs -> symmetric edges ->
+        # recursive-CTE components -> survivor = min reachable id
+        "embed_survivors": """
+            WITH RECURSIVE corpus AS (
+              SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings
+              UNION ALL
+              SELECT CAST(vec_id + 100000 AS BIGINT), embedding
+              FROM embeddings WHERE vec_id < 20
+            ), und AS (
+              SELECT a.id AS doc_a, b.id AS doc_b
+              FROM corpus a JOIN corpus b ON a.id < b.id
+              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+            ), edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM und
+              UNION ALL
+              SELECT doc_b, doc_a FROM und
+            ), walk AS (
+              SELECT id, id AS label FROM corpus
+              UNION
+              SELECT e.dst, w.label
+              FROM walk w JOIN edges e ON e.src = w.id
+            )
+            SELECT CAST(id AS BIGINT) AS vec_id,
+                   CAST(min(label) AS BIGINT) AS component,
+                   (id = min(label)) AS is_survivor
+            FROM walk GROUP BY id
         """,
         "dispatch": """
             SELECT 'dispatch' AS constraint_id, 'no_id' AS reason,
