@@ -485,15 +485,23 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from python_extended_json_schema_validator_spark.pipeline import similarity
-
+def _embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ clones of vec_id<20 shifted +100000 — the shared
+    corpus of embed_neardup and embed_survivors (their oracles must
+    stay corpus-identical for the pair contract and the survivors
+    contract to agree)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     clones = emb.where(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
+    return emb.unionByName(clones)
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_extended_json_schema_validator_spark.pipeline import similarity
+
     out = similarity.cosine_near_duplicates(
-        emb.unionByName(clones), threshold=0.95, bits=8
+        _embed_corpus(spark, sf_dir), threshold=0.95, bits=8
     )
     return out.select(
         F.col("doc_a").cast("long").alias("doc_a"),
@@ -514,11 +522,7 @@ def q_embed_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    clones = emb.where(F.col("vec_id") < 20).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-    )
-    corpus = emb.unionByName(clones)
+    corpus = _embed_corpus(spark, sf_dir)
     pairs = similarity.cosine_near_duplicates(
         corpus, threshold=0.95, bits=8
     )

@@ -225,11 +225,15 @@ def connected_components(
     limit(1) count), ``converged`` — consumed by
     tools/components_bench.py for the ≥1M-doc scale record."""
     import time as _time
+    # materialize the symmetrized edge set ONCE: the loop joins it
+    # every iteration, and without this the whole upstream edge
+    # lineage (e.g. dedup_survivors' minhash -> LSH join -> Jaccard
+    # verify chain) re-executes per pass (code-review round 6)
     sym = edges.select(
         F.col("src").alias("s"), F.col("dst").alias("d")
     ).unionByName(
         edges.select(F.col("dst").alias("s"), F.col("src").alias("d"))
-    )
+    ).localCheckpoint()
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).localCheckpoint()
@@ -431,10 +435,23 @@ def connected_components_hybrid(
     min-label-propagation rounds FIRST (near-dup graphs usually
     converge right there — fewer shuffles per round), then, only if
     labels are still moving, CONTRACT the graph to its label quotient
-    (distinct (label(src), label(dst)) pairs — shallow clusters
-    collapse to nothing, deep chains shrink ~``plain_iters``-fold)
-    and let the star rounds finish the residue in O(log² n)
-    regardless of diameter; final labels compose through one join.
+    (distinct (label(src), label(dst)) pairs) and let the star rounds
+    finish the residue in O(log² n) regardless of diameter; final
+    labels compose through one join.
+
+    What the contraction does and does NOT buy (code-review round 6):
+    clusters the plain phase fully collapsed vanish from the quotient
+    (src = dst edges are dropped) — on the common
+    mostly-shallow-plus-some-deep-residue graph the star phase runs
+    on just the residue.  But min-label propagation moves labels ONE
+    HOP per round, so a pure ``n``-node chain still has ~``n -
+    plain_iters`` distinct labels afterwards: deep chains do NOT
+    shrink ``plain_iters``-fold, and on a pathological all-chain
+    graph hybrid costs star plus ``plain_iters`` wasted full-graph
+    rounds (measured: 289 s vs bare star 233 s on the 5M chain,
+    quotient_nodes 4,999,992).  Pick bare
+    ``connected_components_star`` when you KNOW the graph is deep;
+    hybrid's value is not needing to know.
 
     Correctness: every plain round yields a valid coarsening (never
     merges two true components), the quotient graph's components map
@@ -442,16 +459,31 @@ def connected_components_hybrid(
     composition equals plain/star run alone (equality-tested).  Cost
     when plain converges (the common near-dup case): exactly plain's
     cost plus one convergence probe — the contraction never runs.
-    """
+
+    Output contract: (id long, component long) regardless of which
+    internal path ran (the star leg computes in longs, so the
+    converged fast path casts to match — stable schema for appending
+    writers).  ``stats`` gains ``quotient_nodes`` and
+    ``residual_sec`` (contraction + star phase wall) when phase 2
+    runs."""
     import time as _time
 
+    # materialize the (long,long) edge list ONCE up front: the plain
+    # phase re-joins edges every round and the quotient build reads
+    # them again — without this each pass re-executes the upstream
+    # pair-generation lineage (minhash/LSH/verify in dedup_survivors)
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint()
+    lids = ids.select(F.col(id_col).cast("long").alias(id_col))
     st_plain: dict = {}
     # no persist(): the plain loop localCheckpoints every iteration,
     # so `partial` is already materialization-backed — an extra
     # storage layer only adds a cache-write pass (measured 2× on the
     # 1.5M shallow A/B before removal)
     partial = connected_components(
-        edges, ids, id_col=id_col, max_iter=plain_iters, strict=False,
+        e, lids, id_col=id_col, max_iter=plain_iters, strict=False,
         stats=st_plain, warn_on_partial=False,
     )
     if stats is not None:
@@ -467,10 +499,6 @@ def connected_components_hybrid(
     lbl = partial.select(
         F.col("id").alias("__n"), F.col("component").alias("__l")
     )
-    e = edges.select(
-        F.col("src").cast("long").alias("src"),
-        F.col("dst").cast("long").alias("dst"),
-    )
     q = (
         e.join(lbl, e["src"] == lbl["__n"])
         .select(F.col("__l").alias("src"), "dst")
@@ -485,6 +513,11 @@ def connected_components_hybrid(
         .distinct()
     )
     qids = partial.select(F.col("component").alias("id")).distinct()
+    if stats is not None:
+        # cheap count over the narrow distinct-label frame: the
+        # honest record of how much (or little) the plain phase
+        # actually contracted the graph
+        stats["quotient_nodes"] = qids.count()
     st_star: dict = {}
     quotient = connected_components_star(
         q, qids, max_iter=star_max_iter, strict=strict, stats=st_star
@@ -492,7 +525,10 @@ def connected_components_hybrid(
     if stats is not None:
         stats["star_iterations"] = st_star["iterations"]
         stats["converged"] = st_star["converged"]
-        stats["contract_sec"] = round(_time.time() - t0, 2)
+        # contraction + star phase wall (star runs eagerly inside
+        # connected_components_star, so the two are not separable
+        # from here without double-materializing the quotient)
+        stats["residual_sec"] = round(_time.time() - t0, 2)
     # compose: node -> partial label -> quotient component
     out = (
         partial.join(

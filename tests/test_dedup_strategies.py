@@ -197,7 +197,6 @@ def test_hybrid_components_equal_plain_and_star(spark):
     import random
 
     from python_extended_json_schema_validator_spark.pipeline.dedup import (
-        connected_components,
         connected_components_hybrid,
         connected_components_star,
     )
@@ -213,9 +212,12 @@ def test_hybrid_components_equal_plain_and_star(spark):
         [(i,) for i in range(n)] + [(10000 + i,) for i in range(301)],
         "id long",
     )
+    # star as the reference labeler: exact on any graph (trusted by
+    # the equality/guard tests above) and O(log n) rounds where plain
+    # needs one round per chain hop (max_iter=400 here cost minutes)
     want = {
         r.id: r.component
-        for r in connected_components(edges, ids, max_iter=400).collect()
+        for r in connected_components_star(edges, ids).collect()
     }
     st: dict = {}
     hybrid = {

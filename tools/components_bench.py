@@ -243,6 +243,9 @@ def star_ab_at_scale(spark: SparkSession, n_nodes: int) -> dict:
             "hybrid_wall_sec": round(deep_hyb_wall, 2),
             "hybrid_star_iterations": deep_hyb_stats["star_iterations"],
             "hybrid_converged": deep_hyb_stats["converged"],
+            # honest contraction record: a pure chain keeps
+            # ~n - plain_iters labels (one hop per plain round)
+            "hybrid_quotient_nodes": deep_hyb_stats.get("quotient_nodes"),
             "all_labels_zero": True,
         },
     }
