@@ -1598,6 +1598,74 @@ def q_ledger_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2).select(*VIOL_COLS)
 
 
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-increment cardinality screen (pipeline.cardinality_ledger
+    .HllLedger — the 4th increment-ledger family): increment 1 (even
+    o_orderkey) records per-priority HLL sketches of o_custkey;
+    increment 2 (odd) is screened by sketch UNION — no join against
+    increment 1's rows.  ε-bounded contract (same pattern as
+    tdigest_quantiles/ann_ivf): exact companions the oracle recomputes
+    (COUNT DISTINCT per increment / cumulative / novel) plus Spark-side
+    booleans asserting every HLL estimate lands within 5% of exact
+    (lgConfigK=12 → ~1.6% RSE; measured ≤1.5% at these ~1.3k-distinct
+    groups) and the collapse verdict — which the oracle derives from
+    EXACT novelty, valid because measured novelty ≈ 0.22 sits far from
+    the 0.5 threshold relative to the sketch error.  Sketch drift or
+    a broken union breaks a boolean and the hash."""
+    import tempfile
+
+    from python_extended_json_schema_validator_spark.pipeline.cardinality_ledger import (
+        HllLedger,
+        cross_increment_cardinality,
+        record_sketches,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    grp = "o_orderpriority"
+    led = HllLedger(tempfile.mkdtemp(prefix="hll_q"))
+    inc1 = orders.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0)
+    inc2 = orders.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == 1)
+    record_sketches(inc1, led, "orders", "o_custkey", [grp])
+    scr = cross_increment_cardinality(
+        inc2, led, "orders", "o_custkey", [grp], update=False
+    )
+    ex2 = inc2.groupBy(grp).agg(
+        F.countDistinct("o_custkey").alias("exact_inc")
+    )
+    ex1 = inc1.groupBy(grp).agg(
+        F.countDistinct("o_custkey").alias("exact_before")
+    )
+    exa = orders.groupBy(grp).agg(
+        F.countDistinct("o_custkey").alias("exact_after")
+    )
+    j = scr.join(ex2, grp).join(ex1, grp).join(exa, grp)
+
+    def _ok(est, exact, rel):
+        return (
+            F.abs(F.col(est) - F.col(exact)) <= rel * F.col(exact)
+        )
+
+    return j.select(
+        grp,
+        "n_rows",
+        "exact_inc",
+        "exact_before",
+        "exact_after",
+        (F.col("exact_after") - F.col("exact_before")).alias("exact_novel"),
+        _ok("est_distinct_inc", "exact_inc", 0.05).alias("inc_ok"),
+        _ok("est_before", "exact_before", 0.05).alias("before_ok"),
+        _ok("est_after", "exact_after", 0.05).alias("after_ok"),
+        (
+            F.abs(
+                F.col("est_novel")
+                - (F.col("exact_after") - F.col("exact_before"))
+            )
+            <= 0.05 * F.col("exact_after")
+        ).alias("novel_ok"),
+        "collapsed",
+    )
+
+
 def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental validation over Structured Streaming
     (streaming.incremental.validate_stream_foreach_batch): increment 1
@@ -1704,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the last first-class components without an oracle row
         "resume_manifest": q_resume_manifest,
         "ledger_increments": q_ledger_increments,
+        "hll_cardinality": q_hll_cardinality,
         "stream_incremental": q_stream_incremental,
         "dedup_components_star": q_dedup_components_star,
         "dedup_components_hybrid": q_dedup_components_hybrid,
@@ -1777,6 +1846,39 @@ def oracle_sql() -> dict[str, str]:
                   AND (o1.o_totalprice IS NULL
                        OR o1.o_totalprice >= 5000.0)
               )
+        """,
+        # round 6: the HLL cardinality screen's exact companions —
+        # per-priority COUNT DISTINCT for the increment, the prior
+        # baseline, and their union; verdict booleans asserted TRUE
+        # (Spark computes them against its own sketch estimates) and
+        # the collapse flag derived from EXACT novelty (measured est
+        # error ≤1.5% can't bridge the 0.22-vs-0.5 gap)
+        "hll_cardinality": """
+            WITH e2 AS (
+              SELECT o_orderpriority, COUNT(*) AS n_rows,
+                     COUNT(DISTINCT o_custkey) AS exact_inc
+              FROM orders WHERE o_orderkey % 2 = 1
+              GROUP BY o_orderpriority
+            ), e1 AS (
+              SELECT o_orderpriority,
+                     COUNT(DISTINCT o_custkey) AS exact_before
+              FROM orders WHERE o_orderkey % 2 = 0
+              GROUP BY o_orderpriority
+            ), ea AS (
+              SELECT o_orderpriority,
+                     COUNT(DISTINCT o_custkey) AS exact_after
+              FROM orders GROUP BY o_orderpriority
+            )
+            SELECT e2.o_orderpriority, e2.n_rows, e2.exact_inc,
+                   e1.exact_before, ea.exact_after,
+                   ea.exact_after - e1.exact_before AS exact_novel,
+                   TRUE AS inc_ok, TRUE AS before_ok,
+                   TRUE AS after_ok, TRUE AS novel_ok,
+                   (CAST(ea.exact_after - e1.exact_before AS DOUBLE)
+                    / e2.n_rows) < 0.5 AS collapsed
+            FROM e2
+            JOIN e1 USING (o_orderpriority)
+            JOIN ea USING (o_orderpriority)
         """,
         # round 6: each violation's batch_id follows increment
         # membership — checkpoint re-processing would duplicate rows

@@ -299,6 +299,9 @@ def run_resumable(
     drift_ledger=None,
     drift_columns: tuple = ("w", "h", "phash"),
     drift_threshold: float = 0.1,
+    hll_ledger=None,
+    hll_column: Optional[str] = None,
+    hll_novelty_threshold: float = 0.5,
 ):
     """One resumable validation increment over the north-star table:
     validates only pending partitions, records their lineage/metrics,
@@ -316,7 +319,13 @@ def run_resumable(
     captions (reason ``near_duplicate``, observed = prior id @ est);
     ``drift_ledger`` (a pipeline.drift_ledger.QuantileLedger) flags
     ``drift_columns`` whose distribution drifted vs the first
-    recorded snapshot (reason ``distribution_drift``).  All ledger
+    recorded snapshot (reason ``distribution_drift``);
+    ``hll_ledger`` (a pipeline.cardinality_ledger.HllLedger) flags an
+    increment whose ``hll_column`` novelty (new-distinct per row vs
+    ALL prior increments, by HLL sketch union — no join against
+    history) falls below ``hll_novelty_threshold`` (reason
+    ``cardinality_collapse``: mostly re-sent values — the cheap
+    screen in front of the exact key_ledger path).  All ledger
     appends land AFTER the manifest commit — same crash ordering as
     the key ledger (a crash loses this increment's sketches: bounded
     false negatives, never self-collision false positives)."""
@@ -367,6 +376,23 @@ def run_resumable(
             )
             violations = violations.unionByName(dv)
         violations = violations.persist()
+    if hll_ledger is not None:
+        from .pipeline.cardinality_ledger import (
+            cross_increment_cardinality,
+        )
+
+        hcol = hll_column or row_id
+        cv = cross_increment_cardinality(
+            pending, hll_ledger, "images", hcol,
+            novelty_threshold=hll_novelty_threshold, update=False,
+        ).where(F.col("collapsed")).select(
+            F.lit(f"hll:{hcol}").alias("constraint_id"),
+            F.lit("cardinality_collapse").alias("reason"),
+            F.lit("(all)").alias("row_id"),
+            F.round("novelty", 6).cast("string").alias("observed_value"),
+            F.lit("/" + hcol).alias("path"),
+        )
+        violations = violations.unionByName(cv).persist()
     metrics = partition_metrics(pending, violations, row_id, scope_col)
     # ORDER MATTERS for crash recovery: mark partitions complete
     # BEFORE appending their keys to the ledger.  A crash between the
@@ -395,4 +421,10 @@ def run_resumable(
 
         for dcol in drift_columns:
             record_snapshot(pending, drift_ledger, "images", dcol)
+    if hll_ledger is not None:
+        from .pipeline.cardinality_ledger import record_sketches
+
+        record_sketches(
+            pending, hll_ledger, "images", hll_column or row_id
+        )
     return violations, metrics, rid

@@ -231,14 +231,20 @@ def test_run_resumable_all_ledger_families(spark):
             F.concat(F.lit("q"), idc),
         )
 
+    from python_extended_json_schema_validator_spark.pipeline.cardinality_ledger import (
+        HllLedger,
+    )
+
     with tf.TemporaryDirectory() as d:
         manifest = PartitionManifest(path=f"{d}/man")
         kled = KeyLedger(root=f"{d}/keys")
         ndled = MinHashLedger(root=f"{d}/nd", num_hashes=8)
         dled = QuantileLedger(root=f"{d}/drift")
+        hled = HllLedger(root=f"{d}/hll")
         kwargs = dict(
             key_ledger=kled, neardup_ledger=ndled, drift_ledger=dled,
             drift_columns=("w", "h"),
+            hll_ledger=hled, hll_column="caption",
         )
         formats = synth.formats_dim(spark)
 
@@ -286,6 +292,12 @@ def test_run_resumable_all_ledger_families(spark):
             for r in v2.where("reason = 'distribution_drift'").collect()
         }
         assert drifts == {"drift:w"}, drifts  # h untouched
+        # captions are per-image fresh (one copycat) → novelty ≈ 1.0,
+        # the cardinality screen stays quiet in both increments
+        assert v1.unionByName(v2).where(
+            "reason = 'cardinality_collapse'"
+        ).count() == 0
+        assert hled.next_seq(spark, "images", "caption") == 3
 
         # resume: everything completed → nothing pending, no verdicts
         v3, m3, _ = run_resumable(inc2, formats, manifest, **kwargs)

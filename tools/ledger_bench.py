@@ -128,6 +128,33 @@ def main() -> int:
     )
     drift_wall = time.time() - t0
 
+    # HLL cardinality ledger at the same cardinality: record a 1M-row
+    # increment's per-group sketches (16 groups, 600k distinct values
+    # — deep in HLL estimation mode, past the exact coupon regime),
+    # then screen a full re-send increment (novelty ~0 → collapsed)
+    from python_extended_json_schema_validator_spark.pipeline.cardinality_ledger import (
+        HllLedger,
+        cross_increment_cardinality,
+    )
+
+    hl = HllLedger(f"{root}/hll")
+    n_distinct = max(args.docs * 3 // 5, 1)
+    vals1 = spark.range(0, args.docs, 1, 64).select(
+        (F.col("id") % 16).cast("string").alias("g"),
+        (F.col("id") % n_distinct).cast("string").alias("v"),
+    )
+    t0 = time.time()
+    h1 = cross_increment_cardinality(vals1, hl, "t", "v", ["g"])
+    h1.count()
+    hll_rec_wall = time.time() - t0
+    est_total = h1.agg(F.sum("est_novel")).first()[0]
+    t0 = time.time()
+    h2 = cross_increment_cardinality(
+        vals1, hl, "t", "v", ["g"], update=False
+    )
+    n_collapsed = h2.where("collapsed").count()
+    hll_screen_wall = time.time() - t0
+
     result = {
         "metric": "increment-ledger scale evidence (minhash sketch + drift)",
         "cpus": args.cpus,
@@ -149,10 +176,23 @@ def main() -> int:
             "drifted": bool(drifted.drifted),
             "shift": round(drifted.shift, 4),
         },
+        "hll": {
+            "rows": args.docs,
+            "groups": 16,
+            "true_distinct": n_distinct,
+            "est_distinct": int(est_total),
+            "est_rel_err": round(abs(est_total - n_distinct) / n_distinct, 4),
+            "record_wall_sec": round(hll_rec_wall, 2),
+            "record_rows_per_sec": round(args.docs / hll_rec_wall, 1),
+            "resend_screen_wall_sec": round(hll_screen_wall, 2),
+            "resend_groups_collapsed": n_collapsed,
+        },
     }
     assert n_v1 == 0, "first increment must not self-collide"
     assert n_hits >= args.probe // 10, (n_hits, args.probe // 10)
     assert drifted.drifted
+    assert abs(est_total - n_distinct) / n_distinct <= 0.05
+    assert n_collapsed == 16, n_collapsed
     print(json.dumps(result))
     with open(f"{REPO}/BENCH_LEDGER.json", "w") as f:
         json.dump(result, f, indent=2)
