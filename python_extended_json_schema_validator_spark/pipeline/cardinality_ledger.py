@@ -160,7 +160,11 @@ def cross_increment_cardinality(
     sketches (AFTER the verdicts materialize — the family-wide crash
     ordering)."""
     spark = df.sparkSession
-    inc = ledger.sketch(df, column, group_by)
+    # the sketch frame is O(groups) rows but its lineage is a full
+    # scan of the increment — persist it so the verdicts and the
+    # ledger append share ONE scan (the survivors-fix lesson: never
+    # re-execute a corpus-sized lineage for a second consumer)
+    inc = ledger.sketch(df, column, group_by).persist()
     base = ledger.cumulative(spark, table, column, group_by)
     if base is None:
         merged = inc.select(
@@ -214,11 +218,16 @@ def cross_increment_cardinality(
             ).otherwise(F.lit(0.0)),
         )
         .withColumn(
-            # an empty increment (n_rows 0 — e.g. a resume where
-            # nothing is pending) has nothing to screen: not collapsed
+            # never-null verdict: an empty increment (n_rows 0 — e.g.
+            # a resume where nothing is pending) or a group whose
+            # values are all NULL (null sketch → null novelty) has
+            # nothing to screen — not collapsed
             "collapsed",
             (F.col("n_rows") > 0)
-            & (F.col("novelty") < F.lit(novelty_threshold)),
+            & F.coalesce(
+                F.col("novelty") < F.lit(novelty_threshold),
+                F.lit(False),
+            ),
         )
         .persist()
     )
@@ -227,6 +236,7 @@ def cross_increment_cardinality(
         ledger.record(
             inc, table, column, ledger.next_seq(spark, table, column)
         )
+    inc.unpersist()
     return out
 
 

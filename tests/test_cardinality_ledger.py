@@ -116,6 +116,37 @@ def test_first_increment_of_duplicates_still_flags(spark, ledger):
     assert row.collapsed
 
 
+def test_all_null_group_collapses_with_empty_sketch(spark, ledger):
+    """A group whose values are ALL NULL yields an EMPTY sketch (the
+    agg skips nulls — Spark returns a zero-estimate sketch, not SQL
+    NULL): estimate 0, novelty 0.0, collapsed True — an increment
+    contributing no non-null values IS a cardinality collapse, and the
+    verdict is a real boolean a downstream ``.where`` keeps.  The
+    empty sketch is recorded and unions cleanly next increment."""
+    mixed = spark.range(100).select(
+        F.when(F.col("id") < 50, "ok").otherwise("nulls").alias("g"),
+        F.when(F.col("id") < 50, F.col("id").cast("string")).alias("v"),
+    )
+    rows = {
+        r.g: r
+        for r in cross_increment_cardinality(
+            mixed, ledger, "t", "v", ["g"]
+        ).collect()
+    }
+    assert rows["nulls"].est_distinct_inc == 0
+    assert rows["nulls"].novelty == 0.0
+    assert rows["nulls"].collapsed is True
+    assert rows["ok"].est_distinct_inc == 50
+    # both groups recorded; the empty sketch unions without error
+    snap = {
+        r.g: r
+        for r in ledger.cumulative(spark, "t", "v", ["g"])
+        .select("g", F.hll_sketch_estimate("__hll").alias("est"))
+        .collect()
+    }
+    assert snap["nulls"].est == 0 and snap["ok"].est == 50
+
+
 def test_crash_ordering_and_update_flag(spark, ledger):
     inc = _inc(spark, 100, lambda id: id)
     assert ledger.next_seq(spark, "t", "v") == 1
