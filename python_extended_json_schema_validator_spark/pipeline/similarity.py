@@ -263,7 +263,11 @@ def kmeans_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r.v] for r in init]
-    vecs = df.select(F.col(vec_col).alias("v"))
+    # the iterative working set: persist so each Lloyd's iteration
+    # re-reads a cached columnar projection instead of re-scanning the
+    # source (at 10^12 rows that's iters-1 saved full-table scans;
+    # storage is just the projected vector column)
+    vecs = df.select(F.col(vec_col).alias("v")).persist()
 
     for _ in range(iters):
         assigned = vecs.select(
@@ -283,6 +287,7 @@ def kmeans_centroids(
             if ci in new_c:
                 dims = new_c[ci]
                 centroids[ci] = [dims[d] for d in sorted(dims)]
+    vecs.unpersist()
     return centroids
 
 
