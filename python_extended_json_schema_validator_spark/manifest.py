@@ -376,15 +376,18 @@ def run_resumable(
             )
             violations = violations.unionByName(dv)
         violations = violations.persist()
+    hll_sketch_frame = None
     if hll_ledger is not None:
-        from .pipeline.cardinality_ledger import (
-            cross_increment_cardinality,
-        )
+        from .pipeline.cardinality_ledger import screen_sketches
 
         hcol = hll_column or row_id
-        cv = cross_increment_cardinality(
-            pending, hll_ledger, "images", hcol,
-            novelty_threshold=hll_novelty_threshold, update=False,
+        # build the sketch frame ONCE and persist it: the screen
+        # verdicts (here) and the post-commit ledger append (below)
+        # share a single scan of the pending increment
+        hll_sketch_frame = hll_ledger.sketch(pending, hcol).persist()
+        cv = screen_sketches(
+            hll_sketch_frame, hll_ledger, "images", hcol,
+            novelty_threshold=hll_novelty_threshold,
         ).where(F.col("collapsed")).select(
             F.lit(f"hll:{hcol}").alias("constraint_id"),
             F.lit("cardinality_collapse").alias("reason"),
@@ -422,9 +425,12 @@ def run_resumable(
         for dcol in drift_columns:
             record_snapshot(pending, drift_ledger, "images", dcol)
     if hll_ledger is not None:
-        from .pipeline.cardinality_ledger import record_sketches
-
-        record_sketches(
-            pending, hll_ledger, "images", hll_column or row_id
+        # append the SAME persisted sketch frame the screen used —
+        # no second scan of the increment
+        hcol = hll_column or row_id
+        hll_ledger.record(
+            hll_sketch_frame, "images", hcol,
+            hll_ledger.next_seq(pending.sparkSession, "images", hcol),
         )
+        hll_sketch_frame.unpersist()
     return violations, metrics, rid

@@ -118,7 +118,16 @@ class HllLedger:
         snap = self._read(spark, table, column)
         if snap is None:
             return 1
-        return snap.agg(F.max("__seq")).first()[0] + 1
+        # coalesce: a directory holding only zero-row part files (an
+        # empty increment was recorded) yields max(__seq) = NULL —
+        # without the default, None + 1 would poison the ledger for
+        # every later append (same guard as manifest.record's seq)
+        return (
+            snap.agg(F.coalesce(F.max("__seq"), F.lit(0)).alias("m"))
+            .first()
+            .m
+            + 1
+        )
 
     def record(
         self, sketches: DataFrame, table: str, column: str, seq: int
@@ -158,13 +167,58 @@ def cross_increment_cardinality(
     re-read; nothing here scales with history except the tiny
     snapshot table.  ``update=True`` then appends this increment's
     sketches (AFTER the verdicts materialize — the family-wide crash
-    ordering)."""
+    ordering) and returns the verdicts persisted; ``update=False``
+    returns a LAZY frame (screening has exactly one consumer then —
+    nothing to share, nothing to leak)."""
     spark = df.sparkSession
-    # the sketch frame is O(groups) rows but its lineage is a full
-    # scan of the increment — persist it so the verdicts and the
-    # ledger append share ONE scan (the survivors-fix lesson: never
-    # re-execute a corpus-sized lineage for a second consumer)
-    inc = ledger.sketch(df, column, group_by).persist()
+    if update:
+        # the sketch frame is O(groups) rows but its lineage is a
+        # full scan of the increment — persist it so the verdicts and
+        # the ledger append share ONE scan (the survivors-fix lesson:
+        # never re-execute a corpus-sized lineage for a second
+        # consumer)
+        inc = ledger.sketch(df, column, group_by).persist()
+    else:
+        # screen-only: the sketch frame has exactly one consumer, so
+        # there is nothing to share — stay lazy (callers sequencing
+        # their own append use screen_sketches on a frame THEY manage)
+        inc = ledger.sketch(df, column, group_by)
+    try:
+        out = screen_sketches(
+            inc, ledger, table, column, group_by, novelty_threshold
+        )
+        if update:
+            # materialize (and keep, for the caller) BEFORE the
+            # sketch append lands — the family-wide crash ordering;
+            # recomputation stays safe regardless: the baseline plan
+            # is pinned to the pre-append file list
+            out = out.persist()
+            out.count()
+            ledger.record(
+                inc, table, column,
+                ledger.next_seq(spark, table, column),
+            )
+        return out
+    finally:
+        if update:
+            inc.unpersist()
+
+
+def screen_sketches(
+    inc: DataFrame,
+    ledger: HllLedger,
+    table: str,
+    column: str,
+    group_by: Sequence[str] = (),
+    novelty_threshold: float = 0.5,
+) -> DataFrame:
+    """The LAZY screen over an already-built sketch frame
+    (``ledger.sketch`` output) — the composable core of
+    cross_increment_cardinality, exposed so callers that must
+    sequence the ledger append themselves (manifest.run_resumable)
+    can compute verdicts and append from ONE sketch frame instead of
+    re-scanning the increment."""
+    spark = inc.sparkSession
     base = ledger.cumulative(spark, table, column, group_by)
     if base is None:
         merged = inc.select(
@@ -199,7 +253,7 @@ def cross_increment_cardinality(
             F.hll_union("__inc_hll", "__base_hll", False)
         )
     )
-    out = (
+    return (
         merged.select(
             *group_by,
             "n_rows",
@@ -229,15 +283,7 @@ def cross_increment_cardinality(
                 F.lit(False),
             ),
         )
-        .persist()
     )
-    out.count()  # materialize BEFORE the sketch append lands
-    if update:
-        ledger.record(
-            inc, table, column, ledger.next_seq(spark, table, column)
-        )
-    inc.unpersist()
-    return out
 
 
 def record_sketches(

@@ -79,7 +79,15 @@ class QuantileLedger:
         snap = self._read(spark, table, column)
         if snap is None:
             return 1
-        return snap.agg(F.max("__seq")).first()[0] + 1
+        # coalesce: a directory holding only zero-row part files (an
+        # empty increment's snapshot) yields max(__seq) = NULL — the
+        # default keeps the ledger appendable (manifest.record's guard)
+        return (
+            snap.agg(F.coalesce(F.max("__seq"), F.lit(0)).alias("m"))
+            .first()
+            .m
+            + 1
+        )
 
     def record(
         self, quantiles: DataFrame, table: str, column: str, seq: int

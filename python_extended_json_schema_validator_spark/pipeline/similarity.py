@@ -268,26 +268,31 @@ def kmeans_centroids(
     # source (at 10^12 rows that's iters-1 saved full-table scans;
     # storage is just the projected vector column)
     vecs = df.select(F.col(vec_col).alias("v")).persist()
-
-    for _ in range(iters):
-        assigned = vecs.select(
-            _centroid_probes(F.col("v"), centroids, 1).getItem(0).alias("cluster"),
-            "v",
-        )
-        sums = (
-            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new_c = {r.cluster: dict() for r in sums}
-        for r in sums:
-            new_c[r.cluster][r.dim] = r.m
-        for ci in range(k):
-            if ci in new_c:
-                dims = new_c[ci]
-                centroids[ci] = [dims[d] for d in sorted(dims)]
-    vecs.unpersist()
+    try:
+        for _ in range(iters):
+            assigned = vecs.select(
+                _centroid_probes(F.col("v"), centroids, 1)
+                .getItem(0)
+                .alias("cluster"),
+                "v",
+            )
+            sums = (
+                assigned.select(
+                    "cluster", F.posexplode("v").alias("dim", "x")
+                )
+                .groupBy("cluster", "dim")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            new_c = {r.cluster: dict() for r in sums}
+            for r in sums:
+                new_c[r.cluster][r.dim] = r.m
+            for ci in range(k):
+                if ci in new_c:
+                    dims = new_c[ci]
+                    centroids[ci] = [dims[d] for d in sorted(dims)]
+    finally:
+        vecs.unpersist()
     return centroids
 
 

@@ -147,6 +147,21 @@ def test_all_null_group_collapses_with_empty_sketch(spark, ledger):
     assert snap["nulls"].est == 0 and snap["ok"].est == 50
 
 
+def test_empty_append_never_poisons_next_seq(spark, ledger):
+    """Recording an EMPTY increment writes a zero-row part file;
+    max(__seq) over it is NULL — next_seq must coalesce to keep the
+    ledger appendable (review finding: None + 1 raised TypeError and
+    bricked the ledger until hand-deleted)."""
+    empty = spark.range(0).select(
+        F.lit("a").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    record_sketches(empty, ledger, "t", "v", ["g"])
+    assert ledger.next_seq(spark, "t", "v") == 1  # no non-empty snapshot yet
+    inc = _inc(spark, 50, lambda id: id)
+    record_sketches(inc, ledger, "t", "v", ["g"])
+    assert ledger.next_seq(spark, "t", "v") == 2
+
+
 def test_crash_ordering_and_update_flag(spark, ledger):
     inc = _inc(spark, 100, lambda id: id)
     assert ledger.next_seq(spark, "t", "v") == 1
