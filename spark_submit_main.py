@@ -35,6 +35,13 @@ def main(argv=None) -> int:
     ap.add_argument("--fail-fast", action="store_true",
                     help="stop at the first violation (reference's "
                          "no-continue mode): plans a LIMIT 1 scan")
+    ap.add_argument("--ledgers", default=None, metavar="DIR",
+                    help="enable all four cross-increment ledger "
+                         "families rooted at DIR: exact keys "
+                         "(keys/), caption near-dups (neardup/), "
+                         "w/h/phash distribution drift (drift/), "
+                         "and the HLL cardinality screen on "
+                         "image_id (hll/)")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("image-validation").getOrCreate()
@@ -50,7 +57,31 @@ def main(argv=None) -> int:
     formats = synth.formats_dim(spark)
     manifest = PartitionManifest(args.manifest or f"{args.output}/manifest")
 
-    violations, metrics, run_id = run_resumable(images, formats, manifest)
+    ledger_kwargs = {}
+    if args.ledgers:
+        from python_extended_json_schema_validator_spark.manifest import (
+            KeyLedger,
+        )
+        from python_extended_json_schema_validator_spark.pipeline.cardinality_ledger import (
+            HllLedger,
+        )
+        from python_extended_json_schema_validator_spark.pipeline.drift_ledger import (
+            QuantileLedger,
+        )
+        from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+            MinHashLedger,
+        )
+
+        ledger_kwargs = dict(
+            key_ledger=KeyLedger(f"{args.ledgers}/keys"),
+            neardup_ledger=MinHashLedger(f"{args.ledgers}/neardup"),
+            drift_ledger=QuantileLedger(f"{args.ledgers}/drift"),
+            hll_ledger=HllLedger(f"{args.ledgers}/hll"),
+        )
+
+    violations, metrics, run_id = run_resumable(
+        images, formats, manifest, **ledger_kwargs
+    )
 
     if args.fail_fast:
         first = violations.limit(1).collect()
