@@ -166,6 +166,27 @@ def main() -> int:
     n_collapsed = h2.where("collapsed").count()
     hll_screen_wall = time.time() - t0
 
+    # exact-vs-screen A/B on the SAME re-send increment: the exact
+    # KeyLedger path (row-level verdicts — distinct over all recorded
+    # keys + a semi-join against the increment, state O(total
+    # distinct)) vs the HLL screen (group-level verdict, state
+    # O(groups) sketch bytes).  At this cardinality the wall gap is
+    # modest; the structural gap is the state each carries to 10^12.
+    from python_extended_json_schema_validator_spark.manifest import (
+        KeyLedger,
+    )
+
+    kl = KeyLedger(f"{root}/keys")
+    t0 = time.time()
+    kl.record(vals1.select(F.col("v").alias("__key")), "t", "v")
+    key_rec_wall = time.time() - t0
+    t0 = time.time()
+    kdim = kl.dim(spark, "t", "v")
+    n_exact_dups = (
+        vals1.join(kdim, vals1["v"] == kdim["__key"], "left_semi").count()
+    )
+    key_probe_wall = time.time() - t0
+
     result = {
         "metric": "increment-ledger scale evidence (minhash sketch + drift + hll cardinality)",
         "cpus": args.cpus,
@@ -197,6 +218,15 @@ def main() -> int:
             "record_rows_per_sec": round(args.docs / hll_rec_wall, 1),
             "resend_screen_wall_sec": round(hll_screen_wall, 2),
             "resend_groups_collapsed": n_collapsed,
+        },
+        "exact_vs_screen": {
+            "key_record_wall_sec": round(key_rec_wall, 2),
+            "key_probe_wall_sec": round(key_probe_wall, 2),
+            "exact_dup_rows": n_exact_dups,
+            "hll_screen_wall_sec": round(hll_screen_wall, 2),
+            "probe_speedup": round(key_probe_wall / hll_screen_wall, 2),
+            "exact_state": "O(total distinct keys) parquet rows",
+            "screen_state": "O(groups) sketch KB",
         },
     }
     assert n_v1 == 0, "first increment must not self-collide"
