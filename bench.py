@@ -162,8 +162,12 @@ def main() -> int:
         "violation_rows": rows,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail, f, indent=1)
+    # only a FULL flagship run may overwrite the committed detail
+    # record — a --queries subset run would silently clobber it with
+    # partial rows (this happened in round 6)
+    if set(names) == set(BENCH_QUERIES):
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
     scaling_brief = None
     if scaling:
         scaling_brief = {
