@@ -538,6 +538,71 @@ def q_embed_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_extended_json_schema_validator_spark.payload import synth
+
+    return synth.materialize_neardup_images(spark, sf_dir)
+
+
+def q_phash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-recomputed perceptual hash (payload/phash.py): the
+    DCT pHash of the decoded pixels compared to the declared phash
+    column in ONE fused map-only Arrow stage.  The near-dup corpus
+    (synth.neardup_images_from_keys) declares the TRUE hash except at
+    k % 13 == 6, where 16 bits are flipped — so the oracle predicts
+    the violation set arithmetically while the engine must actually
+    decode + hash every image to find it (hamming budget 8; clean
+    rows recompute to hamming 0, the flip sits at 16)."""
+    from python_extended_json_schema_validator_spark.payload import phash
+
+    img = _neardup_images(spark, sf_dir)
+    return phash.phash_violations(img).select(
+        "constraint_id", "reason", "row_id"
+    )
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-duplicate pairs over recomputed image phash: decode
+    → 64-bit DCT signature (map-only) → pigeonhole-banded hamming join
+    (τ=6 → 7 blocks, bucketed equi-joins, full-hash verify on integer
+    chunks — the SimHash machinery on the image modality).  The
+    corpus injects near-dup pairs (k-1, k) at k % 7 == 3 via seed
+    reuse + ±2 noise + cross-codec re-encode; measured margins: true
+    pairs ≤ 4 bits, every other pair ≥ 10 bits at sf0.01 AND sf0.1,
+    so the oracle's arithmetic pair set is exact."""
+    from python_extended_json_schema_validator_spark.payload import phash
+
+    img = _neardup_images(spark, sf_dir)
+    sig = phash.phash_signatures(img)
+    return phash.phash_near_duplicates(sig).select("doc_a", "doc_b")
+
+
+def q_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The factored survivors tail (dedup.survivors_from_pairs) fed by
+    the IMAGE pair generator — third modality through the same
+    clustering + survivor-flag verdict (after minhash text and
+    embedding LSH).  Components here are exactly the injected (k-1,
+    k) pairs, so the oracle flags keep = NOT near-dup-row and
+    component = k - (k near-dup ? 1 : 0)."""
+    from python_extended_json_schema_validator_spark.payload import phash
+    from python_extended_json_schema_validator_spark.pipeline import dedup
+
+    img = _neardup_images(spark, sf_dir)
+    sig = phash.phash_signatures(img).select(
+        F.substring("image_id", 4, 8).cast("long").alias("img_k"),
+        "phash_dct",
+    )
+    pairs = phash.phash_near_duplicates(sig, id_col="img_k")
+    out = dedup.survivors_from_pairs(
+        pairs, sig.select("img_k"), id_col="img_k"
+    )
+    return out.select(
+        F.col("img_k").cast("long").alias("img_k"),
+        F.col("component").cast("long").alias("component"),
+        "is_survivor",
+    )
+
+
 def q_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 schema dispatch: a mixed-schema document table routed to
     per-schema plans via the _schema probe; no_id / schema_unknown
@@ -1779,6 +1844,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_dups": q_stream_stateful_dups,
         "neardup_ledger": q_neardup_ledger,
         "drift_ledger": q_drift_ledger,
+        # round 6 continued: the perceptual-hash leg — declared-vs-
+        # recomputed DCT pHash, banded visual near-dup pairs, and the
+        # survivors tail on the image modality
+        "phash_check": q_phash_check,
+        "phash_neardup": q_phash_neardup,
+        "phash_survivors": q_phash_survivors,
     }
 
 
@@ -1787,6 +1858,27 @@ LI_ID = "CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)"
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        # perceptual-hash leg: every verdict is arithmetic on the
+        # synth.neardup_images_from_keys injection rules (keys =
+        # p_partkey) — the engine must decode + DCT-hash real bytes
+        # to reproduce sets the oracle derives without decoding
+        "phash_check": """
+            SELECT 'payload:phash' AS constraint_id, 'phash' AS reason,
+                   'img' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS row_id
+            FROM part WHERE p_partkey % 13 = 6
+        """,
+        "phash_neardup": """
+            SELECT 'img' || lpad(CAST(p_partkey - 1 AS VARCHAR), 8, '0') AS doc_a,
+                   'img' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS doc_b
+            FROM part WHERE p_partkey % 7 = 3 AND p_partkey >= 3
+        """,
+        "phash_survivors": """
+            SELECT CAST(p_partkey AS BIGINT) AS img_k,
+                   CAST(CASE WHEN p_partkey % 7 = 3 AND p_partkey >= 3
+                        THEN p_partkey - 1 ELSE p_partkey END AS BIGINT) AS component,
+                   NOT (p_partkey % 7 = 3 AND p_partkey >= 3) AS is_survivor
+            FROM part
+        """,
         "ann_lsh": _ann_lsh_oracle(),
         # round 6: the stateful streaming dedup operator's emissions —
         # every non-survivor registration, survivor = min string

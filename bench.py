@@ -32,6 +32,7 @@ EXTRA_QUERIES = [
     "ann_ivf",
     "repetition_stats",
     "image_drift",
+    "phash_neardup",
 ]
 
 # flagship suite: RE-BASELINED round 5 (documented in BASELINE.md) —

@@ -131,6 +131,107 @@ def formats_dim(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([(f,) for f in FMTS], "fmt string")
 
 
+# ---------------------------------------------------------------------------
+# Near-duplicate corpus (perceptual-hash battery)
+# ---------------------------------------------------------------------------
+#
+# A second deterministic corpus for the pHash leg (payload/phash.py),
+# separate from the main injection table so its rules stay independent
+# and SQL-replicable:
+#
+#   near-dup pair      k % 7 == 3 (k≥3) → pixels regenerated from row
+#                      k-1's seed AND dims, with deterministic ±2
+#                      noise — (k-1, k) is a visual near-duplicate
+#                      pair (declared dims stay the actual dims)
+#   corrupt phash      k % 13 == 6 → declared phash = true recomputed
+#                      phash XOR PHASH_FLIP_MASK (16 flipped bits) →
+#                      payload:phash
+#   otherwise          declared phash = true recomputed phash (the
+#                      DCT hash of the row's own encoded bytes)
+#
+# fmt = FMTS[k % 3] always — a near-dup row usually re-encodes its
+# source under a DIFFERENT codec (lossy↔lossless), so the pair also
+# exercises re-encode robustness.  Measured hamming margins over this
+# generator at sf0.01 AND sf0.1: injected pairs ≤ 4 bits, every other
+# pair ≥ 10 bits (phash.NEAR_MAX_HAMMING = 6 splits them).
+
+NEARDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+PHASH_FLIP_MASK = 0xFFFF << 16
+NEARDUP_NOISE = 2
+
+
+def _neardup_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    from . import phash as phash_mod
+
+    rows = {c.name: [] for c in NEARDUP_SCHEMA.fields}
+    grays = []
+    for k in pdf["k"]:
+        k = int(k)
+        if k % 7 == 3 and k >= 3:
+            src = k - 1
+            w, h = 8 + src % 25, 8 + src % 17
+            buf = codec.encode(src, w, h, FMTS[k % 3], noise_amp=NEARDUP_NOISE)
+        else:
+            w, h = 8 + k % 25, 8 + k % 17
+            buf = codec.encode(k, w, h, FMTS[k % 3], noise_amp=0)
+        ok, _fmt, _w, _h, px = codec.decode(buf)
+        assert ok, "neardup generator produced an undecodable image"
+        grays.append(phash_mod._gray32(px))
+        rows["image_id"].append(f"img{k:08d}")
+        rows["bytes"].append(bytes(buf))
+        rows["w"].append(w)
+        rows["h"].append(h)
+        rows["fmt"].append(FMTS[k % 3])
+    sigs = phash_mod.phash_batch(grays)
+    for k, sig in zip(pdf["k"], sigs):
+        k = int(k)
+        declared = int(sig)
+        if k % 13 == 6:
+            declared ^= PHASH_FLIP_MASK
+        rows["phash"].append(declared)
+    return pd.DataFrame(rows)
+
+
+def neardup_images_from_keys(keys_df: DataFrame) -> DataFrame:
+    """keys_df: one column ``k`` (long) — the contiguous source keys
+    (near-dup rows reference key k-1, so gaps would orphan pairs)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _neardup_batch(pdf)
+
+    return keys_df.mapInPandas(gen, schema=NEARDUP_SCHEMA)
+
+
+def materialize_neardup_images(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_root: str = "/tmp/spark_graft_neardup_v1",
+) -> DataFrame:
+    """Generate-once cache of the near-dup corpus for this sf (keys =
+    p_partkey, contiguous 1..N) — the three phash queries share it."""
+    import os
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"{cache_root}/{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        keys = part.select(F.col("p_partkey").cast("long").alias("k"))
+        neardup_images_from_keys(keys).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def materialize_images(
     spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/spark_graft_images_v2"
 ) -> DataFrame:

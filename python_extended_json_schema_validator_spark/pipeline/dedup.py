@@ -631,6 +631,84 @@ def survivors_from_pairs(
     )
 
 
+def banded_hamming_pairs(
+    sh: DataFrame, max_hamming: int = 2, positions: int = 16
+) -> DataFrame:
+    """Pigeonhole-banded hamming pairs over (doc, simhash bit-string)
+    signatures — same contract as ``simhash_pairs_from_signatures``
+    (recall 1.0 within ``max_hamming``; full-hash verify on integer
+    chunks) but the block keys are ONE ``posexplode`` of a key array
+    instead of a ``max_hamming + 1``-way union of frames.
+
+    Why it exists: the union form references the signature subtree
+    once per block, and when the signature lineage is MAP-ONLY (e.g.
+    image decode → DCT phash, payload/phash.py) Spark re-executes it
+    per branch — measured 7× the decode work at ``max_hamming=6``;
+    AQE's stage reuse only deduplicated the two join sides, not the
+    sibling union branches.  The explode form scans the signatures
+    once per join side, and a caller-side ``repartition`` collapses
+    those two into one ReusedExchange (accumulator-verified: N
+    decodes for N images).  SimHash keeps the union form: its
+    signature ends in a groupBy whose shuffle already reuses, and its
+    flagship plan is adjudicated."""
+    nblocks = max_hamming + 1
+    base, extra = divmod(positions, nblocks)
+    bounds = []
+    start = 1
+    for bi in range(nblocks):
+        ln = base + (1 if bi < extra else 0)
+        bounds.append((start, ln))
+        start += ln
+
+    chunk_cols, chunk_names = [], []
+    for ci, cs in enumerate(range(1, positions + 1, 32)):
+        ln = min(32, positions - cs + 1)
+        chunk_names.append(f"__c{ci}")
+        chunk_cols.append(
+            F.conv(F.substring("simhash", cs, ln), 2, 10)
+            .cast("long")
+            .alias(f"__c{ci}")
+        )
+    blocked = sh.select("doc", "simhash", *chunk_cols).select(
+        "doc",
+        *chunk_names,
+        F.posexplode(
+            F.array(*[F.substring("simhash", s, ln) for s, ln in bounds])
+        ).alias("blk", "bkey"),
+    )
+
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            *[F.col(f"a.{n}").alias(f"a{n}") for n in chunk_names],
+            *[F.col(f"b.{n}").alias(f"b{n}") for n in chunk_names],
+        )
+        .distinct()
+    )
+    ham = sum(
+        (
+            F.bit_count(
+                F.col(f"a__c{ci}").bitwiseXOR(F.col(f"b__c{ci}"))
+            ).cast("int")
+            for ci in range(len(chunk_names))
+        ),
+        F.lit(0),
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
