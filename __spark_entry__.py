@@ -603,6 +603,39 @@ def q_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-increment VISUAL near-dup ledger (PhashLedger, the image
+    modality of incremental_neardup): increment 1 registers the F12
+    corpus's 64-bit DCT signatures + block keys; increment 2 re-sends
+    the SAME pixel content under new ids ('re' prefix) — a full
+    re-send, the worst ingestion case.  Every inc2 row must collide
+    with its inc1 twin (hamming 0: identical bytes → identical hash),
+    and rows flanking an injected near-dup pair also collide with the
+    partner (hamming ≤ 6, the measured pair ceiling across 500k
+    images).  Increment 1 runs against the EMPTY ledger and must
+    produce zero rows (materialize-before-append: no self-collision).
+    Verification is exact long-XOR bit_count against the stored
+    signatures — prior pixels never re-read."""
+    import tempfile
+
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        PhashLedger,
+        cross_increment_phash_duplicates,
+    )
+
+    img = _neardup_images(spark, sf_dir)
+    led = PhashLedger(tempfile.mkdtemp(prefix="phash_led_q"))
+    v1 = cross_increment_phash_duplicates(img, "image_id", led)
+    inc2 = img.select(
+        F.concat(F.lit("re"), F.col("image_id")).alias("image_id"),
+        "bytes",
+    )
+    v2 = cross_increment_phash_duplicates(
+        inc2, "image_id", led, update=False
+    )
+    return v1.unionByName(v2).select("doc_new", "doc_prior")
+
+
 def q_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 schema dispatch: a mixed-schema document table routed to
     per-schema plans via the _schema probe; no_id / schema_unknown
@@ -1850,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_check": q_phash_check,
         "phash_neardup": q_phash_neardup,
         "phash_survivors": q_phash_survivors,
+        "phash_ledger": q_phash_ledger,
     }
 
 
@@ -1878,6 +1912,22 @@ def oracle_sql() -> dict[str, str]:
                         THEN p_partkey - 1 ELSE p_partkey END AS BIGINT) AS component,
                    NOT (p_partkey % 7 = 3 AND p_partkey >= 3) AS is_survivor
             FROM part
+        """,
+        # full re-send increment vs the ledger: twin hits for every
+        # row, plus both flanks of each injected near-dup pair
+        "phash_ledger": """
+            WITH ks AS (SELECT p_partkey AS k FROM part)
+            SELECT 'reimg' || lpad(CAST(k AS VARCHAR), 8, '0') AS doc_new,
+                   'img' || lpad(CAST(k AS VARCHAR), 8, '0') AS doc_prior
+            FROM ks
+            UNION ALL
+            SELECT 'reimg' || lpad(CAST(k AS VARCHAR), 8, '0'),
+                   'img' || lpad(CAST(k - 1 AS VARCHAR), 8, '0')
+            FROM ks WHERE k % 7 = 3 AND k >= 3
+            UNION ALL
+            SELECT 'reimg' || lpad(CAST(k - 1 AS VARCHAR), 8, '0'),
+                   'img' || lpad(CAST(k AS VARCHAR), 8, '0')
+            FROM ks WHERE k % 7 = 3 AND k >= 3
         """,
         "ann_lsh": _ann_lsh_oracle(),
         # round 6: the stateful streaming dedup operator's emissions —

@@ -296,6 +296,8 @@ def run_resumable(
     key_ledger: Optional[KeyLedger] = None,
     neardup_ledger=None,
     caption_col: str = "caption",
+    phash_ledger=None,
+    bytes_col: str = "bytes",
     drift_ledger=None,
     drift_columns: tuple = ("w", "h", "phash"),
     drift_threshold: float = 0.1,
@@ -317,6 +319,12 @@ def run_resumable(
     pipeline.incremental_neardup.MinHashLedger) flags pending rows
     whose ``caption_col`` near-duplicates a PRIOR increment's
     captions (reason ``near_duplicate``, observed = prior id @ est);
+    ``phash_ledger`` (a pipeline.incremental_neardup.PhashLedger)
+    flags pending rows whose DECODED PIXELS perceptually
+    near-duplicate a prior increment's images (DCT phash within the
+    ledger's hamming budget, exact verification against the stored
+    64-bit signatures — reason ``near_duplicate``, observed = prior
+    id @ hamming);
     ``drift_ledger`` (a pipeline.drift_ledger.QuantileLedger) flags
     ``drift_columns`` whose distribution drifted vs the first
     recorded snapshot (reason ``distribution_drift``);
@@ -360,6 +368,25 @@ def run_resumable(
             F.lit("/" + caption_col).alias("path"),
         )
         violations = violations.unionByName(nd).persist()
+    if phash_ledger is not None:
+        from .pipeline.incremental_neardup import (
+            cross_increment_phash_duplicates,
+        )
+
+        pv = cross_increment_phash_duplicates(
+            pending, row_id, phash_ledger, bytes_col=bytes_col,
+            update=False,
+        ).select(
+            F.lit("neardup:phash").alias("constraint_id"),
+            F.lit("near_duplicate").alias("reason"),
+            F.col("doc_new").alias("row_id"),
+            F.concat(
+                F.col("doc_prior"), F.lit(" @ "),
+                F.col("hamming").cast("string"),
+            ).alias("observed_value"),
+            F.lit("/" + bytes_col).alias("path"),
+        )
+        violations = violations.unionByName(pv).persist()
     if drift_ledger is not None:
         from .pipeline.drift_ledger import cross_increment_drift
 
@@ -418,6 +445,12 @@ def run_resumable(
 
         record_sketches(
             pending, row_id, neardup_ledger, text_col=caption_col
+        )
+    if phash_ledger is not None:
+        from .pipeline.incremental_neardup import record_phash_sketches
+
+        record_phash_sketches(
+            pending, row_id, phash_ledger, bytes_col=bytes_col
         )
     if drift_ledger is not None:
         from .pipeline.drift_ledger import record_snapshot

@@ -106,7 +106,10 @@ def phash_batch(grays: "list[np.ndarray]") -> np.ndarray:
     signatures (two's complement — bit 63 of the hash is the sign
     bit of the long, exactly how a Spark ``long`` column stores it)."""
     stack = np.stack(grays)
-    coef = np.einsum("ux,nxy,vy->nuv", _DCT, stack, _DCT)
+    # two broadcasted matmuls, NOT an unoptimized einsum — einsum
+    # without a contraction path runs the full nested loop (O(n·32^4),
+    # measured ~20× slower end-to-end on this numpy build)
+    coef = _DCT @ (stack @ _DCT.T)
     block = coef[:, :BLOCK, :BLOCK].reshape(len(grays), BITS)
     med = np.median(block, axis=1, keepdims=True)
     bits = block > med
@@ -234,6 +237,30 @@ def phash_bitstring(col: F.Column) -> F.Column:
     return F.concat(
         F.lpad(F.conv(hi.cast("string"), 10, 2), 32, "0"),
         F.lpad(F.conv(lo.cast("string"), 10, 2), 32, "0"),
+    )
+
+
+def phash_blocks(
+    sig: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash_dct",
+    max_hamming: int = NEAR_MAX_HAMMING,
+) -> DataFrame:
+    """(doc, blk, bkey) pigeonhole block keys for each signature —
+    one posexplode, no union (see banded_hamming_pairs on why that
+    matters for map-only lineages).  Any two signatures within
+    ``max_hamming`` bits share at least one (blk, bkey); the bounds
+    come from ``dedup.block_bounds``, so ledger block keys recorded
+    by one increment match the keys a later increment probes with."""
+    from ..pipeline.dedup import block_bounds
+
+    bounds = block_bounds(BITS, max_hamming + 1)
+    bits = phash_bitstring(F.col(phash_col))
+    return sig.where(F.col(phash_col).isNotNull()).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.array(*[F.substring(bits, s, ln) for s, ln in bounds])
+        ).alias("blk", "bkey"),
     )
 
 

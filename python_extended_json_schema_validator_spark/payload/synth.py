@@ -217,7 +217,7 @@ def neardup_images_from_keys(keys_df: DataFrame) -> DataFrame:
 def materialize_neardup_images(
     spark: SparkSession,
     sf_dir: str,
-    cache_root: str = "/tmp/spark_graft_neardup_v1",
+    cache_root: str = "/tmp/spark_graft_neardup_v2",
 ) -> DataFrame:
     """Generate-once cache of the near-dup corpus for this sf (keys =
     p_partkey, contiguous 1..N) — the three phash queries share it."""

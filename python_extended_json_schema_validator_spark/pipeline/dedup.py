@@ -631,6 +631,21 @@ def survivors_from_pairs(
     )
 
 
+def block_bounds(positions: int, nblocks: int) -> "list[tuple[int, int]]":
+    """(start, len) 1-based substring bounds splitting ``positions``
+    bits as evenly as possible into ``nblocks`` pigeonhole blocks —
+    shared by the banded joins here and the phash increment ledger
+    (recorded block keys must match probe keys across increments)."""
+    base, extra = divmod(positions, nblocks)
+    bounds = []
+    start = 1
+    for bi in range(nblocks):
+        ln = base + (1 if bi < extra else 0)
+        bounds.append((start, ln))
+        start += ln
+    return bounds
+
+
 def banded_hamming_pairs(
     sh: DataFrame, max_hamming: int = 2, positions: int = 16
 ) -> DataFrame:
@@ -651,14 +666,7 @@ def banded_hamming_pairs(
     decodes for N images).  SimHash keeps the union form: its
     signature ends in a groupBy whose shuffle already reuses, and its
     flagship plan is adjudicated."""
-    nblocks = max_hamming + 1
-    base, extra = divmod(positions, nblocks)
-    bounds = []
-    start = 1
-    for bi in range(nblocks):
-        ln = base + (1 if bi < extra else 0)
-        bounds.append((start, ln))
-        start += ln
+    bounds = block_bounds(positions, max_hamming + 1)
 
     chunk_cols, chunk_names = [], []
     for ci, cs in enumerate(range(1, positions + 1, 32)):

@@ -179,3 +179,148 @@ def record_sketches(
         *[f"h{i}" for i in range(ledger.num_hashes)],
     )
     ledger.record(sig, bands)
+
+
+@dataclass
+class PhashLedger:
+    """Persistent perceptual-hash sketches for cross-increment VISUAL
+    near-duplicate detection — the image modality of this module:
+    ``<root>/sigs`` (doc string, phash long — the full 64-bit DCT
+    signature is 8 bytes, so unlike MinHash the ledger keeps the
+    WHOLE sketch) and ``<root>/blocks`` (doc, blk int, bkey string —
+    pigeonhole block keys at ``max_hamming``).  Append-only parquet
+    behind the SnapshotFS seam, same as MinHashLedger.
+
+    ``max_hamming`` is a LEDGER property, not a probe parameter:
+    recorded block keys must use the same bounds future increments
+    probe with (dedup.block_bounds), so it is fixed at creation."""
+
+    root: str
+    max_hamming: int = 6
+    fs: SnapshotFS = field(default_factory=LocalFS)
+
+    def _read(self, spark: SparkSession, sub: str, schema: str):
+        files = self.fs.list_files(f"{self.root}/{sub}")
+        if not files:
+            return None
+        return spark.read.schema(schema).parquet(*files)
+
+    def sigs_dim(self, spark: SparkSession) -> Optional[DataFrame]:
+        return self._read(spark, "sigs", "doc string, phash long")
+
+    def blocks_dim(self, spark: SparkSession) -> Optional[DataFrame]:
+        return self._read(
+            spark, "blocks", "doc string, blk int, bkey string"
+        )
+
+    def record(self, sig: DataFrame) -> None:
+        """Append an increment's signatures + block keys (caller must
+        have materialized any candidates that read the ledger first).
+        ``sig``: (doc string, phash long), NULL-free."""
+        from ..payload import phash as phash_mod
+
+        sig = sig.select(
+            F.col("doc").cast("string"), F.col("phash").cast("long")
+        ).repartition("doc")  # one pass feeds both appends (ReusedExchange)
+        sig.write.mode("append").parquet(f"{self.root}/sigs")
+        phash_mod.phash_blocks(
+            sig, id_col="doc", phash_col="phash",
+            max_hamming=self.max_hamming,
+        ).select(
+            F.col("doc").cast("string"),
+            F.col("blk").cast("int"),
+            "bkey",
+        ).write.mode("append").parquet(f"{self.root}/blocks")
+
+
+def _phash_sigs(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    from ..payload import phash as phash_mod
+
+    return (
+        phash_mod.phash_signatures(df, row_id=id_col, bytes_col=bytes_col)
+        .where(F.col("phash_dct").isNotNull())
+        .select(
+            F.col(id_col).cast("string").alias("doc"),
+            F.col("phash_dct").alias("phash"),
+        )
+        .repartition("doc")  # decode once; every branch reuses the shuffle
+    )
+
+
+def cross_increment_phash_duplicates(
+    df: DataFrame,
+    id_col: str,
+    ledger: PhashLedger,
+    bytes_col: str = "bytes",
+    update: bool = True,
+) -> DataFrame:
+    """(doc_new, doc_prior, hamming) for this increment's images
+    whose perceptual hash sits within ``ledger.max_hamming`` bits of
+    a PRIOR increment's; then (optionally) records this increment's
+    sketches.
+
+    Unlike the MinHash ledger, verification here is EXACT: the ledger
+    stores the full 64-bit signature, so hamming is one long-XOR +
+    bit_count per candidate — no estimation, prior pixels never
+    re-read.  Scale shape: one map-only decode+DCT pass (repartition
+    → every branch a ReusedExchange), one bucketed block equi-join
+    against history, two hash joins to fetch the 8-byte signatures.
+    Same crash ordering as the other ledger families: candidates
+    materialize BEFORE the append."""
+    from ..payload import phash as phash_mod
+
+    spark = df.sparkSession
+    sig = _phash_sigs(df, id_col, bytes_col)
+    prior_blocks = ledger.blocks_dim(spark)
+    if prior_blocks is None:
+        out = spark.createDataFrame(
+            [], "doc_new string, doc_prior string, hamming int"
+        )
+    else:
+        mine = phash_mod.phash_blocks(
+            sig, id_col="doc", phash_col="phash",
+            max_hamming=ledger.max_hamming,
+        )
+        cands = (
+            mine.alias("n")
+            .join(
+                prior_blocks.alias("p"),
+                (F.col("n.blk") == F.col("p.blk"))
+                & (F.col("n.bkey") == F.col("p.bkey")),
+            )
+            .select(
+                F.col("n.doc").alias("doc_new"),
+                F.col("p.doc").alias("doc_prior"),
+            )
+            .distinct()
+        )
+        prior_sigs = ledger.sigs_dim(spark)
+        out = (
+            cands.join(sig.alias("n"), cands["doc_new"] == F.col("n.doc"))
+            .join(
+                prior_sigs.alias("p"),
+                cands["doc_prior"] == F.col("p.doc"),
+            )
+            .select(
+                "doc_new",
+                "doc_prior",
+                F.bit_count(
+                    F.col("n.phash").bitwiseXOR(F.col("p.phash"))
+                ).cast("int").alias("hamming"),
+            )
+            .where(F.col("hamming") <= ledger.max_hamming)
+        )
+        out = out.persist()
+        out.count()  # materialize BEFORE the ledger grows
+    if update:
+        ledger.record(sig)
+    return out
+
+
+def record_phash_sketches(
+    df: DataFrame, id_col: str, ledger: PhashLedger,
+    bytes_col: str = "bytes",
+) -> None:
+    """Record an increment's phash sketches WITHOUT producing verdicts
+    — for run_resumable's post-commit append ordering."""
+    ledger.record(_phash_sigs(df, id_col, bytes_col))

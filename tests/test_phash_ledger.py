@@ -1,0 +1,131 @@
+"""Cross-increment VISUAL near-dup ledger (PhashLedger): 64-bit DCT
+signatures persist across increments so increment N+1's images are
+checked against everything accepted so far without re-reading prior
+pixels — block-key candidates, EXACT hamming verification against the
+stored signatures, materialize-before-append crash ordering, and the
+run_resumable wiring."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_extended_json_schema_validator_spark.payload import codec, synth
+from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+    PhashLedger,
+    cross_increment_phash_duplicates,
+)
+
+
+def _imgs(spark, rows):
+    """rows: (image_id, seed, noise)"""
+    data = [
+        (iid, bytes(codec.encode(seed, 24, 20, "png", noise_amp=noise)))
+        for iid, seed, noise in rows
+    ]
+    return spark.createDataFrame(data, "image_id string, bytes binary")
+
+
+BASE = [("a1", 1, 0), ("a2", 2, 0), ("a3", 3, 0)]
+MUTANTS = [
+    ("b1", 1, 2),   # visual near-dup of a1 (same pixels + noise)
+    ("b2", 2, 1),   # near-dup of a2
+    ("b3", 99, 0),  # fresh content — must not match anything
+]
+
+
+def test_two_increment_visual_near_dups(spark, tmp_path):
+    led = PhashLedger(str(tmp_path / "led"))
+    v1 = cross_increment_phash_duplicates(_imgs(spark, BASE), "image_id", led)
+    # empty ledger → no verdicts; materialize-before-append means no
+    # self-collision
+    assert v1.count() == 0
+    v2 = cross_increment_phash_duplicates(
+        _imgs(spark, MUTANTS), "image_id", led, update=False
+    )
+    got = {(r.doc_new, r.doc_prior): r.hamming for r in v2.collect()}
+    assert ("b1", "a1") in got and ("b2", "a2") in got
+    assert all(k[0] != "b3" for k in got), got
+    assert all(0 <= h <= led.max_hamming for h in got.values())
+
+
+def test_exact_resend_hits_at_hamming_zero(spark, tmp_path):
+    led = PhashLedger(str(tmp_path / "led"))
+    cross_increment_phash_duplicates(_imgs(spark, BASE), "image_id", led)
+    resend = cross_increment_phash_duplicates(
+        _imgs(spark, [("r1", 2, 0)]), "image_id", led, update=False
+    ).collect()
+    assert {(r.doc_new, r.doc_prior, r.hamming) for r in resend} == {
+        ("r1", "a2", 0)
+    }
+
+
+def test_update_false_leaves_ledger_untouched(spark, tmp_path):
+    led = PhashLedger(str(tmp_path / "led"))
+    cross_increment_phash_duplicates(_imgs(spark, BASE), "image_id", led)
+    n_a = cross_increment_phash_duplicates(
+        _imgs(spark, MUTANTS), "image_id", led, update=False
+    ).count()
+    n_b = cross_increment_phash_duplicates(
+        _imgs(spark, MUTANTS), "image_id", led, update=False
+    ).count()
+    assert n_a == n_b > 0
+    # with update=True the mutants register; a third increment near
+    # seed 1 now collides with BOTH worlds
+    cross_increment_phash_duplicates(_imgs(spark, MUTANTS), "image_id", led)
+    v3 = cross_increment_phash_duplicates(
+        _imgs(spark, [("c1", 1, 1)]), "image_id", led, update=False
+    )
+    priors = {r.doc_prior for r in v3.collect()}
+    assert "a1" in priors and "b1" in priors
+
+
+def test_undecodable_rows_never_enter_the_ledger(spark, tmp_path):
+    led = PhashLedger(str(tmp_path / "led"))
+    rows = [("a1", bytes(codec.encode(1, 24, 20, "png"))), ("bad", b"junk")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    cross_increment_phash_duplicates(df, "image_id", led)
+    sigs = led.sigs_dim(spark)
+    assert {r.doc for r in sigs.collect()} == {"a1"}
+
+
+def test_run_resumable_with_phash_ledger(spark, tmp_path):
+    """Two increments through run_resumable: increment 2's visual
+    near-dups of increment 1 flag as neardup:phash violations, and
+    the append ordering (after manifest commit) holds."""
+    from python_extended_json_schema_validator_spark.manifest import (
+        PartitionManifest,
+        run_resumable,
+    )
+
+    led = PhashLedger(str(tmp_path / "led"))
+    man = PartitionManifest(str(tmp_path / "man"))
+    formats = synth.formats_dim(spark)
+
+    def table(rows, part):
+        base = _imgs(spark, rows)
+        return base.select(
+            "image_id", "bytes",
+            F.lit(24).alias("w"), F.lit(20).alias("h"),
+            F.lit("png").alias("fmt"),
+            F.concat(F.lit("caption for image "), "image_id").alias("caption"),
+            F.monotonically_increasing_id().alias("phash"),
+            F.lit(part).alias("part"),
+        )
+
+    v1, m1, _ = run_resumable(
+        table(BASE, "p0"), formats, man, phash_ledger=led
+    )
+    assert v1.where(F.col("constraint_id") == "neardup:phash").count() == 0
+
+    inc2 = table(MUTANTS, "p1")
+    v2, m2, _ = run_resumable(inc2, formats, man, phash_ledger=led)
+    nd = {
+        (r.row_id, r.observed_value)
+        for r in v2.where(
+            F.col("constraint_id") == "neardup:phash"
+        ).collect()
+    }
+    assert {r[0] for r in nd} == {"b1", "b2"}
+    assert all(r.reason == "near_duplicate" for r in v2.where(
+        F.col("constraint_id") == "neardup:phash").collect())
+    # observed carries "prior @ hamming"
+    assert any(o.startswith("a1 @ ") for _rid, o in nd)
