@@ -36,9 +36,10 @@ def main(argv=None) -> int:
                     help="stop at the first violation (reference's "
                          "no-continue mode): plans a LIMIT 1 scan")
     ap.add_argument("--ledgers", default=None, metavar="DIR",
-                    help="enable all four cross-increment ledger "
+                    help="enable all five cross-increment ledger "
                          "families rooted at DIR: exact keys "
                          "(keys/), caption near-dups (neardup/), "
+                         "visual near-dups via DCT phash (phash/), "
                          "w/h/phash distribution drift (drift/), "
                          "and the HLL cardinality screen on "
                          "image_id (hll/)")
@@ -70,11 +71,13 @@ def main(argv=None) -> int:
         )
         from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
             MinHashLedger,
+            PhashLedger,
         )
 
         ledger_kwargs = dict(
             key_ledger=KeyLedger(f"{args.ledgers}/keys"),
             neardup_ledger=MinHashLedger(f"{args.ledgers}/neardup"),
+            phash_ledger=PhashLedger(f"{args.ledgers}/phash"),
             drift_ledger=QuantileLedger(f"{args.ledgers}/drift"),
             hll_ledger=HllLedger(f"{args.ledgers}/hll"),
         )

@@ -57,12 +57,12 @@ def test_spark_submit_ledgers_resume_cycle(tmp_path):
     ledgers = f"{out}/ledgers"
     args = ["--output", out, "--ledgers", ledgers]
 
-    # run 1: violations found (exit 2), all four ledgers recorded
+    # run 1: violations found (exit 2), all five ledgers recorded
     rc1, s1, p1 = _submit({"pyfiles": zip_path, "args": args})
     assert rc1 == 2, p1.stderr[-2000:]
     assert s1["n_violations"] > 0 and s1["partitions"] == 16
     assert sorted(os.listdir(ledgers)) == [
-        "drift", "hll", "keys", "neardup"
+        "drift", "hll", "keys", "neardup", "phash"
     ]
 
     # run 2: resume — nothing pending, exit 0; the empty increment's
