@@ -368,14 +368,22 @@ def run_resumable(
             F.lit("/" + caption_col).alias("path"),
         )
         violations = violations.unionByName(nd).persist()
+    phash_sig_frame = None
     if phash_ledger is not None:
         from .pipeline.incremental_neardup import (
             cross_increment_phash_duplicates,
+            phash_sigs,
         )
 
+        # one decode+DCT pass, persisted: the verdict joins (here) and
+        # the post-commit ledger append (below) share it — same
+        # discipline as the HLL sketch frame
+        phash_sig_frame = phash_sigs(
+            pending, row_id, bytes_col=bytes_col
+        ).persist()
         pv = cross_increment_phash_duplicates(
             pending, row_id, phash_ledger, bytes_col=bytes_col,
-            update=False,
+            update=False, sig=phash_sig_frame,
         ).select(
             F.lit("neardup:phash").alias("constraint_id"),
             F.lit("near_duplicate").alias("reason"),
@@ -447,11 +455,9 @@ def run_resumable(
             pending, row_id, neardup_ledger, text_col=caption_col
         )
     if phash_ledger is not None:
-        from .pipeline.incremental_neardup import record_phash_sketches
-
-        record_phash_sketches(
-            pending, row_id, phash_ledger, bytes_col=bytes_col
-        )
+        # append the SAME persisted signature frame the verdicts used
+        phash_ledger.record(phash_sig_frame)
+        phash_sig_frame.unpersist()
     if drift_ledger is not None:
         from .pipeline.drift_ledger import record_snapshot
 

@@ -197,30 +197,49 @@ def phash_violations(
     pixels.  NULL declared values and undecodable payloads are not
     flagged here (the decode check owns the latter).  One fused
     map-only Arrow stage — recompute and compare share the batch, no
-    join back to the table."""
+    join back to the table.
+
+    The declared hash crosses the Arrow boundary as a STRING: a
+    nullable long column reaches pandas as float64, and float64
+    round-trips corrupt ~2^63-scale hashes (measured: ~11% of random
+    64-bit values flip >8 bits) — one NULL row in a batch would
+    poison every comparison in it.  Declared values are also aligned
+    POSITIONALLY with the batch rows, never keyed by row id —
+    duplicate ids (an injection class elsewhere in this engine) must
+    each check against their own declared value."""
     cols = df.select(
         F.col(row_id).cast("string").alias("__row_id"),
         F.col(bytes_col).alias("__bytes"),
-        F.col(declared_col).cast("long").alias("__declared"),
+        F.col(declared_col).cast("long").cast("string").alias("__declared"),
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("constraint_id", "reason", "row_id",
                                    "observed_value", "path")}
-            ok_ids, _bad, sigs = _sig_rows(pdf, decoder)
-            declared = dict(zip(pdf["__row_id"], pdf["__declared"]))
-            for rid, sig in zip(ok_ids, sigs):
-                dec = declared.get(rid)
+            ok_rows, grays = [], []
+            for rid, buf, dec in zip(
+                pdf["__row_id"], pdf["__bytes"], pdf["__declared"]
+            ):
                 if dec is None or pd.isna(dec):
                     continue
-                ham = hamming64(int(dec), int(sig))
+                ok, _fmt, _w, _h, px = decoder(buf)
+                if not ok or px is None:
+                    continue
+                ok_rows.append((rid, int(dec)))
+                grays.append(_gray32(px))
+            sigs = (
+                phash_batch(grays) if grays
+                else np.empty(0, dtype=np.int64)
+            )
+            for (rid, dec), sig in zip(ok_rows, sigs):
+                ham = hamming64(dec, int(sig))
                 if ham > max_hamming:
                     out["constraint_id"].append("payload:phash")
                     out["reason"].append("phash")
                     out["row_id"].append(rid)
                     out["observed_value"].append(
-                        f"declared={int(dec)} actual={int(sig)} hamming={ham}"
+                        f"declared={dec} actual={int(sig)} hamming={ham}"
                     )
                     out["path"].append("/bytes")
             yield pd.DataFrame(out)

@@ -631,6 +631,37 @@ def survivors_from_pairs(
     )
 
 
+def _hash_chunks(positions: int):
+    """(names, projections): the `simhash` bit string split into
+    ≤32-bit integer chunks, conv'd once — 32 bits stay far inside a
+    signed long, so ANY ``positions`` works (a whole-string conv
+    would overflow past 64).  Shared by both banding forms so their
+    hamming verification cannot diverge."""
+    chunk_cols, chunk_names = [], []
+    for ci, cs in enumerate(range(1, positions + 1, 32)):
+        ln = min(32, positions - cs + 1)
+        chunk_names.append(f"__c{ci}")
+        chunk_cols.append(
+            F.conv(F.substring("simhash", cs, ln), 2, 10)
+            .cast("long")
+            .alias(f"__c{ci}")
+        )
+    return chunk_names, chunk_cols
+
+
+def _chunk_hamming(chunk_names) -> Column:
+    """Σ bit_count(a_chunk XOR b_chunk) over the aliased pair chunks."""
+    return sum(
+        (
+            F.bit_count(
+                F.col(f"a{n}").bitwiseXOR(F.col(f"b{n}"))
+            ).cast("int")
+            for n in chunk_names
+        ),
+        F.lit(0),
+    )
+
+
 def block_bounds(positions: int, nblocks: int) -> "list[tuple[int, int]]":
     """(start, len) 1-based substring bounds splitting ``positions``
     bits as evenly as possible into ``nblocks`` pigeonhole blocks —
@@ -667,16 +698,7 @@ def banded_hamming_pairs(
     signature ends in a groupBy whose shuffle already reuses, and its
     flagship plan is adjudicated."""
     bounds = block_bounds(positions, max_hamming + 1)
-
-    chunk_cols, chunk_names = [], []
-    for ci, cs in enumerate(range(1, positions + 1, 32)):
-        ln = min(32, positions - cs + 1)
-        chunk_names.append(f"__c{ci}")
-        chunk_cols.append(
-            F.conv(F.substring("simhash", cs, ln), 2, 10)
-            .cast("long")
-            .alias(f"__c{ci}")
-        )
+    chunk_names, chunk_cols = _hash_chunks(positions)
     blocked = sh.select("doc", "simhash", *chunk_cols).select(
         "doc",
         *chunk_names,
@@ -701,17 +723,8 @@ def banded_hamming_pairs(
         )
         .distinct()
     )
-    ham = sum(
-        (
-            F.bit_count(
-                F.col(f"a__c{ci}").bitwiseXOR(F.col(f"b__c{ci}"))
-            ).cast("int")
-            for ci in range(len(chunk_names))
-        ),
-        F.lit(0),
-    )
     return (
-        cand.withColumn("hamming", ham)
+        cand.withColumn("hamming", _chunk_hamming(chunk_names))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -794,26 +807,8 @@ def simhash_pairs_from_signatures(
     and hamming = Σ bit_count(chunk_a XOR chunk_b), a couple of
     codegen'd ops per pair instead of ``positions`` substring
     comparisons.  Block keys join as plain substrings."""
-    nblocks = max_hamming + 1
-    # spread positions as evenly as possible across blocks
-    base, extra = divmod(positions, nblocks)
-    bounds = []
-    start = 1  # 1-based string position of each block
-    for bi in range(nblocks):
-        ln = base + (1 if bi < extra else 0)
-        bounds.append((start, ln))
-        start += ln
-
-    chunk_cols = []
-    chunk_names = []
-    for ci, cs in enumerate(range(1, positions + 1, 32)):
-        ln = min(32, positions - cs + 1)
-        chunk_names.append(f"__c{ci}")
-        chunk_cols.append(
-            F.conv(F.substring("simhash", cs, ln), 2, 10)
-            .cast("long")
-            .alias(f"__c{ci}")
-        )
+    bounds = block_bounds(positions, max_hamming + 1)
+    chunk_names, chunk_cols = _hash_chunks(positions)
     sigs = sh.select("doc", "simhash", *chunk_cols)
 
     frames = [
@@ -845,17 +840,8 @@ def simhash_pairs_from_signatures(
         )
         .distinct()  # a pair can match in several blocks
     )
-    ham = sum(
-        (
-            F.bit_count(
-                F.col(f"a__c{ci}").bitwiseXOR(F.col(f"b__c{ci}"))
-            ).cast("int")
-            for ci in range(len(chunk_names))
-        ),
-        F.lit(0),
-    )
     return (
-        cand.withColumn("hamming", ham)
+        cand.withColumn("hamming", _chunk_hamming(chunk_names))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -216,24 +216,36 @@ class PhashLedger:
     def record(self, sig: DataFrame) -> None:
         """Append an increment's signatures + block keys (caller must
         have materialized any candidates that read the ledger first).
-        ``sig``: (doc string, phash long), NULL-free."""
+        ``sig``: (doc string, phash long), NULL-free.
+
+        The (doc, long) frame is persisted across the TWO write jobs:
+        exchange reuse only dedupes within one query execution, so
+        without the cache the second write would re-run the upstream
+        decode+DCT lineage (review finding, fixed)."""
         from ..payload import phash as phash_mod
 
-        sig = sig.select(
+        frame = sig.select(
             F.col("doc").cast("string"), F.col("phash").cast("long")
-        ).repartition("doc")  # one pass feeds both appends (ReusedExchange)
-        sig.write.mode("append").parquet(f"{self.root}/sigs")
-        phash_mod.phash_blocks(
-            sig, id_col="doc", phash_col="phash",
-            max_hamming=self.max_hamming,
-        ).select(
-            F.col("doc").cast("string"),
-            F.col("blk").cast("int"),
-            "bkey",
-        ).write.mode("append").parquet(f"{self.root}/blocks")
+        ).persist()
+        try:
+            frame.write.mode("append").parquet(f"{self.root}/sigs")
+            phash_mod.phash_blocks(
+                frame, id_col="doc", phash_col="phash",
+                max_hamming=self.max_hamming,
+            ).select(
+                F.col("doc").cast("string"),
+                F.col("blk").cast("int"),
+                "bkey",
+            ).write.mode("append").parquet(f"{self.root}/blocks")
+        finally:
+            frame.unpersist()
 
 
-def _phash_sigs(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+def phash_sigs(df: DataFrame, id_col: str, bytes_col: str = "bytes") -> DataFrame:
+    """(doc string, phash long) recomputed signature frame — the ONE
+    decode+DCT pass every ledger consumer should share (persist it
+    when both verdicts and a later append will read it, as
+    run_resumable does)."""
     from ..payload import phash as phash_mod
 
     return (
@@ -253,6 +265,7 @@ def cross_increment_phash_duplicates(
     ledger: PhashLedger,
     bytes_col: str = "bytes",
     update: bool = True,
+    sig: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(doc_new, doc_prior, hamming) for this increment's images
     whose perceptual hash sits within ``ledger.max_hamming`` bits of
@@ -266,11 +279,20 @@ def cross_increment_phash_duplicates(
     → every branch a ReusedExchange), one bucketed block equi-join
     against history, two hash joins to fetch the 8-byte signatures.
     Same crash ordering as the other ledger families: candidates
-    materialize BEFORE the append."""
+    materialize BEFORE the append.
+
+    Pass a pre-built (and ideally persisted) ``sig`` frame
+    (``phash_sigs``) to share the decode pass with other consumers —
+    when ``update=True`` and no frame is given, one is persisted here
+    so the verdict jobs and the append never decode twice."""
     from ..payload import phash as phash_mod
 
     spark = df.sparkSession
-    sig = _phash_sigs(df, id_col, bytes_col)
+    own_sig = sig is None
+    if own_sig:
+        sig = phash_sigs(df, id_col, bytes_col)
+        if update:
+            sig = sig.persist()
     prior_blocks = ledger.blocks_dim(spark)
     if prior_blocks is None:
         out = spark.createDataFrame(
@@ -314,6 +336,8 @@ def cross_increment_phash_duplicates(
         out.count()  # materialize BEFORE the ledger grows
     if update:
         ledger.record(sig)
+        if own_sig:
+            sig.unpersist()
     return out
 
 
@@ -322,5 +346,6 @@ def record_phash_sketches(
     bytes_col: str = "bytes",
 ) -> None:
     """Record an increment's phash sketches WITHOUT producing verdicts
-    — for run_resumable's post-commit append ordering."""
-    ledger.record(_phash_sigs(df, id_col, bytes_col))
+    — for callers sequencing ledger appends after other commits
+    (record() persists the frame across its two writes)."""
+    ledger.record(phash_sigs(df, id_col, bytes_col))

@@ -141,3 +141,47 @@ def test_neardup_generator_rules(spark):
             assert phash.hamming64(r.phash, actual) == 16
         else:
             assert r.phash == actual
+
+
+def test_phash_violations_null_in_batch_does_not_corrupt_others(spark):
+    """Regression: a nullable long column reaches pandas as float64,
+    whose round-trip corrupts 2^63-scale hashes — one NULL declared
+    row in a batch must not poison the other rows' comparisons (the
+    declared hash now crosses the Arrow boundary as a string)."""
+    # pick seeds whose true hash provably corrupts under float64
+    rows, picked = [], 0
+    for seed in range(1, 200):
+        px = _img(seed)
+        h = phash.phash64(px)
+        if phash.hamming64(h, int(float(h))) > phash.CHECK_MAX_HAMMING:
+            rows.append((f"i{seed}", bytes(codec.encode(seed, 24, 20, "png")), h))
+            picked += 1
+            if picked == 4:
+                break
+    assert picked == 4, "generator no longer produces float-fragile hashes"
+    rows.append(("nullrow", bytes(codec.encode(999, 24, 20, "png")), None))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, phash long"
+    ).coalesce(1)  # one batch: the NULL shares it with every other row
+    assert phash.phash_violations(df).count() == 0
+
+
+def test_phash_violations_duplicate_ids_align_positionally(spark):
+    """Regression: declared values must pair with their own row, not
+    be keyed by row id — duplicate ids with different bytes/declared
+    each check against their own hash."""
+    a = bytes(codec.encode(1, 24, 20, "png"))
+    b = bytes(codec.encode(2, 24, 20, "png"))
+    ha = phash.phash64(codec.decode(a)[4])
+    hb = phash.phash64(codec.decode(b)[4])
+    clean = spark.createDataFrame(
+        [("x", a, ha), ("x", b, hb)],
+        "image_id string, bytes binary, phash long",
+    ).coalesce(1)
+    assert phash.phash_violations(clean).count() == 0
+    one_bad = spark.createDataFrame(
+        [("x", a, ha), ("x", b, hb ^ synth.PHASH_FLIP_MASK)],
+        "image_id string, bytes binary, phash long",
+    ).coalesce(1)
+    viol = phash.phash_violations(one_bad).collect()
+    assert len(viol) == 1 and "hamming=16" in viol[0].observed_value

@@ -165,7 +165,9 @@ def main() -> None:
         "pairs": n_pairs,
         "injected_expected": expected_pairs,
         "injected_found": injected,
-        "recall": round(injected / expected_pairs, 6),
+        "recall": (
+            round(injected / expected_pairs, 6) if expected_pairs else None
+        ),
         "extras": n_pairs - injected,
         "wall_s": round(join_s, 1),
     }
