@@ -603,6 +603,82 @@ def q_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-set BUILD the pipeline operators exist for,
+    composed end to end over one corpus: quality gate (token count ≥
+    30) → exact dedup (normalized fingerprint, min-id survivor) →
+    MinHash-LSH near-dup clustering (the dedup_survivors chain) →
+    per-language quality quota (5 longest by n_chars).  One row per
+    corpus doc with its terminal status: quality / exact_dup /
+    near_dup / quota / kept — the oracle replays every stage in SQL,
+    so any interplay bug between stages (filter order, survivor
+    leakage across stages) breaks the hash, not just a single
+    operator's row set.  Corpus = documents ∪ near-mutants
+    (doc_id<30, +100000, ' extra token') ∪ exact-mutants
+    (30≤doc_id<45, +200000, byte-identical).  Scale shape = the sum
+    of its parts: each stage is an already-audited operator; stages
+    hand off narrow (doc_id) sets via anti/semi joins."""
+    from python_extended_json_schema_validator_spark.pipeline import (
+        dedup,
+        sampling,
+    )
+    from python_extended_json_schema_validator_spark.pipeline.text import (
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    near = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        "lang",
+    )
+    exact = docs.where(
+        (F.col("doc_id") >= 30) & (F.col("doc_id") < 45)
+    ).select((F.col("doc_id") + 200000).alias("doc_id"), "text", "lang")
+    corpus = docs.unionByName(near).unionByName(exact)
+
+    scored = corpus.withColumn("n_toks", token_count(F.col("text")))
+    q1 = scored.where(F.col("n_toks") >= 30)
+
+    ex_dups = dedup.exact_duplicates(q1, "doc_id").select(
+        F.col("dup_id").alias("doc_id")
+    )
+    q2 = q1.join(ex_dups, "doc_id", "left_anti")
+
+    surv = dedup.dedup_survivors(
+        q2, "doc_id", k=3, num_hashes=8, bands=4, threshold=0.5
+    )
+    q3 = q2.join(
+        surv.where(F.col("is_survivor")).select("doc_id"), "doc_id",
+        "left_semi",
+    ).withColumn("n_chars", F.length("text"))
+
+    kept = sampling.top_n_per_group(
+        q3.select("doc_id", "lang", "n_chars"), ["lang"], "n_chars",
+        n=5, tiebreak="doc_id",
+    ).select("doc_id")
+
+    statuses = (
+        scored.where(F.col("n_toks") < 30)
+        .select("doc_id", F.lit("quality").alias("st"))
+        .unionByName(ex_dups.select("doc_id", F.lit("exact_dup").alias("st")))
+        .unionByName(
+            surv.where(~F.col("is_survivor"))
+            .select("doc_id", F.lit("near_dup").alias("st"))
+        )
+        .unionByName(kept.select("doc_id", F.lit("kept").alias("st")))
+    )
+    return (
+        corpus.select("doc_id", "lang")
+        .join(statuses, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.coalesce(F.col("st"), F.lit("quota")).alias("status"),
+        )
+    )
+
+
 def q_phash_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-increment VISUAL near-dup ledger (PhashLedger, the image
     modality of incremental_neardup): increment 1 registers the F12
@@ -1884,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup": q_phash_neardup,
         "phash_survivors": q_phash_survivors,
         "phash_ledger": q_phash_ledger,
+        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -1912,6 +1989,114 @@ def oracle_sql() -> dict[str, str]:
                         THEN p_partkey - 1 ELSE p_partkey END AS BIGINT) AS component,
                    NOT (p_partkey % 7 = 3 AND p_partkey >= 3) AS is_survivor
             FROM part
+        """,
+        # the full curation build replayed stage by stage: quality
+        # gate, normalized exact dedup, the minhash chain (same CTEs
+        # as dedup_survivors, over the POST-exact corpus), per-lang
+        # quota — terminal status per corpus doc
+        "corpus_curation": """
+            WITH RECURSIVE corpus AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text || ' extra token', lang
+              FROM documents WHERE doc_id < 30
+              UNION ALL
+              SELECT doc_id + 200000, text, lang
+              FROM documents WHERE doc_id >= 30 AND doc_id < 45
+            ), toks0 AS (
+              SELECT doc_id, lang, text,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_toks
+              FROM corpus
+            ), q1 AS (
+              SELECT * FROM toks0 WHERE n_toks >= 30
+            ), exact_grp AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (
+                       PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                     ) AS surv
+              FROM q1
+            ), exact_dups AS (
+              SELECT doc_id FROM exact_grp WHERE doc_id <> surv
+            ), q2 AS (
+              SELECT * FROM q1
+              WHERE doc_id NOT IN (SELECT doc_id FROM exact_dups)
+            ), toks AS (
+              SELECT doc_id AS doc,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM q2
+            ), sh AS (
+              SELECT DISTINCT doc,
+                     CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+                          ELSE array_to_string(t, ' ') END AS shingle
+              FROM toks,
+                   LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+            ), sig AS (
+              SELECT doc,
+                     min(md5('s0:' || shingle)) AS h0, min(md5('s1:' || shingle)) AS h1,
+                     min(md5('s2:' || shingle)) AS h2, min(md5('s3:' || shingle)) AS h3,
+                     min(md5('s4:' || shingle)) AS h4, min(md5('s5:' || shingle)) AS h5,
+                     min(md5('s6:' || shingle)) AS h6, min(md5('s7:' || shingle)) AS h7
+              FROM sh GROUP BY doc
+            ), bands AS (
+              SELECT doc, 0 AS band, h0 || '|' || h1 AS bucket FROM sig
+              UNION ALL SELECT doc, 1, h2 || '|' || h3 FROM sig
+              UNION ALL SELECT doc, 2, h4 || '|' || h5 FROM sig
+              UNION ALL SELECT doc, 3, h6 || '|' || h7 FROM sig
+            ), cand AS (
+              SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+            ), sizes AS (
+              SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+            ), inter AS (
+              SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+              FROM cand p
+              JOIN sh sa ON sa.doc = p.doc_a
+              JOIN sh sb ON sb.doc = p.doc_b AND sb.shingle = sa.shingle
+              GROUP BY p.doc_a, p.doc_b
+            ), und AS (
+              SELECT p.doc_a, p.doc_b
+              FROM cand p
+              LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+              JOIN sizes za ON za.doc = p.doc_a
+              JOIN sizes zb ON zb.doc = p.doc_b
+              WHERE COALESCE(i.i, 0) * 1.0 / (za.sz + zb.sz - COALESCE(i.i, 0)) >= 0.5
+            ), edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM und
+              UNION ALL
+              SELECT doc_b, doc_a FROM und
+            ), walk AS (
+              SELECT doc AS id, doc AS label FROM toks
+              UNION
+              SELECT e.dst, w.label
+              FROM walk w JOIN edges e ON e.src = w.id
+            ), comp AS (
+              SELECT id, min(label) AS component FROM walk GROUP BY id
+            ), near_dups AS (
+              SELECT id AS doc_id FROM comp WHERE id <> component
+            ), q3 AS (
+              SELECT q2.doc_id, q2.lang, length(q2.text) AS n_chars
+              FROM q2
+              WHERE q2.doc_id NOT IN (SELECT doc_id FROM near_dups)
+            ), ranked AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC
+                     ) AS rn
+              FROM q3
+            ), kept AS (
+              SELECT doc_id FROM ranked WHERE rn <= 5
+            )
+            SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.lang,
+                   CASE WHEN t.n_toks < 30 THEN 'quality'
+                        WHEN c.doc_id IN (SELECT doc_id FROM exact_dups) THEN 'exact_dup'
+                        WHEN c.doc_id IN (SELECT doc_id FROM near_dups) THEN 'near_dup'
+                        WHEN c.doc_id IN (SELECT doc_id FROM kept) THEN 'kept'
+                        ELSE 'quota' END AS status
+            FROM corpus c JOIN toks0 t ON t.doc_id = c.doc_id
         """,
         # full re-send increment vs the ledger: twin hits for every
         # row, plus both flanks of each injected near-dup pair
