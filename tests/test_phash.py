@@ -185,3 +185,43 @@ def test_phash_violations_duplicate_ids_align_positionally(spark):
     ).coalesce(1)
     viol = phash.phash_violations(one_bad).collect()
     assert len(viol) == 1 and "hamming=16" in viol[0].observed_value
+
+
+def test_banded_pairs_match_brute_force_on_random_hashes(spark):
+    """Property: banded_hamming_pairs returns EXACTLY the brute-force
+    pair set within τ, for random 64-bit signatures plus planted
+    near-pairs (seeded, deterministic)."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    hashes = {}
+    for i in range(40):
+        hashes[f"r{i:02d}"] = rng.getrandbits(64)
+    # planted near pairs: flip ≤ τ random bits
+    base_ids = list(hashes)[:6]
+    for j, bid in enumerate(base_ids):
+        h = hashes[bid]
+        for bit in rng.sample(range(64), j):  # j flips: 0..5
+            h ^= 1 << bit
+        hashes[f"p{j:02d}"] = h
+
+    tau = 6
+    brute = set()
+    for (a, ha), (b, hb) in itertools.combinations(sorted(hashes.items()), 2):
+        if bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1") <= tau:
+            brute.add((a, b))
+
+    def to_long(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    df = spark.createDataFrame(
+        [(k, to_long(v)) for k, v in hashes.items()],
+        "image_id string, phash_dct long",
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in phash.phash_near_duplicates(df, max_hamming=tau).collect()
+    }
+    assert got == brute, (got - brute, brute - got)
+    assert len(brute) >= 6  # the planted pairs actually exercised it
