@@ -603,6 +603,52 @@ def q_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_visual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mirror of the phash ledger
+    (streaming.incremental.stateful_visual_dups): two availableNow
+    runs over one checkpoint — batch 1 is the F12 corpus (its
+    injected (k-1, k) near-dup pairs emit in-batch, sorted-order
+    prior), batch 2 re-sends the same pixels under 're' ids and must
+    emit exactly the in-increment pairs + every twin + both flanks of
+    each injected pair AGAINST BATCH 1's STATE, never re-emitting
+    batch 1's rows (checkpoint resume).  Per-block duplicate
+    emissions are distinct()-ed (documented operator contract)."""
+    import tempfile
+
+    from python_extended_json_schema_validator_spark.streaming.incremental import (
+        stateful_visual_dups,
+    )
+
+    img = _neardup_images(spark, sf_dir)
+    inc1 = img.select("image_id", "bytes")
+    inc2 = img.select(
+        F.concat(F.lit("re"), F.col("image_id")).alias("image_id"),
+        "bytes",
+    )
+    root = tempfile.mkdtemp(prefix="svd_q")
+    src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    for inc in (inc1, inc2):
+        inc.coalesce(2).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "image_id string, bytes binary"
+        ).parquet(src)
+        q = (
+            stateful_visual_dups(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.schema("doc_new string, doc_prior string, hamming int")
+        .parquet(out)
+        .select("doc_new", "doc_prior")
+        .distinct()
+    )
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-set BUILD the pipeline operators exist for,
     composed end to end over one corpus: quality gate (token count ≥
@@ -1961,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_survivors": q_phash_survivors,
         "phash_ledger": q_phash_ledger,
         "corpus_curation": q_corpus_curation,
+        "stream_visual_dups": q_stream_visual_dups,
     }
 
 
@@ -2097,6 +2144,31 @@ def oracle_sql() -> dict[str, str]:
                         WHEN c.doc_id IN (SELECT doc_id FROM kept) THEN 'kept'
                         ELSE 'quota' END AS status
             FROM corpus c JOIN toks0 t ON t.doc_id = c.doc_id
+        """,
+        # streaming emissions across the two batches: batch-1 in-corpus
+        # pairs, then batch-2 in-increment pairs + twins + both flanks
+        # against batch-1 state (checkpoint resume must not re-emit)
+        "stream_visual_dups": """
+            WITH ks AS (SELECT p_partkey AS k FROM part)
+            SELECT 'img' || lpad(CAST(k AS VARCHAR), 8, '0') AS doc_new,
+                   'img' || lpad(CAST(k - 1 AS VARCHAR), 8, '0') AS doc_prior
+            FROM ks WHERE k % 7 = 3 AND k >= 3
+            UNION ALL
+            SELECT 'reimg' || lpad(CAST(k AS VARCHAR), 8, '0'),
+                   'reimg' || lpad(CAST(k - 1 AS VARCHAR), 8, '0')
+            FROM ks WHERE k % 7 = 3 AND k >= 3
+            UNION ALL
+            SELECT 'reimg' || lpad(CAST(k AS VARCHAR), 8, '0'),
+                   'img' || lpad(CAST(k AS VARCHAR), 8, '0')
+            FROM ks
+            UNION ALL
+            SELECT 'reimg' || lpad(CAST(k AS VARCHAR), 8, '0'),
+                   'img' || lpad(CAST(k - 1 AS VARCHAR), 8, '0')
+            FROM ks WHERE k % 7 = 3 AND k >= 3
+            UNION ALL
+            SELECT 'reimg' || lpad(CAST(k - 1 AS VARCHAR), 8, '0'),
+                   'img' || lpad(CAST(k AS VARCHAR), 8, '0')
+            FROM ks WHERE k % 7 = 3 AND k >= 3
         """,
         # full re-send increment vs the ledger: twin hits for every
         # row, plus both flanks of each injected near-dup pair

@@ -45,14 +45,26 @@ def validate_images(
     formats: DataFrame,
     with_payload: bool = True,
     with_caption: bool = True,
+    with_phash: bool = False,
 ) -> DataFrame:
     """→ unified violations DataFrame (constraint_id, reason, row_id,
-    observed_value, path)."""
+    observed_value, path).
+
+    ``with_phash`` adds the declared-vs-recomputed perceptual-hash
+    check (payload/phash.py) as a second map-only Arrow leg.  It is
+    OPT-IN because it requires the table's ``phash`` column to
+    actually be the DCT pHash of the pixels — on a table whose phash
+    is an unrelated fingerprint (any injective id, like the F11
+    synthetic corpus) it would flag every row."""
     eng = ValidationEngine([image_table_spec(), formats_spec()])
     res = eng.validate({"images": images, "formats": formats})
     out = res.violations
     if with_payload:
         out = out.unionByName(image_checks.payload_violations(images))
+    if with_phash:
+        from . import phash as phash_mod
+
+        out = out.unionByName(phash_mod.phash_violations(images))
     if with_caption:
         ref = F.concat(F.lit("caption for image "), F.col("image_id"))
         out = out.unionByName(image_checks.caption_violations(images, ref))

@@ -199,3 +199,82 @@ def validate_stream_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_visual_dups(
+    stream_df: DataFrame,
+    row_id: str = "image_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 6,
+    timeout: str = "NoTimeout",
+):
+    """Cross-batch VISUAL near-duplicate emissions — the streaming
+    mirror of the batch PhashLedger: signatures via the map-only
+    DCT-phash stage (stateless, so streaming-safe), pigeonhole block
+    keys via posexplode, then ``applyInPandasWithState`` per
+    (blk, bkey) bucket whose state is the bucket's signature registry
+    (docs array<string>, hashes array<long>).  Every arriving
+    signature emits (doc_new, doc_prior, hamming) against all
+    partners within the budget — cross-batch via state, in-batch via
+    sorted arrival order (earlier-sorted doc = prior, matching the
+    batch min-id survivor discipline) — then registers itself.
+
+    A pair agreeing on several blocks emits once PER BLOCK: callers
+    ``.distinct()`` the output (the contract query does).  Emitting
+    per block keeps the operator append-only and join-free inside the
+    stream.
+
+    State discipline at scale: across all buckets the state totals
+    (τ+1) block entries per corpus image, each one short id + 8-byte
+    hash — signatures, never pixels.  Beyond executor state budgets
+    the batch ledger (availableNow increments over
+    incremental_neardup.PhashLedger) is the recommended shape; this
+    operator is for genuinely continuous ingestion."""
+    import pandas as pd
+
+    from ..payload import phash as phash_mod
+    from ..pipeline.dedup import block_bounds
+
+    sig = phash_mod.phash_signatures(
+        stream_df, row_id=row_id, bytes_col=bytes_col
+    ).where(F.col("phash_dct").isNotNull())
+    bounds = block_bounds(phash_mod.BITS, max_hamming + 1)
+    bits = phash_mod.phash_bitstring(F.col("phash_dct"))
+    blocked = sig.select(
+        F.col(row_id).cast("string").alias("doc"),
+        F.col("phash_dct").alias("phash"),
+        F.posexplode(
+            F.array(*[F.substring(bits, s, ln) for s, ln in bounds])
+        ).alias("blk", "bkey"),
+    )
+
+    def flag(key, pdfs, state):
+        if state.exists:
+            docs, hashes = list(state.get[0]), list(state.get[1])
+        else:
+            docs, hashes = [], []
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["doc"].astype(str), pdf["phash"]))
+        out = []
+        for doc, h in sorted(rows):
+            h = int(h)
+            for prior_doc, prior_h in zip(docs, hashes):
+                ham = bin((h ^ int(prior_h)) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if ham <= max_hamming:
+                    out.append((doc, prior_doc, ham))
+            docs.append(doc)
+            hashes.append(h)
+        state.update((docs, hashes))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["doc_new", "doc_prior", "hamming"]
+            )
+
+    return blocked.groupBy("blk", "bkey").applyInPandasWithState(
+        flag,
+        outputStructType="doc_new string, doc_prior string, hamming int",
+        stateStructType="docs array<string>, hashes array<long>",
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -225,3 +225,26 @@ def test_banded_pairs_match_brute_force_on_random_hashes(spark):
     }
     assert got == brute, (got - brute, brute - got)
     assert len(brute) >= 6  # the planted pairs actually exercised it
+
+
+def test_validate_images_with_phash_leg(spark):
+    """with_phash=True folds the perceptual-hash check into the
+    unified battery (on a corpus whose declared phash IS the true
+    hash, only the injected flips flag)."""
+    from python_extended_json_schema_validator_spark.payload.validate import (
+        validate_images,
+    )
+
+    keys = spark.range(1, 31).select(F.col("id").alias("k"))
+    img = synth.neardup_images_from_keys(keys).select(
+        "image_id", "bytes", "w", "h", "fmt", "phash",
+        F.concat(F.lit("caption for image "), "image_id").alias("caption"),
+        F.lit("p0").alias("part"),
+    )
+    viol = validate_images(img, synth.formats_dim(spark), with_phash=True)
+    ph = viol.where(F.col("constraint_id") == "payload:phash").collect()
+    # k % 13 == 6 within 1..30 → {6, 19}
+    assert {v.row_id for v in ph} == {"img00000006", "img00000019"}
+    # default stays OFF: no phash rows
+    off = validate_images(img, synth.formats_dim(spark))
+    assert off.where(F.col("constraint_id") == "payload:phash").count() == 0

@@ -129,3 +129,56 @@ def test_run_resumable_with_phash_ledger(spark, tmp_path):
         F.col("constraint_id") == "neardup:phash").collect())
     # observed carries "prior @ hamming"
     assert any(o.startswith("a1 @ ") for _rid, o in nd)
+
+
+def test_stateful_visual_dups_streaming(spark, tmp_path):
+    """Streaming mirror of the ledger: two availableNow runs over one
+    checkpoint — batch 2 emits twins (hamming 0) and near-dups against
+    batch 1's state, and a resume never re-emits batch-1 pairs."""
+    from python_extended_json_schema_validator_spark.streaming.incremental import (
+        stateful_visual_dups,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    inc1 = _imgs(spark, [("a1", 1, 0), ("a2", 2, 0), ("a3", 3, 0),
+                         ("a4", 1, 2)])   # a4 = near-dup of a1, same batch
+    inc2 = _imgs(spark, [("b1", 1, 1),    # near a1 AND a4 (and twin-ish)
+                         ("b9", 77, 0)])  # fresh
+
+    def run(inc):
+        inc.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "image_id string, bytes binary"
+        ).parquet(src)
+        q = (
+            stateful_visual_dups(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.doc_new, r.doc_prior, r.hamming)
+            for r in spark.read.schema(
+                "doc_new string, doc_prior string, hamming int"
+            ).parquet(out).collect()
+        }
+
+    first = run(inc1)
+    # in-batch: a4 pairs with a1 (sorted order → a1 is prior)
+    assert {(n, p) for n, p, _h in first} == {("a4", "a1")}
+
+    both = run(inc2)
+    new = both - first
+    got_pairs = {(n, p) for n, p, _h in new}
+    # b1 collides with a1's family, never with a2/a3/b9
+    assert ("b1", "a1") in got_pairs and ("b1", "a4") in got_pairs
+    assert all(n == "b1" for n, _p in got_pairs), got_pairs
+    assert all(h <= 6 for _n, _p, h in new)
+    # batch-1 emissions were NOT duplicated by the resume
+    assert first <= both and len(both) == len(first) + len(new)

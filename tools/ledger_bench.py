@@ -85,6 +85,16 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--probe", type=int, default=100_000)
     ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--phash-docs", type=int, default=500_000,
+                    help="image count for the phash-ledger phase "
+                         "(corpus cache shared with phash_bench)")
+    ap.add_argument("--phash-tau", type=int, default=4,
+                    help="ledger hamming budget: τ=6 (9-bit block "
+                         "keys) is measured quadratic at this ledger "
+                         "size (287 s for a 50k probe vs 500k "
+                         "ledger); τ=4 (12-bit keys) is the "
+                         "documented scale setting — twins at "
+                         "hamming 0 are caught at ANY τ")
     args = ap.parse_args()
 
     spark = build_session(args.cpus)
@@ -187,6 +197,46 @@ def main() -> int:
     )
     key_probe_wall = time.time() - t0
 
+    # phash ledger (the 5th family, image modality): record N images'
+    # 64-bit DCT signatures + block keys, then probe a 10% re-send
+    # (every probe image is a pixel-identical twin of an increment-1
+    # row → ≥1 exact hit each, hamming verified against the stored
+    # longs — prior pixels never re-read)
+    from python_extended_json_schema_validator_spark.payload import synth
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        PhashLedger,
+        cross_increment_phash_duplicates,
+    )
+
+    img_path = f"/tmp/phash_bench_imgs_{args.phash_docs}"
+    if not os.path.exists(f"{img_path}/_SUCCESS"):
+        keys = spark.range(1, args.phash_docs + 1, 1, args.cpus * 4).select(
+            F.col("id").alias("k")
+        )
+        synth.neardup_images_from_keys(keys).write.mode(
+            "overwrite"
+        ).parquet(img_path)
+    imgs = spark.read.parquet(img_path)
+    pl = PhashLedger(f"{root}/phash", max_hamming=args.phash_tau)
+    t0 = time.time()
+    pv1 = cross_increment_phash_duplicates(imgs, "image_id", pl)
+    n_pv1 = pv1.count()
+    ph_rec_wall = time.time() - t0
+    probe_imgs = imgs.where(
+        F.substring("image_id", 4, 8).cast("long") % 10 == 7
+    ).select(
+        F.concat(F.lit("re"), F.col("image_id")).alias("image_id"),
+        "bytes",
+    )
+    n_probe_imgs = probe_imgs.count()
+    t0 = time.time()
+    pv2 = cross_increment_phash_duplicates(
+        probe_imgs, "image_id", pl, update=False
+    )
+    ph_hits = pv2.count()
+    ph_exact = pv2.where("hamming = 0").count()
+    ph_probe_wall = time.time() - t0
+
     result = {
         "metric": "increment-ledger scale evidence (minhash sketch + drift + hll cardinality)",
         "cpus": args.cpus,
@@ -219,6 +269,18 @@ def main() -> int:
             "resend_screen_wall_sec": round(hll_screen_wall, 2),
             "resend_groups_collapsed": n_collapsed,
         },
+        "phash": {
+            "inc1_images": args.phash_docs,
+            "tau": args.phash_tau,
+            "inc1_self_verdicts": n_pv1,  # must be 0
+            "record_wall_sec": round(ph_rec_wall, 2),
+            "record_imgs_per_sec": round(args.phash_docs / ph_rec_wall, 1),
+            "probe_images": n_probe_imgs,
+            "probe_hits": ph_hits,
+            "probe_exact_hits": ph_exact,
+            "probe_wall_sec": round(ph_probe_wall, 2),
+            "probe_imgs_per_sec": round(n_probe_imgs / ph_probe_wall, 1),
+        },
         "exact_vs_screen": {
             "key_record_wall_sec": round(key_rec_wall, 2),
             "key_probe_wall_sec": round(key_probe_wall, 2),
@@ -234,6 +296,8 @@ def main() -> int:
     assert drifted.drifted
     assert abs(est_total - exact_total) / exact_total <= 0.05
     assert n_collapsed == n_groups, (n_collapsed, n_groups)
+    assert n_pv1 == 0, "phash increment 1 must not self-collide"
+    assert ph_exact >= n_probe_imgs, (ph_exact, n_probe_imgs)
     print(json.dumps(result))
     with open(f"{REPO}/BENCH_LEDGER.json", "w") as f:
         json.dump(result, f, indent=2)
