@@ -619,6 +619,8 @@ def q_stream_visual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_visual_dups,
     )
 
+    import shutil
+
     img = _neardup_images(spark, sf_dir)
     inc1 = img.select("image_id", "bytes")
     inc2 = img.select(
@@ -641,6 +643,11 @@ def q_stream_visual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    # the streams are terminated: drop the two corpus copies and the
+    # checkpoint now — only the (small) emission sink outlives the
+    # query, so repeated gate runs don't accumulate gigabytes
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return (
         spark.read.schema("doc_new string, doc_prior string, hamming int")
         .parquet(out)

@@ -264,19 +264,24 @@ def phash_blocks(
     id_col: str = "image_id",
     phash_col: str = "phash_dct",
     max_hamming: int = NEAR_MAX_HAMMING,
+    carry_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
-    """(doc, blk, bkey) pigeonhole block keys for each signature —
-    one posexplode, no union (see banded_hamming_pairs on why that
-    matters for map-only lineages).  Any two signatures within
-    ``max_hamming`` bits share at least one (blk, bkey); the bounds
-    come from ``dedup.block_bounds``, so ledger block keys recorded
-    by one increment match the keys a later increment probes with."""
+    """(doc, [carry_cols...,] blk, bkey) pigeonhole block keys for
+    each signature — one posexplode, no union (see
+    banded_hamming_pairs on why that matters for map-only lineages).
+    Any two signatures within ``max_hamming`` bits share at least one
+    (blk, bkey); the bounds come from ``dedup.block_bounds``, so
+    ledger block keys recorded by one increment match the keys a
+    later increment probes with.  ``carry_cols`` ride along unchanged
+    (e.g. the hash itself, for consumers that verify in place —
+    streaming.stateful_visual_dups)."""
     from ..pipeline.dedup import block_bounds
 
     bounds = block_bounds(BITS, max_hamming + 1)
     bits = phash_bitstring(F.col(phash_col))
     return sig.where(F.col(phash_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
+        *[F.col(c) for c in carry_cols],
         F.posexplode(
             F.array(*[F.substring(bits, s, ln) for s, ln in bounds])
         ).alias("blk", "bkey"),

@@ -229,24 +229,24 @@ def stateful_visual_dups(
     hash — signatures, never pixels.  Beyond executor state budgets
     the batch ledger (availableNow increments over
     incremental_neardup.PhashLedger) is the recommended shape; this
-    operator is for genuinely continuous ingestion."""
+    operator is for genuinely continuous ingestion.
+
+    Contracts: UNDECODABLE payloads are skipped here (they carry no
+    signature) — route them through the stateless decode battery on
+    the same stream for payload:decode violations; duplicate ids in
+    one batch never self-pair (mirroring the batch path's
+    doc_a < doc_b), though each occurrence still registers."""
     import pandas as pd
 
     from ..payload import phash as phash_mod
-    from ..pipeline.dedup import block_bounds
 
     sig = phash_mod.phash_signatures(
         stream_df, row_id=row_id, bytes_col=bytes_col
-    ).where(F.col("phash_dct").isNotNull())
-    bounds = block_bounds(phash_mod.BITS, max_hamming + 1)
-    bits = phash_mod.phash_bitstring(F.col("phash_dct"))
-    blocked = sig.select(
-        F.col(row_id).cast("string").alias("doc"),
-        F.col("phash_dct").alias("phash"),
-        F.posexplode(
-            F.array(*[F.substring(bits, s, ln) for s, ln in bounds])
-        ).alias("blk", "bkey"),
     )
+    blocked = phash_mod.phash_blocks(
+        sig, id_col=row_id, max_hamming=max_hamming,
+        carry_cols=("phash_dct",),
+    ).withColumnRenamed("phash_dct", "phash")
 
     def flag(key, pdfs, state):
         if state.exists:
@@ -260,7 +260,9 @@ def stateful_visual_dups(
         for doc, h in sorted(rows):
             h = int(h)
             for prior_doc, prior_h in zip(docs, hashes):
-                ham = bin((h ^ int(prior_h)) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if prior_doc == doc:
+                    continue  # duplicate ids never self-pair
+                ham = phash_mod.hamming64(h, int(prior_h))
                 if ham <= max_hamming:
                     out.append((doc, prior_doc, ham))
             docs.append(doc)

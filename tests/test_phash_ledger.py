@@ -182,3 +182,36 @@ def test_stateful_visual_dups_streaming(spark, tmp_path):
     assert all(h <= 6 for _n, _p, h in new)
     # batch-1 emissions were NOT duplicated by the resume
     assert first <= both and len(both) == len(first) + len(new)
+
+
+def test_stateful_visual_dups_never_self_pairs(spark, tmp_path):
+    """Duplicate image_ids in one batch must not emit (X, X, 0)
+    self-pair rows; each occurrence still registers (a later
+    different doc pairs against the id once per registration,
+    collapsed by the caller's distinct)."""
+    from python_extended_json_schema_validator_spark.streaming.incremental import (
+        stateful_visual_dups,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    dup_batch = _imgs(spark, [("x", 1, 0), ("x", 1, 0), ("y", 1, 1)])
+    dup_batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "image_id string, bytes binary"
+    ).parquet(src)
+    q = (
+        stateful_visual_dups(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.schema(
+        "doc_new string, doc_prior string, hamming int"
+    ).parquet(out).collect()
+    assert all(r.doc_new != r.doc_prior for r in rows), rows
+    assert {(r.doc_new, r.doc_prior) for r in rows} == {("y", "x")}

@@ -235,10 +235,17 @@ def main() -> int:
     )
     ph_hits = pv2.count()
     ph_exact = pv2.where("hamming = 0").count()
+    # the stated guarantee is PER PROBE: every probe image has a
+    # pixel-identical twin in increment 1, so every probe must have
+    # ≥1 exact (hamming 0) hit — gate on distinct probes, not the
+    # aggregate (exact hits have multiplicity via hamming-0 flanks)
+    ph_probes_with_exact = (
+        pv2.where("hamming = 0").select("doc_new").distinct().count()
+    )
     ph_probe_wall = time.time() - t0
 
     result = {
-        "metric": "increment-ledger scale evidence (minhash sketch + drift + hll cardinality)",
+        "metric": "increment-ledger scale evidence (minhash sketch + drift + hll cardinality + phash)",
         "cpus": args.cpus,
         "neardup": {
             "inc1_docs": args.docs,
@@ -278,6 +285,7 @@ def main() -> int:
             "probe_images": n_probe_imgs,
             "probe_hits": ph_hits,
             "probe_exact_hits": ph_exact,
+            "probes_with_exact_twin": ph_probes_with_exact,
             "probe_wall_sec": round(ph_probe_wall, 2),
             "probe_imgs_per_sec": round(n_probe_imgs / ph_probe_wall, 1),
         },
@@ -297,7 +305,8 @@ def main() -> int:
     assert abs(est_total - exact_total) / exact_total <= 0.05
     assert n_collapsed == n_groups, (n_collapsed, n_groups)
     assert n_pv1 == 0, "phash increment 1 must not self-collide"
-    assert ph_exact >= n_probe_imgs, (ph_exact, n_probe_imgs)
+    assert ph_probes_with_exact == n_probe_imgs, (
+        ph_probes_with_exact, n_probe_imgs)
     print(json.dumps(result))
     with open(f"{REPO}/BENCH_LEDGER.json", "w") as f:
         json.dump(result, f, indent=2)
