@@ -603,6 +603,27 @@ def q_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicates — the FOURTH dedup modality (after text
+    minhash/simhash, image phash, embedding LSH): decode → 64-bit
+    spectral band-occupancy fingerprint (map-only Arrow) → the
+    signature-agnostic banded hamming join at τ=1.  The corpus
+    injects (k-1, k) pairs at k % 7 == 3 via chord reuse under a gain
+    change + fresh noise + int16 re-quantization — byte-different
+    clips that sound alike; measured margins: pairs at hamming 0,
+    every other pair ≥ 2 at both test scales, so the oracle's
+    arithmetic pair set is exact."""
+    from python_extended_json_schema_validator_spark.pipeline import (
+        multimodal,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    keys = part.select(F.col("p_partkey").cast("long").alias("k"))
+    clips = multimodal.neardup_audio_from_keys(keys)
+    sig = multimodal.audio_fingerprints(clips)
+    return multimodal.audio_near_duplicates(sig).select("doc_a", "doc_b")
+
+
 def q_stream_visual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming mirror of the phash ledger
     (streaming.incremental.stateful_visual_dups): two availableNow
@@ -2015,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_ledger": q_phash_ledger,
         "corpus_curation": q_corpus_curation,
         "stream_visual_dups": q_stream_visual_dups,
+        "audio_neardup": q_audio_neardup,
     }
 
 
@@ -2151,6 +2173,11 @@ def oracle_sql() -> dict[str, str]:
                         WHEN c.doc_id IN (SELECT doc_id FROM kept) THEN 'kept'
                         ELSE 'quota' END AS status
             FROM corpus c JOIN toks0 t ON t.doc_id = c.doc_id
+        """,
+        "audio_neardup": """
+            SELECT 'aud' || lpad(CAST(p_partkey - 1 AS VARCHAR), 8, '0') AS doc_a,
+                   'aud' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS doc_b
+            FROM part WHERE p_partkey % 7 = 3 AND p_partkey >= 3
         """,
         # streaming emissions across the two batches: batch-1 in-corpus
         # pairs, then batch-2 in-increment pairs + twins + both flanks

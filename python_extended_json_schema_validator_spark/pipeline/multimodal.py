@@ -238,3 +238,150 @@ def resize_images(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (4th dedup modality)
+# ---------------------------------------------------------------------------
+
+AFP_BANDS = 64
+
+
+def audio_fingerprint64(rate: int, x: "np.ndarray") -> int:
+    """64-bit spectral band-occupancy fingerprint: the clip's power
+    spectrum split into 64 equal bands, bit m = band energy above the
+    spectral mean.  Scale-invariant (gain cancels in the comparison)
+    and robust to additive noise far below the tonal content — the
+    stationary-signal cousin of the Haitsma-Kalker fingerprint (whose
+    time-difference bits are noise-dominated on stationary clips;
+    measured before choosing this form).  Same signed-int64 contract
+    as payload.phash: the banded hamming machinery applies as-is."""
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    bw = spec.shape[0] // AFP_BANDS
+    if bw == 0:
+        raise ValueError("clip too short to fingerprint")
+    E = np.add.reduceat(spec, np.arange(0, bw * AFP_BANDS, bw))[:AFP_BANDS]
+    bits = E > E.mean()
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    packed = (bits.astype(np.uint64) * weights).sum()
+    return int(np.uint64(packed).view(np.int64))
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str = "audio_id",
+    bytes_col: str = "bytes",
+    decoder=decode_audio_fake,
+) -> DataFrame:
+    """(id, afp, decode_ok) — recomputed fingerprint per clip;
+    undecodable clips keep their row with a NULL fingerprint (same
+    contract as payload.phash.phash_signatures).  Map-only Arrow
+    stage; project (id, bytes) upstream."""
+    cols = df.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(bytes_col).alias("__b"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType(), False),
+            T.StructField("afp", T.LongType(), True),
+            T.StructField("decode_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps, oks = [], [], []
+            for aid, buf in zip(pdf["__id"], pdf["__b"]):
+                ids.append(aid)
+                try:
+                    rate, x = decoder(buf)
+                    fps.append(audio_fingerprint64(rate, x))
+                    oks.append(True)
+                except (ValueError, ZeroDivisionError):
+                    fps.append(None)
+                    oks.append(False)
+            yield pd.DataFrame({id_col: ids, "afp": fps, "decode_ok": oks})
+
+    return cols.mapInPandas(gen, schema=schema)
+
+
+def audio_near_duplicates(
+    sig: DataFrame,
+    id_col: str = "audio_id",
+    afp_col: str = "afp",
+    max_hamming: int = 1,
+) -> DataFrame:
+    """ALL clip pairs within ``max_hamming`` fingerprint bits —
+    delegates to the signature-agnostic phash banding
+    (payload.phash.phash_near_duplicates: posexplode block keys,
+    bucketed self-join, chunked bit_count verify, single decode pass
+    via repartition).  τ=1 (two 32-bit block keys) is the measured
+    split for band-occupancy fingerprints: same-content clips under
+    gain change + fresh noise + int16 re-quantization land at hamming
+    0; distinct chords sit ≥2 apart at 20k clips (≥4 at 2k)."""
+    from ..payload import phash as phash_mod
+
+    return phash_mod.phash_near_duplicates(
+        sig, id_col=id_col, phash_col=afp_col, max_hamming=max_hamming
+    )
+
+
+def neardup_audio_from_keys(keys_df: DataFrame) -> DataFrame:
+    """Deterministic audio near-dup corpus (the F12 pattern on the
+    audio modality), one FAUD clip per key k:
+
+    - chord: 8 distinct tones at band centers, slots = 4 + (md5(k')
+      bytes % 56) — band-ALIGNED so the occupied-band pattern is
+      injective in the slot set;
+    - near-dup pair   k % 7 == 3 (k≥3) → chord of k-1 at gain 0.45
+      (vs 0.5) with the row's OWN noise seed → (k-1, k) sound alike
+      but differ byte-wise;
+    - otherwise unique chord for k.
+
+    Measured margins (sf0.01 AND sf0.1 cardinalities): injected pairs
+    at fingerprint hamming 0, every other pair ≥ 2."""
+    import hashlib
+
+    schema = T.StructType(
+        [
+            T.StructField("audio_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), True),
+        ]
+    )
+
+    def slots(kp: int):
+        out = []
+        for b in hashlib.md5(str(kp).encode()).digest():
+            s = 4 + (b % 56)
+            if s not in out:
+                out.append(s)
+            if len(out) == 8:
+                break
+        return out
+
+    def clip(kp: int, noise_seed: int, gain: float) -> bytes:
+        rng = np.random.Generator(np.random.Philox(noise_seed))
+        t = np.arange(8000, dtype=np.float64)
+        x = np.zeros(8000)
+        for s in slots(kp):
+            f = 62.5 * s + 31.25
+            x += 0.1 * np.sin(2 * np.pi * f * t / 8000.0)
+        x = gain * x + 0.02 * rng.standard_normal(8000)
+        pcm = np.clip(x * 32767, -32768, 32767).astype("<i2")
+        return AUD_MAGIC + struct.pack("<II", 8000, 8000) + pcm.tobytes()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bufs = [], []
+            for k in pdf["k"]:
+                k = int(k)
+                if k % 7 == 3 and k >= 3:
+                    buf = clip(k - 1, noise_seed=k, gain=0.45)
+                else:
+                    buf = clip(k, noise_seed=k, gain=0.5)
+                ids.append(f"aud{k:08d}")
+                bufs.append(buf)
+            yield pd.DataFrame({"audio_id": ids, "bytes": bufs})
+
+    return keys_df.mapInPandas(gen, schema=schema)
