@@ -624,6 +624,28 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_near_duplicates(sig).select("doc_a", "doc_b")
 
 
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicates — the FIFTH dedup modality: frame
+    sampling (mapInPandas fan-out) → per-frame DCT phash on composite
+    video#frame ids → banded hamming join on FRAME signatures →
+    per-video-pair vote.  Near-dup videos (k % 7 == 3) rebuild row
+    k-1's frames with ±2 noise, so every frame matches its source
+    frame and ``shared_frames`` is exactly the source's frame count —
+    the oracle predicts the pair set AND the vote arithmetic
+    (3 + ((k-1) % 3))."""
+    from python_extended_json_schema_validator_spark.pipeline import (
+        multimodal,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    keys = part.select(F.col("p_partkey").cast("long").alias("k"))
+    vids = multimodal.neardup_videos_from_keys(keys)
+    return multimodal.video_near_duplicates(vids).select(
+        "video_a", "video_b",
+        F.col("shared_frames").cast("long").alias("shared_frames"),
+    )
+
+
 def q_stream_visual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming mirror of the phash ledger
     (streaming.incremental.stateful_visual_dups): two availableNow
@@ -2037,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "stream_visual_dups": q_stream_visual_dups,
         "audio_neardup": q_audio_neardup,
+        "video_neardup": q_video_neardup,
     }
 
 
@@ -2177,6 +2200,12 @@ def oracle_sql() -> dict[str, str]:
         "audio_neardup": """
             SELECT 'aud' || lpad(CAST(p_partkey - 1 AS VARCHAR), 8, '0') AS doc_a,
                    'aud' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS doc_b
+            FROM part WHERE p_partkey % 7 = 3 AND p_partkey >= 3
+        """,
+        "video_neardup": """
+            SELECT 'vid' || lpad(CAST(p_partkey - 1 AS VARCHAR), 8, '0') AS video_a,
+                   'vid' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS video_b,
+                   CAST(3 + ((p_partkey - 1) % 3) AS BIGINT) AS shared_frames
             FROM part WHERE p_partkey % 7 = 3 AND p_partkey >= 3
         """,
         # streaming emissions across the two batches: batch-1 in-corpus

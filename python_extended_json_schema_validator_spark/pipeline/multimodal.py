@@ -385,3 +385,95 @@ def neardup_audio_from_keys(keys_df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"audio_id": ids, "bytes": bufs})
 
     return keys_df.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup (5th dedup modality): per-frame phash voting
+# ---------------------------------------------------------------------------
+
+
+def video_near_duplicates(
+    df: DataFrame,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+    every_k: int = 1,
+    max_hamming: int = 6,
+    min_shared_frames: int = 2,
+) -> DataFrame:
+    """Video pairs sharing ≥ ``min_shared_frames`` visually
+    near-duplicate frames: sample frames (mapInPandas fan-out) →
+    per-frame DCT phash (the image machinery on composite
+    video#frame ids) → banded hamming join on FRAME signatures →
+    vote per video pair.  (video_a, video_b, shared_frames), a < b.
+
+    Scale shape: frames never all-pair — candidates come from the
+    frame-hash pigeonhole blocks; the vote is one groupBy over the
+    (already tiny) frame-pair set.  ``every_k`` subsamples frames
+    (cost ∝ sampled frames); ``min_shared_frames`` suppresses
+    single-frame coincidences."""
+    from ..payload import phash as phash_mod
+
+    frames = sample_frames(df, every_k=every_k, id_col=id_col,
+                           bytes_col=bytes_col)
+    fid = frames.select(
+        F.concat_ws("#", F.col(id_col), F.col("frame_idx")).alias("fid"),
+        F.col("frame_bytes"),
+    )
+    sig = phash_mod.phash_signatures(fid, row_id="fid",
+                                     bytes_col="frame_bytes")
+    fpairs = phash_mod.phash_near_duplicates(
+        sig, id_col="fid", max_hamming=max_hamming
+    )
+    va = F.substring_index(F.col("doc_a"), "#", 1)
+    vb = F.substring_index(F.col("doc_b"), "#", 1)
+    return (
+        fpairs.where(va != vb)
+        .select(
+            F.least(va, vb).alias("video_a"),
+            F.greatest(va, vb).alias("video_b"),
+        )
+        .groupBy("video_a", "video_b")
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .where(F.col("shared_frames") >= min_shared_frames)
+    )
+
+
+def neardup_videos_from_keys(keys_df: DataFrame) -> DataFrame:
+    """Deterministic video near-dup corpus (F12 pattern, video
+    modality): video k = FVID container of 3 + (k' % 3) PNG frames
+    from seeds k'*1000+i; near-dup rows (k % 7 == 3, k≥3) rebuild row
+    k-1's frames with ±2 pixel noise — byte-different videos whose
+    every frame is a visual near-dup of the source's."""
+    schema = T.StructType(
+        [
+            T.StructField("video_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), True),
+        ]
+    )
+
+    def build(kp: int, noise: int) -> bytes:
+        n_frames = 3 + (kp % 3)
+        frames = [
+            imgcodec.encode(kp * 1000 + i, 16, 12, "png", noise_amp=noise)
+            for i in range(n_frames)
+        ]
+        out = [VID_MAGIC, struct.pack("<I", n_frames)]
+        for fr in frames:
+            out.append(struct.pack("<I", len(fr)))
+            out.append(fr)
+        return b"".join(out)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bufs = [], []
+            for k in pdf["k"]:
+                k = int(k)
+                if k % 7 == 3 and k >= 3:
+                    buf = build(k - 1, noise=2)
+                else:
+                    buf = build(k, noise=0)
+                ids.append(f"vid{k:08d}")
+                bufs.append(buf)
+            yield pd.DataFrame({"video_id": ids, "bytes": bufs})
+
+    return keys_df.mapInPandas(gen, schema=schema)

@@ -60,3 +60,24 @@ def test_audio_near_duplicates_pairs(spark):
             for k in range(3, 31) if k % 7 == 3}
     assert {(p.doc_a, p.doc_b) for p in pairs} == want
     assert all(p.hamming == 0 for p in pairs)
+
+
+def test_video_near_duplicates_votes(spark):
+    """Video modality: per-frame phash voting — injected rebuilds
+    match on every frame; min_shared_frames suppresses single-frame
+    coincidences."""
+    from python_extended_json_schema_validator_spark.pipeline import (
+        multimodal as mmv,
+    )
+
+    keys = spark.range(1, 31).select(F.col("id").alias("k"))
+    vids = mmv.neardup_videos_from_keys(keys)
+    pairs = mmv.video_near_duplicates(vids).collect()
+    want = {
+        (f"vid{k-1:08d}", f"vid{k:08d}", 3 + ((k - 1) % 3))
+        for k in range(3, 31) if k % 7 == 3
+    }
+    assert {(p.video_a, p.video_b, p.shared_frames) for p in pairs} == want
+    # a high threshold suppresses everything on this corpus
+    none = mmv.video_near_duplicates(vids, min_shared_frames=7).count()
+    assert none == 0
