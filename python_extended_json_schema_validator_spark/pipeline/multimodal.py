@@ -37,9 +37,11 @@ AUD_MAGIC = b"FAUD"
 # ---------------------------------------------------------------------------
 
 
-def encode_video(seed: int, n_frames: int, w: int = 16, h: int = 12) -> bytes:
+def encode_video(seed: int, n_frames: int, w: int = 16, h: int = 12,
+                 noise_amp: int = 0) -> bytes:
     frames = [
-        imgcodec.encode(seed * 1000 + i, w, h, "png") for i in range(n_frames)
+        imgcodec.encode(seed * 1000 + i, w, h, "png", noise_amp=noise_amp)
+        for i in range(n_frames)
     ]
     out = [VID_MAGIC, struct.pack("<I", n_frames)]
     for fr in frames:
@@ -247,20 +249,33 @@ def resize_images(
 AFP_BANDS = 64
 
 
+AFP_FMAX_HZ = 4000.0
+
+
 def audio_fingerprint64(rate: int, x: "np.ndarray") -> int:
     """64-bit spectral band-occupancy fingerprint: the clip's power
-    spectrum split into 64 equal bands, bit m = band energy above the
-    spectral mean.  Scale-invariant (gain cancels in the comparison)
-    and robust to additive noise far below the tonal content — the
-    stationary-signal cousin of the Haitsma-Kalker fingerprint (whose
-    time-difference bits are noise-dominated on stationary clips;
-    measured before choosing this form).  Same signed-int64 contract
-    as payload.phash: the banded hamming machinery applies as-is."""
+    spectrum split into 64 equal PHYSICAL-frequency bands over
+    [0, AFP_FMAX_HZ), bit m = band energy above the spectral mean.
+    Band edges are computed in Hz from ``rate`` and the clip length
+    (exact cumsum binning — no leftover-bin bias on the last band),
+    so the same content resampled or length-changed occupies the same
+    bands; content above AFP_FMAX_HZ is ignored.  Scale-invariant
+    (gain cancels in the comparison) and robust to additive noise far
+    below the tonal content — the stationary-signal cousin of the
+    Haitsma-Kalker fingerprint (whose time-difference bits are
+    noise-dominated on stationary clips; measured before choosing
+    this form).  Same signed-int64 contract as payload.phash: the
+    banded hamming machinery applies as-is."""
     spec = np.abs(np.fft.rfft(x)) ** 2
-    bw = spec.shape[0] // AFP_BANDS
-    if bw == 0:
+    hz_per_bin = rate / x.size
+    edges = np.ceil(
+        np.arange(AFP_BANDS + 1) * (AFP_FMAX_HZ / AFP_BANDS) / hz_per_bin
+    ).astype(int)
+    edges = np.clip(edges, 0, spec.shape[0])
+    if edges[-1] - edges[0] < AFP_BANDS:
         raise ValueError("clip too short to fingerprint")
-    E = np.add.reduceat(spec, np.arange(0, bw * AFP_BANDS, bw))[:AFP_BANDS]
+    cs = np.concatenate([[0.0], np.cumsum(spec)])
+    E = cs[edges[1:]] - cs[edges[:-1]]
     bits = E > E.mean()
     weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
     packed = (bits.astype(np.uint64) * weights).sum()
@@ -415,8 +430,14 @@ def video_near_duplicates(
 
     frames = sample_frames(df, every_k=every_k, id_col=id_col,
                            bytes_col=bytes_col)
+    # composite frame id: FIXED-WIDTH numeric prefix + video id — no
+    # separator, so ids containing any character (incl. '#') survive
+    # the round trip; frame_idx < 10^6 by construction of the prefix
     fid = frames.select(
-        F.concat_ws("#", F.col(id_col), F.col("frame_idx")).alias("fid"),
+        F.concat(
+            F.lpad(F.col("frame_idx").cast("string"), 6, "0"),
+            F.col(id_col),
+        ).alias("fid"),
         F.col("frame_bytes"),
     )
     sig = phash_mod.phash_signatures(fid, row_id="fid",
@@ -424,16 +445,24 @@ def video_near_duplicates(
     fpairs = phash_mod.phash_near_duplicates(
         sig, id_col="fid", max_hamming=max_hamming
     )
-    va = F.substring_index(F.col("doc_a"), "#", 1)
-    vb = F.substring_index(F.col("doc_b"), "#", 1)
+    va = F.expr("substring(doc_a, 7)")
+    vb = F.expr("substring(doc_b, 7)")
+    norm = fpairs.where(va != vb).select(
+        F.least(va, vb).alias("video_a"),
+        F.greatest(va, vb).alias("video_b"),
+        F.when(va <= vb, F.col("doc_a")).otherwise(F.col("doc_b")).alias("fa"),
+        F.when(va <= vb, F.col("doc_b")).otherwise(F.col("doc_a")).alias("fb"),
+    )
+    # vote = DISTINCT shared frames on the smaller side, not raw pair
+    # count — repeated (static-scene) frames would otherwise inflate
+    # the vote quadratically past min_shared_frames
     return (
-        fpairs.where(va != vb)
-        .select(
-            F.least(va, vb).alias("video_a"),
-            F.greatest(va, vb).alias("video_b"),
+        norm.groupBy("video_a", "video_b")
+        .agg(
+            F.least(
+                F.countDistinct("fa"), F.countDistinct("fb")
+            ).alias("shared_frames")
         )
-        .groupBy("video_a", "video_b")
-        .agg(F.count(F.lit(1)).alias("shared_frames"))
         .where(F.col("shared_frames") >= min_shared_frames)
     )
 
@@ -452,16 +481,7 @@ def neardup_videos_from_keys(keys_df: DataFrame) -> DataFrame:
     )
 
     def build(kp: int, noise: int) -> bytes:
-        n_frames = 3 + (kp % 3)
-        frames = [
-            imgcodec.encode(kp * 1000 + i, 16, 12, "png", noise_amp=noise)
-            for i in range(n_frames)
-        ]
-        out = [VID_MAGIC, struct.pack("<I", n_frames)]
-        for fr in frames:
-            out.append(struct.pack("<I", len(fr)))
-            out.append(fr)
-        return b"".join(out)
+        return encode_video(kp, 3 + (kp % 3), w=16, h=12, noise_amp=noise)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
