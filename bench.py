@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -93,6 +94,8 @@ def main() -> int:
     ap.add_argument("--sf-dir",
                     default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--queries", default=",".join(BENCH_QUERIES))
+    ap.add_argument("--runs", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -112,20 +115,33 @@ def main() -> int:
         qs[name](spark, args.sf_dir).count()
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    timings: dict[str, float] = {}
+    # Median-of-N (default 3): this box's single-run walls for
+    # IDENTICAL code vary up to ~3x per query (image_suite 3.2-9.5 s
+    # band, BASELINE.md interleave tables), so a single-sample record
+    # is hostage to host noise.  Runs ALTERNATE over the full query
+    # list (pass 1: q1..qn, pass 2: q1..qn, ...) so a host-load burst
+    # degrades one pass of every query instead of every run of one
+    # query — the same decorrelation the interleave protocol uses.
+    runs: dict[str, list[float]] = {n: [] for n in names}
     rows: dict[str, int] = {}
-    for name in names:
-        t0 = time.time()
-        n = qs[name](spark, args.sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        rows[name] = n
+    for _pass in range(args.runs):
+        for name in names:
+            t0 = time.time()
+            n = qs[name](spark, args.sf_dir).count()
+            runs[name].append(round(time.time() - t0, 3))
+            rows[name] = n
+    timings = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
 
-    extras: dict[str, float] = {}
-    for name in [q for q in EXTRA_QUERIES if q in qs and q not in names]:
+    extra_names = [q for q in EXTRA_QUERIES if q in qs and q not in names]
+    extra_runs: dict[str, list[float]] = {n: [] for n in extra_names}
+    for name in extra_names:
         qs[name](spark, args.sf_dir).count()  # warmup
-        t0 = time.time()
-        rows[name] = qs[name](spark, args.sf_dir).count()
-        extras[name] = round(time.time() - t0, 3)
+    for _pass in range(args.runs):
+        for name in extra_names:
+            t0 = time.time()
+            rows[name] = qs[name](spark, args.sf_dir).count()
+            extra_runs[name].append(round(time.time() - t0, 3))
+    extras = {n: round(statistics.median(ts), 3) for n, ts in extra_runs.items()}
 
     total = round(sum(timings.values()), 3)
     n_images = spark.read.parquet(f"{args.sf_dir}/part.parquet").count()
@@ -157,6 +173,9 @@ def main() -> int:
     # (raw run arrays, violation row counts, clustering detail) goes
     # to BENCH_DETAIL.json alongside.
     detail = {
+        "runs_per_query": args.runs,
+        "query_runs": runs,           # raw per-pass walls (medians in
+        "extra_query_runs": extra_runs,  # the contract line)
         "extra_queries": extras,
         "scaling_run": scaling,
         "components_run": components,

@@ -66,21 +66,38 @@ class EngineConfig:
     # handful of phash values, that's when 'window' would OOM/spill
     # while 'agg' keeps hash-agg state bounded).
     dedup_strategy: str = "window"
-    # Key-holder semantics under dup errors ([verified] round-5
-    # reference probes: a doc whose ONLY error is a duplicate key is
-    # forget()-ten too, de-registering its OTHER keys — which can
-    # re-enable later docs' registrations, a sequential cascade):
-    # - 'oneshot' (default): holders = rows passing the ROW checks;
-    #   dup errors do not revoke a row's other keys.  One window pass,
-    #   exact whenever no row both duplicates one key and holds
-    #   another — the overwhelmingly common shape, and the scale
-    #   default.
-    # - 'sequential': reference-exact clean-set fixpoint (engine
-    #   _sequential_clean): iterate holders ↔ dups to convergence
-    #   (alternating over/under approximations of the reference's
-    #   greedy order), O(cascade depth) narrow (row_id,key) joins.
-    #   run_suite / validate_json_table default to this — the
-    #   reference-CLI parity surface.
+    # ------------------------------------------------------------------
+    # forget_mode POLICY (the one canonical statement — every other
+    # surface refers here).  Semantics ([verified] round-5 reference
+    # probes, extensible_validator.py:1200-1203): a doc whose ONLY
+    # error is a duplicate key is forget()-ten too, de-registering its
+    # OTHER keys — which can re-enable later docs' registrations, a
+    # sequential cascade.  Two implementations:
+    # - 'sequential': reference-EXACT clean-set fixpoint
+    #   (_sequential_clean): iterate holders ↔ dups to convergence,
+    #   O(cascade depth) narrow (row_id,key) joins + one
+    #   localCheckpoint per keyed table.  Parity: 5 cascade
+    #   differentials vs the actual reference
+    #   (tests/test_library_fallback.py::
+    #    test_sequential_forget_matches_reference).
+    # - 'oneshot': holders = rows passing the ROW checks; dup errors
+    #   do not revoke a row's other keys.  ONE window pass, no driver
+    #   fixpoint — exact whenever no row both duplicates one key and
+    #   holds another (the overwhelmingly common shape).
+    # DEFAULTS, by surface:
+    #   * reference-parity surfaces — run_suite / validate_json_table
+    #     / the CLI (suite.py:438,787) — default to 'sequential':
+    #     a reference user who switches must see identical reports
+    #     out of the box, same rationale as library_fallback=True.
+    #   * the engine API (this class) defaults to 'oneshot': it is
+    #     the 10^12-row table surface, where per-table driver
+    #     fixpoints + eager localCheckpoints are a real cost and
+    #     cascades require a same-row dup-plus-held-key collision to
+    #     matter.  This is the ONE pinned, intentional divergence —
+    #     tests/test_library_fallback.py::
+    #     test_oneshot_vs_sequential_divergence_documented fails if
+    #     either default or either semantics drifts silently.
+    # ------------------------------------------------------------------
     forget_mode: str = "oneshot"
     # iteration cap for the sequential fixpoint (strict raise beyond —
     # unconverged holder sets must never be mistaken for results)

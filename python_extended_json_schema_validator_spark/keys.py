@@ -193,11 +193,19 @@ def _element_literal(x: Column, etype: Optional[T.DataType] = None) -> Column:
     keys (same contract as json_scalar); otherwise the generic to_json
     path (struct/map elements, or unresolvable dotted walks — the
     documented residue: doubles NESTED inside such elements keep Java
-    rendering)."""
+    rendering).
+
+    NULL elements render as the JSON literal ``'null'`` on EVERY
+    branch — the typed fast paths must match the to_json path and the
+    reference's ``json.dumps`` (``[1, None]`` → elements ``1``,
+    ``null``); a SQL NULL element would silently drop out of ledger
+    semi-joins (NULL never equi-joins)."""
     if etype is not None and isinstance(etype, (T.DoubleType, T.FloatType)):
-        return py_double_repr(x.cast("double"))
+        return F.when(x.isNull(), F.lit("null")).otherwise(
+            py_double_repr(x.cast("double"))
+        )
     if etype is not None and isinstance(etype, _PLAIN_CAST_TYPES):
-        return x.cast("string")
+        return F.when(x.isNull(), F.lit("null")).otherwise(x.cast("string"))
     arr = F.to_json(F.array(x))
     return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
 
@@ -533,9 +541,9 @@ def _grouped_key_strings(
         n = F.size(outers[0])
 
         def per_element(i: Column) -> Column:
-            acc = outers[0].getItem(i)
+            acc = outers[0][i]
             for nxt in outers[1:]:
-                inner = nxt.getItem(i)
+                inner = nxt[i]
                 acc = F.flatten(
                     F.transform(
                         acc,

@@ -261,12 +261,18 @@ def partition_metrics(
     holding a row with that row_id — so a duplicate-PK violation
     implicates both partitions containing the colliding id, and
     sum(n_violations) can exceed count(violations) when ids repeat
-    across partitions (they can't on a clean table)."""
+    across partitions (they can't on a clean table).  TABLE-level
+    verdicts (drift / cardinality screens emit row_id ``'(all)'``)
+    have no row to join: they count toward ``n_violations`` of EVERY
+    partition in ``df`` (the whole increment drifted) but never toward
+    ``n_failed`` (no individual row failed) — so sum(n_violations)
+    still reconciles with the violations frame the caller receives."""
     ids = df.select(
         F.col(row_id).cast("string").alias("row_id"),
         F.col(scope_col).cast("string").alias("partition"),
     )
-    vio = violations.select("row_id").join(ids, "row_id")
+    table_level = F.col("row_id") == "(all)"
+    vio = violations.select("row_id").where(~table_level).join(ids, "row_id")
     per_row = (
         vio.groupBy("partition")
         .agg(
@@ -275,13 +281,21 @@ def partition_metrics(
         )
     )
     base = ids.groupBy("partition").agg(F.count(F.lit(1)).alias("n_rows"))
+    # table-level verdict count: one tiny scalar, broadcast onto every
+    # partition row (1×1 cross join — never a cartesian product)
+    n_table = violations.where(table_level).agg(
+        F.count(F.lit(1)).alias("__n_table")
+    )
     return (
         base.join(per_row, "partition", "left")
+        .crossJoin(F.broadcast(n_table))
         .select(
             "partition",
             "n_rows",
             F.coalesce("n_failed", F.lit(0)).alias("n_failed"),
-            F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+            (
+                F.coalesce("n_violations", F.lit(0)) + F.col("__n_table")
+            ).alias("n_violations"),
         )
     )
 
@@ -340,15 +354,17 @@ def run_resumable(
     from .payload.validate import image_table_spec, validate_images
 
     pending = manifest.filter_pending(images, scope_col)
-    # violations are consumed twice (metrics + caller) and are tiny
-    # relative to the input — persist instead of re-validating
-    violations = validate_images(pending, formats).persist()
+    # violation frames collect here and union+persist ONCE at the end:
+    # chaining .persist() per union layer would cache the same rows in
+    # a separate InMemoryRelation per ledger family (review finding)
+    parts = [validate_images(pending, formats)]
     spec = image_table_spec()
     if key_ledger is not None:
-        ledger_viol = cross_increment_dup_violations(
-            pending, spec, key_ledger, update=False
+        parts.append(
+            cross_increment_dup_violations(
+                pending, spec, key_ledger, update=False
+            )
         )
-        violations = violations.unionByName(ledger_viol).persist()
     if neardup_ledger is not None:
         from .pipeline.incremental_neardup import (
             cross_increment_near_duplicates,
@@ -367,7 +383,7 @@ def run_resumable(
             ).alias("observed_value"),
             F.lit("/" + caption_col).alias("path"),
         )
-        violations = violations.unionByName(nd).persist()
+        parts.append(nd)
     phash_sig_frame = None
     if phash_ledger is not None:
         from .pipeline.incremental_neardup import (
@@ -394,7 +410,7 @@ def run_resumable(
             ).alias("observed_value"),
             F.lit("/" + bytes_col).alias("path"),
         )
-        violations = violations.unionByName(pv).persist()
+        parts.append(pv)
     if drift_ledger is not None:
         from .pipeline.drift_ledger import cross_increment_drift
 
@@ -409,8 +425,7 @@ def run_resumable(
                 F.col("shift").cast("string").alias("observed_value"),
                 F.lit("/" + dcol).alias("path"),
             )
-            violations = violations.unionByName(dv)
-        violations = violations.persist()
+            parts.append(dv)
     hll_sketch_frame = None
     if hll_ledger is not None:
         from .pipeline.cardinality_ledger import screen_sketches
@@ -430,7 +445,10 @@ def run_resumable(
             F.round("novelty", 6).cast("string").alias("observed_value"),
             F.lit("/" + hcol).alias("path"),
         )
-        violations = violations.unionByName(cv).persist()
+        parts.append(cv)
+    # the ONE cache: violations are consumed twice (metrics + caller)
+    # and are tiny relative to the input — persist the final union
+    violations = reduce(lambda a, b: a.unionByName(b), parts).persist()
     metrics = partition_metrics(pending, violations, row_id, scope_col)
     # ORDER MATTERS for crash recovery: mark partitions complete
     # BEFORE appending their keys to the ledger.  A crash between the

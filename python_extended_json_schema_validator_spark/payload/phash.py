@@ -296,9 +296,9 @@ def phash_near_duplicates(
 ) -> DataFrame:
     """ALL image pairs within ``max_hamming`` bits of each other —
     (doc_a, doc_b, hamming), doc_a < doc_b.  Renders the int64 hash as
-    a bit string and reuses the SimHash pigeonhole banding
-    (``dedup.simhash_pairs_from_signatures``): recall 1.0, per-block
-    bucketed equi-joins, full-hash verify on integer chunks.  NULL
+    a bit string and bands it with the single-scan pigeonhole form
+    (``dedup.banded_hamming_pairs``): recall 1.0, bucketed equi-joins
+    on block keys, full-hash verify on integer chunks.  NULL
     signatures (undecodable images) are excluded.
 
     Plan shape matters here because the signature lineage is map-only

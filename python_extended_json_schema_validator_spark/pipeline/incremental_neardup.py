@@ -46,10 +46,21 @@ class MinHashLedger:
     h0..h{H-1} string) and ``<root>/bands`` (doc, band int, bucket
     string), append-only parquet with pinned-file-list reads (the
     SnapshotFS seam — appends after a dim is taken stay invisible to
-    that dim's plan)."""
+    that dim's plan).
+
+    ``num_hashes`` and ``bands`` are LEDGER properties, not probe
+    parameters (same rationale as PhashLedger.max_hamming): recorded
+    band buckets must partition the signature the same way every
+    future increment probes with, or recall silently drops and
+    est_jaccard corrupts.  Both are persisted to ``<root>/meta`` (a
+    one-row parquet — the SnapshotFS seam is list-only, so meta rides
+    the same parquet transport as the sketches) on first record and
+    validated on every subsequent open/record: a ledger reopened with
+    different parameters fails LOUDLY instead of miss-joining."""
 
     root: str
     num_hashes: int = 8
+    bands: int = 4
     fs: SnapshotFS = field(default_factory=LocalFS)
 
     def _read(self, spark: SparkSession, sub: str, schema: str):
@@ -58,24 +69,50 @@ class MinHashLedger:
             return None
         return spark.read.schema(schema).parquet(*files)
 
+    def _check_meta(self, spark: SparkSession) -> bool:
+        """Validate persisted parameters; True iff meta exists."""
+        meta = self._read(spark, "meta", "num_hashes int, bands int")
+        if meta is None:
+            return False
+        row = meta.first()
+        if row is None:
+            return False
+        if row.num_hashes != self.num_hashes or row.bands != self.bands:
+            raise ValueError(
+                f"MinHashLedger at {self.root!r} was created with "
+                f"num_hashes={row.num_hashes}, bands={row.bands}; "
+                f"reopened with num_hashes={self.num_hashes}, "
+                f"bands={self.bands} — sketches would silently "
+                "miss-join. Use the original parameters or a new root."
+            )
+        return True
+
     def sigs_dim(self, spark: SparkSession) -> Optional[DataFrame]:
+        self._check_meta(spark)
         cols = ", ".join(f"h{i} string" for i in range(self.num_hashes))
         return self._read(spark, "sigs", f"doc string, {cols}")
 
     def bands_dim(self, spark: SparkSession) -> Optional[DataFrame]:
+        self._check_meta(spark)
         return self._read(
             spark, "bands", "doc string, band int, bucket string"
         )
 
-    def record(self, signatures: DataFrame, bands: int) -> None:
+    def record(self, signatures: DataFrame) -> None:
         """Append an increment's sketches (caller must have
         materialized any candidates that read the ledger first)."""
+        spark = signatures.sparkSession
+        if not self._check_meta(spark):
+            spark.createDataFrame(
+                [(self.num_hashes, self.bands)],
+                "num_hashes int, bands int",
+            ).coalesce(1).write.mode("append").parquet(f"{self.root}/meta")
         sig = signatures.select(
             F.col("doc").cast("string"),
             *[F.col(f"h{i}") for i in range(self.num_hashes)],
         )
         sig.write.mode("append").parquet(f"{self.root}/sigs")
-        dedup.band_buckets(sig, self.num_hashes, bands).select(
+        dedup.band_buckets(sig, self.num_hashes, self.bands).select(
             F.col("doc").cast("string"),
             F.col("band").cast("int"),
             "bucket",
@@ -88,7 +125,7 @@ def cross_increment_near_duplicates(
     ledger: MinHashLedger,
     text_col: str = "text",
     k: int = 3,
-    bands: int = 4,
+    bands: Optional[int] = None,
     min_est_jaccard: float = 0.0,
     update: bool = True,
 ) -> DataFrame:
@@ -103,7 +140,13 @@ def cross_increment_near_duplicates(
     prior increments' text is never re-read.  Scale shape: one
     groupBy (signatures), one bucketed equi-join (candidates), one
     hash join on doc_prior (signature fetch) — texts ride only the
-    first aggregation."""
+    first aggregation.
+
+    ``bands`` is pinned on the LEDGER; the parameter survives only as
+    a guard (None → ledger.bands, a mismatching explicit value raises
+    — probing with different banding than history was recorded with
+    silently loses recall)."""
+    bands = _resolve_bands(ledger, bands)
     spark = df.sparkSession
     H = ledger.num_hashes
     sh = dedup.word_shingles(df, id_col, text_col, k)
@@ -155,8 +198,18 @@ def cross_increment_near_duplicates(
         out = out.persist()
         out.count()  # materialize BEFORE the ledger grows
     if update:
-        ledger.record(sig, bands)
+        ledger.record(sig)
     return out
+
+
+def _resolve_bands(ledger: MinHashLedger, bands: Optional[int]) -> int:
+    if bands is not None and bands != ledger.bands:
+        raise ValueError(
+            f"bands={bands} conflicts with the ledger's pinned "
+            f"bands={ledger.bands}; banding is a ledger property — "
+            "set it at MinHashLedger creation."
+        )
+    return ledger.bands
 
 
 def record_sketches(
@@ -165,7 +218,7 @@ def record_sketches(
     ledger: MinHashLedger,
     text_col: str = "text",
     k: int = 3,
-    bands: int = 4,
+    bands: Optional[int] = None,
 ) -> None:
     """Record an increment's sketches WITHOUT producing verdicts —
     for callers that sequence ledger appends after other commits
@@ -173,12 +226,13 @@ def record_sketches(
     partitions complete, mirroring the KeyLedger crash ordering; the
     signature aggregation re-runs — persist ``df`` upstream if that
     matters at your scale)."""
+    _resolve_bands(ledger, bands)
     sh = dedup.word_shingles(df, id_col, text_col, k)
     sig = dedup.minhash_signatures(sh, ledger.num_hashes).select(
         F.col("doc").cast("string"),
         *[f"h{i}" for i in range(ledger.num_hashes)],
     )
-    ledger.record(sig, bands)
+    ledger.record(sig)
 
 
 @dataclass

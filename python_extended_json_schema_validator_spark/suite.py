@@ -432,8 +432,8 @@ def validate_json_table(
     engine = ValidationEngine(
         specs,
         providers=providers_from_config(config, schema_uris=list(registry)),
-        # the suite surfaces default to the reference-EXACT sequential
-        # forget semantics (dup cascades, round-5 probes); pass an
+        # reference-parity surface → sequential forget (the canonical
+        # policy paragraph lives on EngineConfig.forget_mode); pass an
         # explicit EngineConfig to opt back into the scale default
         config=engine_config or EngineConfig(forget_mode="sequential"),
     )
@@ -782,8 +782,8 @@ def run_suite(
     engine = ValidationEngine(
         specs,
         providers=providers,
-        # reference-exact sequential forget on the CLI surface (see
-        # validate_json_table / EngineConfig.forget_mode)
+        # reference-parity surface → sequential forget (canonical
+        # policy paragraph: EngineConfig.forget_mode)
         config=engine_config or EngineConfig(forget_mode="sequential"),
     )
     result = engine.validate(

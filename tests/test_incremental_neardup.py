@@ -73,6 +73,39 @@ def test_update_false_leaves_ledger_untouched(spark, tmp_path):
     assert "a1" in priors  # still held from increment 1
 
 
+def test_ledger_params_pinned_at_creation(spark, tmp_path):
+    """num_hashes/bands are LEDGER properties (ADVICE r06): they
+    persist to <root>/meta on first record, and a ledger reopened
+    with different parameters — or probed with an explicit bands
+    override that conflicts — fails loudly instead of silently
+    losing recall / corrupting est_jaccard."""
+    root = str(tmp_path / "led")
+    led = MinHashLedger(root, num_hashes=8, bands=4)
+    cross_increment_near_duplicates(_docs(spark, BASE), "doc_id", led)
+
+    # explicit per-call bands conflicting with the pinned value
+    with pytest.raises(ValueError, match="pinned"):
+        cross_increment_near_duplicates(
+            _docs(spark, MUTANTS), "doc_id", led, bands=8, update=False
+        )
+    # reopen with drifted num_hashes (the hardcoded read schema would
+    # otherwise yield NULL h-columns silently)
+    with pytest.raises(ValueError, match="num_hashes=8"):
+        MinHashLedger(root, num_hashes=16).sigs_dim(spark)
+    # reopen with drifted bands
+    with pytest.raises(ValueError, match="bands=4"):
+        cross_increment_near_duplicates(
+            _docs(spark, MUTANTS), "doc_id",
+            MinHashLedger(root, num_hashes=8, bands=2), update=False,
+        )
+    # the matching reopen still works end-to-end
+    v = cross_increment_near_duplicates(
+        _docs(spark, MUTANTS), "doc_id",
+        MinHashLedger(root, num_hashes=8, bands=4), update=False,
+    )
+    assert v.count() > 0
+
+
 def test_min_est_jaccard_filters(spark, tmp_path):
     led = MinHashLedger(str(tmp_path / "led"), num_hashes=8)
     cross_increment_near_duplicates(_docs(spark, BASE), "doc_id", led)

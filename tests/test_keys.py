@@ -80,6 +80,33 @@ def test_python_twin_matches_spark(spark):
     )
 
 
+def test_null_array_elements_render_json_null(spark):
+    """A NULL element inside a TYPED array key member must render as
+    the JSON literal 'null' (reference json.dumps([1, None]) →
+    elements '1', 'null'), not SQL NULL — the typed fast paths in
+    _element_literal (plain cast / py_double_repr) regressed this in
+    round 6 (ADVICE r06 medium): a NULL key element silently misses
+    every ledger semi-join."""
+    from python_extended_json_schema_validator_spark.keys import (
+        key_strings,
+        key_strings_py,
+    )
+
+    for ddl, arr, doc_arr in [
+        ("arr array<bigint>", [1, None], [1, None]),
+        ("arr array<double>", [2.5, None], [2.5, None]),
+        ("arr array<string>", ["x", None], ["x", None]),
+        ("arr array<boolean>", [True, None], [True, None]),
+    ]:
+        df = spark.createDataFrame([(arr,)], ddl)
+        keys_col, _obs = key_strings(["arr"], df)
+        got = df.select(keys_col.alias("k")).first().k
+        want = key_strings_py({"arr": doc_arr}, ["arr"])
+        assert got == want, (ddl, got, want)
+        assert None not in got, (ddl, got)
+        assert any("null" in k for k in got), (ddl, got)
+
+
 def test_nested_struct_members(spark):
     df = spark.createDataFrame(
         [((("l2", "o2"),))], "ejemplo struct<local_id_2:string, other_id_2:string>"

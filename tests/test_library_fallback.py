@@ -342,6 +342,11 @@ def test_oneshot_vs_sequential_divergence_documented(spark):
     assert seq.per_file["d3"] == []          # reference-exact
     assert one.per_file["d3"] == ["dup_unique"]  # one-pass approximation
     assert seq.per_file["d2"] == one.per_file["d2"] == ["dup_unique"]
+    # pin the PER-SURFACE defaults too (the policy paragraph on
+    # EngineConfig.forget_mode): engine API = 'oneshot' (table-scale
+    # surface), suite/CLI = 'sequential' (reference-parity surface,
+    # asserted behaviorally above — `seq` passed no engine_config)
+    assert EngineConfig().forget_mode == "oneshot"
 
 
 # ---------------------------------------------------------------------------

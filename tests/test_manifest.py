@@ -130,6 +130,35 @@ def test_partition_metrics_counts(spark):
         assert r.n_failed <= r.n_violations
 
 
+def test_partition_metrics_table_level_verdicts(spark):
+    """Table-level verdict rows (drift / HLL screens emit row_id
+    '(all)') have no row to join — they must count toward
+    n_violations of EVERY pending partition (the whole increment
+    drifted) but never toward n_failed, so sum(n_violations)
+    reconciles with the violations frame the caller receives
+    (ADVICE r06: they were silently excluded before)."""
+    images = synth.images_from_range(spark, 100, partitions=4)
+    viol = spark.createDataFrame(
+        [
+            ("(all)", "drift", "decile_shift", "0.4", "/phash"),
+            ("(all)", "hll_novelty", "novelty", "0.01", "/caption"),
+            ("img00000003", "bad_w", "w", "-1", "/w"),
+        ],
+        "row_id string, constraint_id string, check string, "
+        "observed_value string, path string",
+    )
+    m = partition_metrics(images, viol, "image_id", "part").collect()
+    n_parts = len(m)
+    assert n_parts >= 2
+    for r in m:
+        # both '(all)' rows hit every partition; the row-level one
+        # lands only where img00000003 lives
+        assert r.n_violations in (2, 3)
+        assert r.n_failed in (0, 1)
+    assert sum(r.n_violations for r in m) == n_parts * 2 + 1
+    assert sum(r.n_failed for r in m) == 1
+
+
 def test_manifest_fs_seam_fake_object_store(spark, tmp_path):
     """The manifest works against an abstract SnapshotFS: a fake
     object store that serves a FROZEN listing proves resume plans pin

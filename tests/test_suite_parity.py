@@ -526,7 +526,7 @@ def test_unnamed_fk_to_scoped_pool_parity(spark):
 
 
 def test_custom_schema_id_path(spark):
-    """--schema_id_path: a dotted custom probe replaces the default
+    r"""--schema_id_path: a dotted custom probe replaces the default
     @schema/_schema/\$schema set."""
     schema = {
         "$schema": "http://json-schema.org/draft-07/schema#",
