@@ -244,6 +244,89 @@ def q_provider_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _viol(res)
 
 
+def q_provider_remote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: REMOTE-provider-fed PK dimension over a loopback
+    ``http.server`` — the reference's exact fetch protocol
+    (pk_check.py:157-204) under the oracle hard signal:
+
+    - the GET goes to ``urljoin(base, <last schema-URI segment> + '/')``
+      with the configured Accept header; the handler answers 406
+      unless the header matches, so a missing/wrong header would
+      yield zero keys → every nation dangles → row-count mismatch;
+    - the body is newline-split with blank lines dropped ('R0\\nR1\\n
+      \\nR2\\n' must produce exactly three keys — a kept blank would
+      register a bogus '' key, a broken split one giant key);
+    - the FIRST base URL 500s: reference semantics are log-and-skip,
+      never fatal, so the keys must still arrive from the second base.
+
+    The fetch is ONE driver-side GET (never per-executor); the server
+    is torn down before the returned plan executes.  FK members are a
+    derived STRING column ('R' || n_regionkey) because remote key
+    lists are text lines — string-typed keys are the only shape the
+    protocol can carry."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from python_extended_json_schema_validator_spark.providers import (
+        fetch_remote_provider,
+    )
+
+    class _Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (http.server API)
+            if self.path.startswith("/dead/"):
+                self.send_error(500, "boom")
+                return
+            if self.headers.get("Accept") != "text/uri-list":
+                self.send_error(406, "bad accept")
+                return
+            body = b"R0\nR1\n\nR2\n"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep driver stdout clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        prov = fetch_remote_provider(
+            table="region",
+            url_bases=[
+                f"http://127.0.0.1:{port}/dead/",   # 500 → skipped
+                f"http://127.0.0.1:{port}/keys/",   # serves R0/R1/R2
+            ],
+            accept="text/uri-list",
+        )
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    nation = _t(spark, sf_dir, "nation").withColumn(
+        "n_regioncode", F.concat(F.lit("R"), F.col("n_regionkey"))
+    )
+    specs = [
+        TableSpec(
+            name="region",
+            row_id="r_regionkey",
+            primary_keys=[KeySpec(("r_regioncode",))],
+        ),
+        TableSpec(
+            name="nation",
+            row_id="n_nationkey",
+            foreign_keys=[
+                ForeignKeySpec(("n_regioncode",), ref_table="region")
+            ],
+        ),
+    ]
+    res = ValidationEngine(specs, providers=[prov]).validate(
+        {"nation": nation}
+    )
+    return _viol(res)
+
+
 def q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star per-partition pass/fail ledger (scope = order
     status; check = totalprice cap)."""
@@ -1996,6 +2079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_member": q_missing_member,
         "dangling_jk": q_dangling_jk,
         "provider_inline": q_provider_inline,
+        # round 7: S8 under the hard signal — loopback HTTP fetch with
+        # Accept / newline-split / failure-skip semantics observable
+        "provider_remote": q_provider_remote,
         "partition_verdicts": q_partition_verdicts,
         "image_suite": q_image_suite,
         "stats_profile": q_stats_profile,
@@ -2804,6 +2890,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_regionkey AS VARCHAR) AS observed_value
             FROM nation
             WHERE n_regionkey IS NOT NULL AND n_regionkey NOT IN (0, 1, 2)
+        """,
+        # the remote server deterministically serves R0/R1/R2 (one
+        # dead base skipped, blank line dropped) — the oracle predicts
+        # the fetched key set
+        "provider_remote": """
+            SELECT 'fk:nation.n_regioncode->region' AS constraint_id,
+                   'stale_fk' AS reason,
+                   CAST(n_nationkey AS VARCHAR) AS row_id,
+                   'R' || CAST(n_regionkey AS VARCHAR) AS observed_value
+            FROM nation
+            WHERE n_regionkey IS NOT NULL
+              AND 'R' || CAST(n_regionkey AS VARCHAR)
+                  NOT IN ('R0', 'R1', 'R2')
         """,
         "partition_verdicts": """
             SELECT o_orderstatus AS scope,

@@ -212,3 +212,20 @@ def test_provider_cache_dir(tmp_path):
     assert len(calls) == 4, "read-only never populates the cache"
     import os
     assert not os.path.exists(ro)
+
+
+def test_remote_provider_loopback_http(spark):
+    """The provider_remote contract query end-to-end: a REAL urllib
+    GET against a loopback http.server — Accept header enforced
+    (406 otherwise), newline split with blank-drop, and a 500ing
+    first base skipped per reference semantics (pk_check.py:157-204).
+    The driver's oracle gate re-proves values; this pins the plumbing
+    in CI."""
+    import __spark_entry__ as entry
+
+    df = entry.q_provider_remote(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    # sf0.001 nation: 25 rows over regions 0-4; provider serves R0-R2
+    assert len(rows) == 10
+    assert {r.reason for r in rows} == {"stale_fk"}
+    assert {r.observed_value for r in rows} == {"R3", "R4"}
