@@ -891,6 +891,87 @@ def q_phash_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2).select("doc_new", "doc_prior")
 
 
+def q_audio_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-increment AUDIO near-dup ledger (AudioLedger — the
+    phash int64 machinery under the band-occupancy fingerprint,
+    τ=1): increment 1 registers the F12 audio corpus; increment 2
+    re-sends the SAME clip content under 're' ids.  Every inc2 clip
+    collides with its inc1 twin at hamming 0 (identical bytes →
+    identical fingerprint), and near-dup rows (k % 7 == 3: chord of
+    k-1 at a different gain + fresh noise) also collide with the
+    partner's clip in both directions — measured margins put every
+    other chord pair ≥ 2 bits apart, so the oracle's arithmetic pair
+    set is exact.  Increment 1 runs against the EMPTY ledger → zero
+    rows (materialize-before-append)."""
+    import tempfile
+
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        AudioLedger,
+        cross_increment_audio_duplicates,
+    )
+    from python_extended_json_schema_validator_spark.pipeline.multimodal import (
+        neardup_audio_from_keys,
+    )
+
+    keys = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k")
+    )
+    clips = neardup_audio_from_keys(keys)
+    led = AudioLedger(tempfile.mkdtemp(prefix="audio_led_q"))
+    v1 = cross_increment_audio_duplicates(
+        clips, "audio_id", led, audio_col="bytes"
+    )
+    inc2 = clips.select(
+        F.concat(F.lit("re"), F.col("audio_id")).alias("audio_id"),
+        "bytes",
+    )
+    v2 = cross_increment_audio_duplicates(
+        inc2, "audio_id", led, audio_col="bytes", update=False
+    )
+    return v1.unionByName(v2).select("doc_new", "doc_prior")
+
+
+def q_video_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-increment VIDEO near-dup ledger (VideoLedger: FRAME
+    signatures persisted, vote per video pair on probe): increment 2
+    re-sends increment 1's video content under 're' ids, so every
+    re-sent video matches its twin on EVERY frame (hamming 0) and
+    near-dup rows (k % 7 == 3: k-1's frames rebuilt with ±2 noise)
+    match the partner too — ``shared_frames`` is exactly the source's
+    frame count 3 + (k' % 3), the same vote arithmetic the
+    video_neardup oracle pins.  Increment 1 probes the empty ledger →
+    zero rows."""
+    import tempfile
+
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        VideoLedger,
+        cross_increment_video_duplicates,
+    )
+    from python_extended_json_schema_validator_spark.pipeline.multimodal import (
+        neardup_videos_from_keys,
+    )
+
+    keys = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k")
+    )
+    vids = neardup_videos_from_keys(keys)
+    led = VideoLedger(tempfile.mkdtemp(prefix="video_led_q"))
+    v1 = cross_increment_video_duplicates(
+        vids, "video_id", led, video_col="bytes"
+    )
+    inc2 = vids.select(
+        F.concat(F.lit("re"), F.col("video_id")).alias("video_id"),
+        "bytes",
+    )
+    v2 = cross_increment_video_duplicates(
+        inc2, "video_id", led, video_col="bytes", update=False
+    )
+    return v1.unionByName(v2).select(
+        "video_new", "video_prior",
+        F.col("shared_frames").cast("long").alias("shared_frames"),
+    )
+
+
 def q_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 schema dispatch: a mixed-schema document table routed to
     per-schema plans via the _schema probe; no_id / schema_unknown
@@ -2146,6 +2227,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_visual_dups": q_stream_visual_dups,
         "audio_neardup": q_audio_neardup,
         "video_neardup": q_video_neardup,
+        # round 7: the audio/video LEDGER families (cross-increment
+        # twins of audio_neardup/video_neardup, same machinery as
+        # phash_ledger) + the remote PK provider above
+        "audio_ledger": q_audio_ledger,
+        "video_ledger": q_video_ledger,
     }
 
 
@@ -2333,6 +2419,45 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'reimg' || lpad(CAST(k - 1 AS VARCHAR), 8, '0'),
                    'img' || lpad(CAST(k AS VARCHAR), 8, '0')
+            FROM ks WHERE k % 7 = 3 AND k >= 3
+        """,
+        # round 7: the audio ledger's pair arithmetic is the same
+        # twin + flank set as phash_ledger under the 'aud' prefix
+        # (re-sent content → hamming 0; chord reuse → both flanks)
+        "audio_ledger": """
+            WITH ks AS (SELECT p_partkey AS k FROM part)
+            SELECT 'reaud' || lpad(CAST(k AS VARCHAR), 8, '0') AS doc_new,
+                   'aud' || lpad(CAST(k AS VARCHAR), 8, '0') AS doc_prior
+            FROM ks
+            UNION ALL
+            SELECT 'reaud' || lpad(CAST(k AS VARCHAR), 8, '0'),
+                   'aud' || lpad(CAST(k - 1 AS VARCHAR), 8, '0')
+            FROM ks WHERE k % 7 = 3 AND k >= 3
+            UNION ALL
+            SELECT 'reaud' || lpad(CAST(k - 1 AS VARCHAR), 8, '0'),
+                   'aud' || lpad(CAST(k AS VARCHAR), 8, '0')
+            FROM ks WHERE k % 7 = 3 AND k >= 3
+        """,
+        # round 7: video ledger — same pair set under 'vid', plus the
+        # exact vote: shared_frames = the SOURCE's frame count
+        # 3 + (k' % 3), k' = k-1 on near-dup rows (k % 7 = 3)
+        "video_ledger": """
+            WITH ks AS (SELECT p_partkey AS k FROM part)
+            SELECT 'revid' || lpad(CAST(k AS VARCHAR), 8, '0') AS video_new,
+                   'vid' || lpad(CAST(k AS VARCHAR), 8, '0') AS video_prior,
+                   CAST(3 + ((CASE WHEN k % 7 = 3 AND k >= 3
+                                   THEN k - 1 ELSE k END) % 3) AS BIGINT)
+                     AS shared_frames
+            FROM ks
+            UNION ALL
+            SELECT 'revid' || lpad(CAST(k AS VARCHAR), 8, '0'),
+                   'vid' || lpad(CAST(k - 1 AS VARCHAR), 8, '0'),
+                   CAST(3 + ((k - 1) % 3) AS BIGINT)
+            FROM ks WHERE k % 7 = 3 AND k >= 3
+            UNION ALL
+            SELECT 'revid' || lpad(CAST(k - 1 AS VARCHAR), 8, '0'),
+                   'vid' || lpad(CAST(k AS VARCHAR), 8, '0'),
+                   CAST(3 + ((k - 1) % 3) AS BIGINT)
             FROM ks WHERE k % 7 = 3 AND k >= 3
         """,
         "ann_lsh": _ann_lsh_oracle(),

@@ -318,6 +318,11 @@ def run_resumable(
     hll_ledger=None,
     hll_column: Optional[str] = None,
     hll_novelty_threshold: float = 0.5,
+    audio_ledger=None,
+    audio_col: str = "audio",
+    video_ledger=None,
+    video_col: str = "video",
+    video_min_shared_frames: int = 2,
 ):
     """One resumable validation increment over the north-star table:
     validates only pending partitions, records their lineage/metrics,
@@ -347,7 +352,13 @@ def run_resumable(
     ALL prior increments, by HLL sketch union — no join against
     history) falls below ``hll_novelty_threshold`` (reason
     ``cardinality_collapse``: mostly re-sent values — the cheap
-    screen in front of the exact key_ledger path).  All ledger
+    screen in front of the exact key_ledger path);
+    ``audio_ledger`` / ``video_ledger`` (round 7:
+    pipeline.incremental_neardup.AudioLedger / VideoLedger) extend
+    the same pattern to tables carrying ``audio_col`` /
+    ``video_col`` payload columns — audio fingerprints share the
+    phash int64 contract, video persists FRAME signatures and votes
+    per video pair on probe (reason ``near_duplicate``).  All ledger
     appends land AFTER the manifest commit — same crash ordering as
     the key ledger (a crash loses this increment's sketches: bounded
     false negatives, never self-collision false positives)."""
@@ -411,6 +422,58 @@ def run_resumable(
             F.lit("/" + bytes_col).alias("path"),
         )
         parts.append(pv)
+    audio_sig_frame = None
+    if audio_ledger is not None:
+        from .pipeline.incremental_neardup import (
+            audio_sigs,
+            cross_increment_audio_duplicates,
+        )
+
+        # one decode+FFT pass, persisted — verdicts here, append below
+        audio_sig_frame = audio_sigs(
+            pending, row_id, audio_col=audio_col
+        ).persist()
+        av = cross_increment_audio_duplicates(
+            pending, row_id, audio_ledger, update=False,
+            sig=audio_sig_frame,
+        ).select(
+            F.lit("neardup:audio").alias("constraint_id"),
+            F.lit("near_duplicate").alias("reason"),
+            F.col("doc_new").alias("row_id"),
+            F.concat(
+                F.col("doc_prior"), F.lit(" @ "),
+                F.col("hamming").cast("string"),
+            ).alias("observed_value"),
+            F.lit("/" + audio_col).alias("path"),
+        )
+        parts.append(av)
+    video_sig_frame = None
+    if video_ledger is not None:
+        from .pipeline.incremental_neardup import (
+            cross_increment_video_duplicates,
+            frame_sigs,
+        )
+
+        # one frame-decode+DCT pass, persisted — verdicts + append
+        video_sig_frame = frame_sigs(
+            pending, row_id, video_col=video_col,
+            every_k=video_ledger.every_k,
+        ).persist()
+        vv = cross_increment_video_duplicates(
+            pending, row_id, video_ledger,
+            min_shared_frames=video_min_shared_frames,
+            update=False, sig=video_sig_frame,
+        ).select(
+            F.lit("neardup:video").alias("constraint_id"),
+            F.lit("near_duplicate").alias("reason"),
+            F.col("video_new").alias("row_id"),
+            F.concat(
+                F.col("video_prior"), F.lit(" @ "),
+                F.col("shared_frames").cast("string"),
+            ).alias("observed_value"),
+            F.lit("/" + video_col).alias("path"),
+        )
+        parts.append(vv)
     if drift_ledger is not None:
         from .pipeline.drift_ledger import cross_increment_drift
 
@@ -476,6 +539,12 @@ def run_resumable(
         # append the SAME persisted signature frame the verdicts used
         phash_ledger.record(phash_sig_frame)
         phash_sig_frame.unpersist()
+    if audio_ledger is not None:
+        audio_ledger.record(audio_sig_frame)
+        audio_sig_frame.unpersist()
+    if video_ledger is not None:
+        video_ledger.record(video_sig_frame)
+        video_sig_frame.unpersist()
     if drift_ledger is not None:
         from .pipeline.drift_ledger import record_snapshot
 

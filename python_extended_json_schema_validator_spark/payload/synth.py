@@ -249,3 +249,34 @@ def materialize_images(
             "part"
         ).parquet(path)
     return spark.read.parquet(path)
+
+
+def attach_av_columns(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Deterministic ``audio`` / ``video`` payload columns for the
+    A/V ledger drive (round 7): clip/video content is keyed by the
+    integer embedded in the image id (``'img' + lpad(k, 8)``), reusing
+    the F12 near-dup corpora (pipeline.multimodal.neardup_*_from_keys)
+    so k % 7 == 3 rows carry content that near-duplicates row k-1's.
+    In production these columns arrive WITH the table; this helper
+    exists so the spark-submit ``--ledgers --av`` cycle and tests can
+    exercise the audio/video ledger families on the north-star synth
+    table.  Scale shape: two co-partitioned equi-joins on the derived
+    key — payloads ride only their own join, nothing wider."""
+    from ..pipeline import multimodal
+
+    keys = images.select(
+        F.substring(F.col(id_col), 4, 8).cast("long").alias("k")
+    ).distinct()
+    aud = multimodal.neardup_audio_from_keys(keys).select(
+        F.substring("audio_id", 4, 8).cast("long").alias("k"),
+        F.col("bytes").alias("audio"),
+    )
+    vid = multimodal.neardup_videos_from_keys(keys).select(
+        F.substring("video_id", 4, 8).cast("long").alias("k"),
+        F.col("bytes").alias("video"),
+    )
+    out = images.withColumn(
+        "__k", F.substring(F.col(id_col), 4, 8).cast("long")
+    )
+    out = out.join(aud, out["__k"] == aud["k"]).drop("k")
+    return out.join(vid, out["__k"] == vid["k"]).drop("k", "__k")

@@ -403,3 +403,183 @@ def record_phash_sketches(
     — for callers sequencing ledger appends after other commits
     (record() persists the frame across its two writes)."""
     ledger.record(phash_sigs(df, id_col, bytes_col))
+
+
+# ---------------------------------------------------------------------------
+# Audio + video ledger families (round 7): the remaining two dedup
+# modalities under the same cross-increment machinery.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AudioLedger(PhashLedger):
+    """Persistent audio fingerprints for cross-increment AUDIO
+    near-duplicate detection.  ``multimodal.audio_fingerprint64``
+    shares PhashLedger's signed-int64 signature contract (64
+    band-occupancy bits instead of 64 DCT-sign bits), so the storage,
+    block keys, and exact long-XOR verification are the SAME
+    machinery — only the signature builder and the measured hamming
+    budget differ (τ=1: same-content clips under gain change + fresh
+    noise land at hamming 0; distinct chords sit ≥2 apart —
+    pipeline/multimodal.py:324)."""
+
+    max_hamming: int = 1
+
+
+def audio_sigs(
+    df: DataFrame, id_col: str, audio_col: str = "audio"
+) -> DataFrame:
+    """(doc string, phash long) recomputed audio-fingerprint frame —
+    the one decode+FFT pass every audio-ledger consumer should share
+    (column named ``phash`` so the PhashLedger machinery applies
+    verbatim)."""
+    from .multimodal import audio_fingerprints
+
+    return (
+        audio_fingerprints(df, id_col=id_col, bytes_col=audio_col)
+        .where(F.col("afp").isNotNull())
+        .select(
+            F.col(id_col).cast("string").alias("doc"),
+            F.col("afp").alias("phash"),
+        )
+        .repartition("doc")
+    )
+
+
+def cross_increment_audio_duplicates(
+    df: DataFrame,
+    id_col: str,
+    ledger: AudioLedger,
+    audio_col: str = "audio",
+    update: bool = True,
+    sig: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(doc_new, doc_prior, hamming) for this increment's clips whose
+    audio fingerprint sits within ``ledger.max_hamming`` bits of a
+    PRIOR increment's — the audio twin of
+    ``cross_increment_phash_duplicates`` (exact verification against
+    stored 64-bit signatures, prior samples never re-decoded, same
+    materialize-before-append crash ordering)."""
+    own_sig = sig is None
+    if own_sig:
+        sig = audio_sigs(df, id_col, audio_col)
+        if update:
+            sig = sig.persist()
+    out = cross_increment_phash_duplicates(
+        df, id_col, ledger, update=update, sig=sig
+    )
+    if own_sig and update:
+        sig.unpersist()
+    return out
+
+
+@dataclass
+class VideoLedger:
+    """Persistent FRAME signatures for cross-increment VIDEO
+    near-duplicate detection: frames of prior increments live in an
+    embedded frame-level PhashLedger (composite ids: 6-digit
+    zero-padded frame index + video id, the format of
+    ``multimodal.video_near_duplicates``); probes band-join this
+    increment's frame hashes against history and then VOTE per
+    (video_new, video_prior) pair — videos never all-pair, frames
+    never all-pair, prior pixels never re-read.
+
+    ``max_hamming`` and ``every_k`` are LEDGER properties: block keys
+    are recorded at ``max_hamming`` (same pinning rationale as
+    PhashLedger), and increments sampled at different ``every_k``
+    would systematically miss each other's frames.
+    ``min_shared_frames`` is a PROBE parameter (a pure filter over
+    the vote — historical data is threshold-agnostic)."""
+
+    root: str
+    max_hamming: int = 6
+    every_k: int = 1
+    fs: SnapshotFS = field(default_factory=LocalFS)
+
+    def frame_store(self) -> PhashLedger:
+        return PhashLedger(self.root, self.max_hamming, self.fs)
+
+    def record(self, sig: DataFrame) -> None:
+        """Append a pre-built frame-signature frame (``frame_sigs``)."""
+        self.frame_store().record(sig)
+
+
+def frame_sigs(
+    df: DataFrame,
+    id_col: str,
+    video_col: str = "video",
+    every_k: int = 1,
+) -> DataFrame:
+    """(doc string, phash long) per SAMPLED FRAME, doc = 6-digit
+    frame index + video id — the one decode+DCT pass every
+    video-ledger consumer should share."""
+    from ..payload import phash as phash_mod
+    from .multimodal import sample_frames
+
+    frames = sample_frames(
+        df, every_k=every_k, id_col=id_col, bytes_col=video_col
+    )
+    fid = frames.select(
+        F.concat(
+            F.lpad(F.col("frame_idx").cast("string"), 6, "0"),
+            F.col("video_id"),
+        ).alias("fid"),
+        F.col("frame_bytes"),
+    )
+    return (
+        phash_mod.phash_signatures(fid, row_id="fid", bytes_col="frame_bytes")
+        .where(F.col("phash_dct").isNotNull())
+        .select(
+            F.col("fid").alias("doc"),
+            F.col("phash_dct").alias("phash"),
+        )
+        .repartition("doc")
+    )
+
+
+def cross_increment_video_duplicates(
+    df: DataFrame,
+    id_col: str,
+    ledger: VideoLedger,
+    video_col: str = "video",
+    min_shared_frames: int = 2,
+    update: bool = True,
+    sig: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(video_new, video_prior, shared_frames) for this increment's
+    videos sharing ≥ ``min_shared_frames`` visually near-duplicate
+    frames with a PRIOR increment's — frame-level banded candidates
+    through the embedded PhashLedger, then one groupBy vote over the
+    (tiny, already-materialized) frame-pair set.  The vote counts
+    DISTINCT frames on the smaller side so repeated static-scene
+    frames cannot inflate past the threshold (same guard as
+    ``multimodal.video_near_duplicates``)."""
+    own_sig = sig is None
+    if own_sig:
+        sig = frame_sigs(df, id_col, video_col, every_k=ledger.every_k)
+        if update:
+            sig = sig.persist()
+    fpairs = cross_increment_phash_duplicates(
+        df, id_col, ledger.frame_store(), update=update, sig=sig
+    )
+    va = F.expr("substring(doc_new, 7)")
+    vb = F.expr("substring(doc_prior, 7)")
+    out = (
+        fpairs.where(va != vb)
+        .select(
+            va.alias("video_new"),
+            vb.alias("video_prior"),
+            F.col("doc_new").alias("__fn"),
+            F.col("doc_prior").alias("__fp"),
+        )
+        .groupBy("video_new", "video_prior")
+        .agg(
+            F.least(
+                F.countDistinct("__fn"), F.countDistinct("__fp")
+            ).cast("int").alias("shared_frames")
+        )
+        .where(F.col("shared_frames") >= min_shared_frames)
+    )
+    if own_sig and update:
+        sig.unpersist()
+    return out

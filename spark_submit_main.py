@@ -43,7 +43,15 @@ def main(argv=None) -> int:
                          "w/h/phash distribution drift (drift/), "
                          "and the HLL cardinality screen on "
                          "image_id (hll/)")
+    ap.add_argument("--av", action="store_true",
+                    help="attach deterministic audio/video payload "
+                         "columns to the synth table and enable "
+                         "their ledger families (audio/, video/ "
+                         "under the --ledgers root; requires "
+                         "--ledgers)")
     args = ap.parse_args(argv)
+    if args.av and not args.ledgers:
+        ap.error("--av requires --ledgers")
 
     spark = SparkSession.builder.appName("image-validation").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -81,6 +89,17 @@ def main(argv=None) -> int:
             drift_ledger=QuantileLedger(f"{args.ledgers}/drift"),
             hll_ledger=HllLedger(f"{args.ledgers}/hll"),
         )
+        if args.av:
+            from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+                AudioLedger,
+                VideoLedger,
+            )
+
+            images = synth.attach_av_columns(images)
+            ledger_kwargs.update(
+                audio_ledger=AudioLedger(f"{args.ledgers}/audio"),
+                video_ledger=VideoLedger(f"{args.ledgers}/video"),
+            )
 
     violations, metrics, run_id = run_resumable(
         images, formats, manifest, **ledger_kwargs

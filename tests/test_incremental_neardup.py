@@ -119,3 +119,78 @@ def test_min_est_jaccard_filters(spark, tmp_path):
     )
     assert loose.count() > 0
     assert strict.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round 7: audio + video ledger families
+# ---------------------------------------------------------------------------
+
+
+def _av_keys(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def test_audio_ledger_two_increments(spark, tmp_path):
+    """Inc2's k=10 clip reuses inc1's k=9 chord (the F12 rule) →
+    fingerprint hamming 0 against history; inc1 probes the empty
+    ledger → zero rows; update=False probes must not grow it."""
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        AudioLedger,
+        cross_increment_audio_duplicates,
+    )
+    from python_extended_json_schema_validator_spark.pipeline.multimodal import (
+        neardup_audio_from_keys,
+    )
+
+    led = AudioLedger(str(tmp_path / "aud"))
+    inc1 = neardup_audio_from_keys(_av_keys(spark, 1, 10))
+    v1 = cross_increment_audio_duplicates(
+        inc1, "audio_id", led, audio_col="bytes"
+    )
+    assert v1.count() == 0
+
+    inc2 = neardup_audio_from_keys(_av_keys(spark, 10, 17))
+    v2 = cross_increment_audio_duplicates(
+        inc2, "audio_id", led, audio_col="bytes", update=False
+    )
+    got = {(r.doc_new, r.doc_prior, r.hamming) for r in v2.collect()}
+    assert got == {("aud00000010", "aud00000009", 0)}, got
+    # update=False left the ledger at inc1's 9 clips
+    assert led.sigs_dim(spark).count() == 9
+
+
+def test_video_ledger_vote_and_threshold(spark, tmp_path):
+    """Inc2's k=10 video rebuilds k=9's 3 frames with ±2 noise →
+    every frame matches → shared_frames = 3; min_shared_frames above
+    the vote suppresses the pair (probe-side filter, ledger
+    threshold-agnostic)."""
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        VideoLedger,
+        cross_increment_video_duplicates,
+    )
+    from python_extended_json_schema_validator_spark.pipeline.multimodal import (
+        neardup_videos_from_keys,
+    )
+
+    led = VideoLedger(str(tmp_path / "vid"))
+    inc1 = neardup_videos_from_keys(_av_keys(spark, 1, 10))
+    v1 = cross_increment_video_duplicates(
+        inc1, "video_id", led, video_col="bytes"
+    )
+    assert v1.count() == 0
+
+    inc2 = neardup_videos_from_keys(_av_keys(spark, 10, 17))
+    v2 = cross_increment_video_duplicates(
+        inc2, "video_id", led, video_col="bytes", update=False
+    )
+    got = {
+        (r.video_new, r.video_prior, r.shared_frames) for r in v2.collect()
+    }
+    # source k=9 has 3 + (9 % 3) = 3 frames
+    assert got == {("vid00000010", "vid00000009", 3)}, got
+    # a vote floor above the frame count suppresses the pair
+    v3 = cross_increment_video_duplicates(
+        inc2, "video_id", led, video_col="bytes",
+        min_shared_frames=4, update=False,
+    )
+    assert v3.count() == 0

@@ -331,3 +331,56 @@ def test_run_resumable_all_ledger_families(spark):
         # resume: everything completed → nothing pending, no verdicts
         v3, m3, _ = run_resumable(inc2, formats, manifest, **kwargs)
         assert v3.count() == 0 and m3.count() == 0
+
+
+def test_run_resumable_av_ledger_families(spark):
+    """Round 7: the audio/video ledger families through run_resumable
+    — inc2's k=10 row carries clip/video content rebuilt from k=9's
+    (the F12 k % 7 == 3 rule in attach_av_columns), so after inc1
+    records keys 1..9 the second increment must flag img…10 against
+    img…09 on BOTH modalities; inc1 itself runs against empty ledgers
+    and must flag nothing."""
+    import tempfile as tf
+
+    from pyspark.sql import functions as F
+
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        AudioLedger,
+        VideoLedger,
+    )
+
+    with tf.TemporaryDirectory() as d:
+        manifest = PartitionManifest(path=f"{d}/man")
+        kwargs = dict(
+            audio_ledger=AudioLedger(f"{d}/audio"),
+            video_ledger=VideoLedger(f"{d}/video"),
+        )
+        formats = synth.formats_dim(spark)
+        inc1 = synth.attach_av_columns(
+            synth.images_from_range(spark, 9, partitions=2)
+        ).withColumn("part", F.lit("a")).cache()
+        v1, _, _ = run_resumable(inc1, formats, manifest, **kwargs)
+        assert v1.where("reason = 'near_duplicate'").count() == 0
+
+        inc2 = synth.attach_av_columns(
+            synth.images_from_range(spark, 16, partitions=2).where(
+                "image_id > 'img00000009'"
+            )
+        ).withColumn("part", F.lit("b")).cache()
+        v2, _, _ = run_resumable(inc2, formats, manifest, **kwargs)
+        nd = v2.where("reason = 'near_duplicate'").collect()
+        by_path = {}
+        for r in nd:
+            by_path.setdefault(r.path, set()).add(
+                (r.row_id, r.observed_value.split(" @ ")[0])
+            )
+        # audio: chord of 9 reused at gain 0.45 → fingerprint hamming 0
+        assert by_path.get("/audio") == {("img00000010", "img00000009")}
+        # video: 9's 3 frames rebuilt ±2 noise → every frame votes
+        assert by_path.get("/video") == {("img00000010", "img00000009")}
+        vid_row = [r for r in nd if r.path == "/video"][0]
+        assert vid_row.observed_value == "img00000009 @ 3"
+
+        # resume: completed partitions pending-filtered → no verdicts
+        v3, m3, _ = run_resumable(inc2, formats, manifest, **kwargs)
+        assert v3.count() == 0 and m3.count() == 0

@@ -55,14 +55,17 @@ def test_spark_submit_ledgers_resume_cycle(tmp_path):
     _zip_engine(zip_path)
     out = str(tmp_path / "vo")
     ledgers = f"{out}/ledgers"
-    args = ["--output", out, "--ledgers", ledgers]
+    # --av (round 7) attaches deterministic audio/video payload
+    # columns and enables their ledger families alongside the five
+    # originals — one flag pair drives all SEVEN in two launches
+    args = ["--output", out, "--ledgers", ledgers, "--av"]
 
-    # run 1: violations found (exit 2), all five ledgers recorded
+    # run 1: violations found (exit 2), all seven ledgers recorded
     rc1, s1, p1 = _submit({"pyfiles": zip_path, "args": args})
     assert rc1 == 2, p1.stderr[-2000:]
     assert s1["n_violations"] > 0 and s1["partitions"] == 16
     assert sorted(os.listdir(ledgers)) == [
-        "drift", "hll", "keys", "neardup", "phash"
+        "audio", "drift", "hll", "keys", "neardup", "phash", "video"
     ]
 
     # run 2: resume — nothing pending, exit 0; the empty increment's
