@@ -972,6 +972,43 @@ def q_video_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-increment EMBEDDING near-dup ledger (EmbeddingLedger —
+    the fifth and last modality to gain a ledger family): increment 1
+    registers every embedding's vector + seeded-plane LSH buckets;
+    increment 2 re-sends vec_id < 20 under id+100000.  Identical
+    vectors agree on EVERY bucket table (sign pattern is a function
+    of the vector), so each re-sent row hits its twin at cos 1.0;
+    additional hits are exactly the corpus's cos ≥ 0.95 neighbor
+    pairs (the embed_neardup contract set restricted to one re-sent
+    endpoint — the oracle-green full-recall LSH regime at this
+    corpus).  Exact cosine verification against STORED vectors:
+    prior embeddings are fetched by doc, never recomputed."""
+    import tempfile
+
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        EmbeddingLedger,
+        cross_increment_embedding_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    led = EmbeddingLedger(
+        tempfile.mkdtemp(prefix="emb_led_q"), dim=dim
+    )
+    v1 = cross_increment_embedding_duplicates(emb, "vec_id", led)
+    inc2 = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    v2 = cross_increment_embedding_duplicates(
+        inc2, "vec_id", led, update=False
+    )
+    return v1.unionByName(v2).select(
+        F.col("doc_new").cast("long").alias("doc_new"),
+        F.col("doc_prior").cast("long").alias("doc_prior"),
+    )
+
+
 def q_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 schema dispatch: a mixed-schema document table routed to
     per-schema plans via the _schema probe; no_id / schema_unknown
@@ -2232,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # phash_ledger) + the remote PK provider above
         "audio_ledger": q_audio_ledger,
         "video_ledger": q_video_ledger,
+        "embedding_ledger": q_embedding_ledger,
     }
 
 
@@ -2459,6 +2497,18 @@ def oracle_sql() -> dict[str, str]:
                    'vid' || lpad(CAST(k AS VARCHAR), 8, '0'),
                    CAST(3 + ((k - 1) % 3) AS BIGINT)
             FROM ks WHERE k % 7 = 3 AND k >= 3
+        """,
+        # round 7: embedding ledger — re-sent vectors (vec_id < 20,
+        # +100000) hit their twin (cos 1.0) plus every cos ≥ 0.95
+        # corpus neighbor (the embed_neardup contract regime: LSH
+        # candidate recall is total on this corpus, verification
+        # exact, so the arithmetic pair set is the found set)
+        "embedding_ledger": """
+            SELECT CAST(a.vec_id + 100000 AS BIGINT) AS doc_new,
+                   CAST(b.vec_id AS BIGINT) AS doc_prior
+            FROM embeddings a JOIN embeddings b
+              ON list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+            WHERE a.vec_id < 20
         """,
         "ann_lsh": _ann_lsh_oracle(),
         # round 6: the stateful streaming dedup operator's emissions —

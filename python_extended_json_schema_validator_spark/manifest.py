@@ -323,6 +323,9 @@ def run_resumable(
     video_ledger=None,
     video_col: str = "video",
     video_min_shared_frames: int = 2,
+    embedding_ledger=None,
+    embedding_col: str = "embedding",
+    embedding_threshold: float = 0.95,
 ):
     """One resumable validation increment over the north-star table:
     validates only pending partitions, records their lineage/metrics,
@@ -353,12 +356,15 @@ def run_resumable(
     history) falls below ``hll_novelty_threshold`` (reason
     ``cardinality_collapse``: mostly re-sent values — the cheap
     screen in front of the exact key_ledger path);
-    ``audio_ledger`` / ``video_ledger`` (round 7:
-    pipeline.incremental_neardup.AudioLedger / VideoLedger) extend
-    the same pattern to tables carrying ``audio_col`` /
-    ``video_col`` payload columns — audio fingerprints share the
-    phash int64 contract, video persists FRAME signatures and votes
-    per video pair on probe (reason ``near_duplicate``).  All ledger
+    ``audio_ledger`` / ``video_ledger`` / ``embedding_ledger``
+    (round 7: pipeline.incremental_neardup.AudioLedger / VideoLedger
+    / EmbeddingLedger) extend the same pattern to tables carrying
+    ``audio_col`` / ``video_col`` / ``embedding_col`` payload columns
+    — audio fingerprints share the phash int64 contract, video
+    persists FRAME signatures and votes per video pair on probe, and
+    embeddings bucket through seeded-plane LSH with exact cosine
+    verification (reason ``near_duplicate`` for all three — every
+    modality's cross-increment family).  All ledger
     appends land AFTER the manifest commit — same crash ordering as
     the key ledger (a crash loses this increment's sketches: bounded
     false negatives, never self-collision false positives)."""
@@ -474,6 +480,32 @@ def run_resumable(
             F.lit("/" + video_col).alias("path"),
         )
         parts.append(vv)
+    emb_sig_frame = None
+    if embedding_ledger is not None:
+        from .pipeline.incremental_neardup import (
+            cross_increment_embedding_duplicates,
+            embedding_sigs,
+        )
+
+        # one vector-normalization pass, persisted — verdicts + append
+        emb_sig_frame = embedding_sigs(
+            pending, row_id, vec_col=embedding_col
+        ).persist()
+        ev = cross_increment_embedding_duplicates(
+            pending, row_id, embedding_ledger,
+            threshold=embedding_threshold, update=False,
+            sig=emb_sig_frame,
+        ).select(
+            F.lit("neardup:embedding").alias("constraint_id"),
+            F.lit("near_duplicate").alias("reason"),
+            F.col("doc_new").alias("row_id"),
+            F.concat(
+                F.col("doc_prior"), F.lit(" @ "),
+                F.round("cos", 3).cast("string"),
+            ).alias("observed_value"),
+            F.lit("/" + embedding_col).alias("path"),
+        )
+        parts.append(ev)
     if drift_ledger is not None:
         from .pipeline.drift_ledger import cross_increment_drift
 
@@ -545,6 +577,9 @@ def run_resumable(
     if video_ledger is not None:
         video_ledger.record(video_sig_frame)
         video_sig_frame.unpersist()
+    if embedding_ledger is not None:
+        embedding_ledger.record(emb_sig_frame)
+        emb_sig_frame.unpersist()
     if drift_ledger is not None:
         from .pipeline.drift_ledger import record_snapshot
 

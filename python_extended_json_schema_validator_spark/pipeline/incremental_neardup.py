@@ -583,3 +583,191 @@ def cross_increment_video_duplicates(
     if own_sig and update:
         sig.unpersist()
     return out
+
+
+@dataclass
+class EmbeddingLedger:
+    """Persistent embedding sketches for cross-increment EMBEDDING
+    near-duplicate detection — with this the cross-increment machinery
+    spans all five modalities (text MinHash, image phash, audio
+    fingerprint, video frames, embeddings): ``<root>/vecs`` (doc
+    string, vec array<double>) and ``<root>/buckets`` (doc, tbl int,
+    bucket string — seeded random-hyperplane LSH keys,
+    similarity.hyperplane_bucket), append-only parquet behind the
+    SnapshotFS seam.
+
+    ``dim`` / ``bits`` / ``tables`` / ``seed`` are LEDGER properties
+    (the MinHashLedger rationale): every increment must bucket with
+    the SAME planes or probes silently miss history.  They persist to
+    ``<root>/meta`` on first record and are validated on every
+    open/record.  ``threshold`` is a PROBE parameter — the exact
+    cosine verify is computed fresh per probe, so history is
+    threshold-agnostic."""
+
+    root: str
+    dim: int
+    bits: int = 8
+    tables: int = 4
+    seed: int = 42
+    fs: SnapshotFS = field(default_factory=LocalFS)
+
+    def _read(self, spark: SparkSession, sub: str, schema: str):
+        files = self.fs.list_files(f"{self.root}/{sub}")
+        if not files:
+            return None
+        return spark.read.schema(schema).parquet(*files)
+
+    def _check_meta(self, spark: SparkSession) -> bool:
+        meta = self._read(
+            spark, "meta", "dim int, bits int, tables int, seed int"
+        )
+        if meta is None:
+            return False
+        row = meta.first()
+        if row is None:
+            return False
+        mine = (self.dim, self.bits, self.tables, self.seed)
+        theirs = (row.dim, row.bits, row.tables, row.seed)
+        if mine != theirs:
+            raise ValueError(
+                f"EmbeddingLedger at {self.root!r} was created with "
+                f"(dim, bits, tables, seed)={theirs}; reopened with "
+                f"{mine} — buckets would silently miss-join. Use the "
+                "original parameters or a new root."
+            )
+        return True
+
+    def planes(self) -> list:
+        from .similarity import random_hyperplanes
+
+        return random_hyperplanes(self.dim, self.bits, self.tables,
+                                  self.seed)
+
+    def vecs_dim(self, spark: SparkSession) -> Optional[DataFrame]:
+        self._check_meta(spark)
+        return self._read(spark, "vecs", "doc string, vec array<double>")
+
+    def buckets_dim(self, spark: SparkSession) -> Optional[DataFrame]:
+        self._check_meta(spark)
+        return self._read(
+            spark, "buckets", "doc string, tbl int, bucket string"
+        )
+
+    def record(self, sig: DataFrame) -> None:
+        """Append an increment's (doc, vec) frame + its bucket keys
+        (caller must have materialized any candidates that read the
+        ledger first).  ``sig`` is persisted across the two write
+        jobs by the caller (exchange reuse never spans writes)."""
+        from .similarity import hyperplane_bucket
+
+        spark = sig.sparkSession
+        if not self._check_meta(spark):
+            spark.createDataFrame(
+                [(self.dim, self.bits, self.tables, self.seed)],
+                "dim int, bits int, tables int, seed int",
+            ).coalesce(1).write.mode("append").parquet(f"{self.root}/meta")
+        sig.write.mode("append").parquet(f"{self.root}/vecs")
+        planes = self.planes()
+        buckets = None
+        for t, table_planes in enumerate(planes):
+            b = sig.select(
+                "doc",
+                F.lit(t).cast("int").alias("tbl"),
+                hyperplane_bucket(F.col("vec"), table_planes).alias(
+                    "bucket"
+                ),
+            )
+            buckets = b if buckets is None else buckets.unionByName(b)
+        buckets.write.mode("append").parquet(f"{self.root}/buckets")
+
+
+def embedding_sigs(
+    df: DataFrame, id_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """(doc string, vec array<double>) — elements normalized to
+    double so stored vectors byte-join fresh ones regardless of the
+    source column's float width."""
+    return df.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "vec"
+        ),
+    ).where(F.col("vec").isNotNull())
+
+
+def cross_increment_embedding_duplicates(
+    df: DataFrame,
+    id_col: str,
+    ledger: EmbeddingLedger,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    update: bool = True,
+    sig: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(doc_new, doc_prior, cos) for this increment's vectors whose
+    cosine against a PRIOR increment's reaches ``threshold`` —
+    candidates from the seeded-plane bucket equi-join (identical
+    vectors always agree on every table; near-pairs at cos ≥ 0.95
+    agree on ≥1 of 4 tables with the measured probability ≈ 0.9+),
+    verification EXACT against the stored vectors (prior embeddings
+    fetched by doc, never recomputed).  Same crash ordering as every
+    other family: candidates materialize BEFORE the append."""
+    from .similarity import cosine, hyperplane_bucket
+
+    spark = df.sparkSession
+    own_sig = sig is None
+    if own_sig:
+        sig = embedding_sigs(df, id_col, vec_col)
+        if update:
+            sig = sig.persist()
+    prior_buckets = ledger.buckets_dim(spark)
+    if prior_buckets is None:
+        out = spark.createDataFrame(
+            [], "doc_new string, doc_prior string, cos double"
+        )
+    else:
+        planes = ledger.planes()
+        mine = None
+        for t, table_planes in enumerate(planes):
+            b = sig.select(
+                "doc",
+                F.lit(t).cast("int").alias("tbl"),
+                hyperplane_bucket(F.col("vec"), table_planes).alias(
+                    "bucket"
+                ),
+            )
+            mine = b if mine is None else mine.unionByName(b)
+        cands = (
+            mine.alias("n")
+            .join(
+                prior_buckets.alias("p"),
+                (F.col("n.tbl") == F.col("p.tbl"))
+                & (F.col("n.bucket") == F.col("p.bucket")),
+            )
+            .select(
+                F.col("n.doc").alias("doc_new"),
+                F.col("p.doc").alias("doc_prior"),
+            )
+            .distinct()
+        )
+        prior_vecs = ledger.vecs_dim(spark)
+        out = (
+            cands.join(sig.alias("n"), cands["doc_new"] == F.col("n.doc"))
+            .join(
+                prior_vecs.alias("p"),
+                cands["doc_prior"] == F.col("p.doc"),
+            )
+            .select(
+                "doc_new",
+                "doc_prior",
+                cosine(F.col("n.vec"), F.col("p.vec")).alias("cos"),
+            )
+            .where(F.col("cos") >= threshold)
+        )
+        out = out.persist()
+        out.count()  # materialize BEFORE the ledger grows
+    if update:
+        ledger.record(sig)
+        if own_sig:
+            sig.unpersist()
+    return out

@@ -194,3 +194,43 @@ def test_video_ledger_vote_and_threshold(spark, tmp_path):
         min_shared_frames=4, update=False,
     )
     assert v3.count() == 0
+
+
+def test_embedding_ledger_two_increments(spark, tmp_path):
+    """Fifth modality: identical vectors re-sent in increment 2 hit
+    their increment-1 twin at cos 1.0 (identical sign patterns agree
+    on every bucket table); orthogonal vectors never verify.  Ledger
+    parameters are pinned at creation (meta file) like the MinHash
+    family."""
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        EmbeddingLedger,
+        cross_increment_embedding_duplicates,
+    )
+
+    def onehot(i):
+        return [1.0 if j == i else 0.0 for j in range(6)]
+
+    inc1 = spark.createDataFrame(
+        [(f"e{i}", onehot(i)) for i in range(4)],
+        "vec_id string, embedding array<double>",
+    )
+    led = EmbeddingLedger(str(tmp_path / "emb"), dim=6)
+    v1 = cross_increment_embedding_duplicates(inc1, "vec_id", led)
+    assert v1.count() == 0  # empty ledger
+
+    inc2 = spark.createDataFrame(
+        [("n2", onehot(2)), ("n5", onehot(5))],
+        "vec_id string, embedding array<double>",
+    )
+    v2 = cross_increment_embedding_duplicates(
+        inc2, "vec_id", led, update=False
+    )
+    got = {(r.doc_new, r.doc_prior, round(r.cos, 6)) for r in v2.collect()}
+    assert got == {("n2", "e2", 1.0)}, got  # onehot(5) has no twin
+    assert led.vecs_dim(spark).count() == 4  # update=False: no growth
+
+    # parameter drift fails loudly (persisted meta)
+    with pytest.raises(ValueError, match="dim, bits, tables, seed"):
+        EmbeddingLedger(str(tmp_path / "emb"), dim=6, bits=16).vecs_dim(
+            spark
+        )

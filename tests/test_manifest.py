@@ -384,3 +384,57 @@ def test_run_resumable_av_ledger_families(spark):
         # resume: completed partitions pending-filtered → no verdicts
         v3, m3, _ = run_resumable(inc2, formats, manifest, **kwargs)
         assert v3.count() == 0 and m3.count() == 0
+
+
+def test_run_resumable_embedding_ledger(spark):
+    """The embedding ledger through run_resumable: inc2 rows whose
+    one-hot embedding (k % 9) repeats an inc1 residue flag against
+    the inc1 holder at cos 1.0; orthogonal residues stay silent."""
+    import tempfile as tf
+
+    from pyspark.sql import functions as F
+
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        EmbeddingLedger,
+    )
+
+    def with_emb(df):
+        k = F.substring("image_id", 4, 8).cast("long") % 9
+        return df.withColumn(
+            "embedding",
+            F.array(*[
+                F.when(k == j, F.lit(1.0)).otherwise(F.lit(0.0))
+                for j in range(9)
+            ]),
+        )
+
+    with tf.TemporaryDirectory() as d:
+        manifest = PartitionManifest(path=f"{d}/man")
+        led = EmbeddingLedger(f"{d}/emb", dim=9)
+        formats = synth.formats_dim(spark)
+        inc1 = with_emb(
+            synth.images_from_range(spark, 9, partitions=2)
+        ).withColumn("part", F.lit("a")).cache()
+        v1, _, _ = run_resumable(
+            inc1, formats, manifest, embedding_ledger=led
+        )
+        assert v1.where("reason = 'near_duplicate'").count() == 0
+
+        # keys 10..12 → residues 1..3 repeat inc1's keys 1..3
+        inc2 = with_emb(
+            synth.images_from_range(spark, 12, partitions=2).where(
+                "image_id > 'img00000009'"
+            )
+        ).withColumn("part", F.lit("b")).cache()
+        v2, _, _ = run_resumable(
+            inc2, formats, manifest, embedding_ledger=led
+        )
+        nd = {
+            (r.row_id, r.observed_value)
+            for r in v2.where("reason = 'near_duplicate'").collect()
+        }
+        assert nd == {
+            ("img00000010", "img00000001 @ 1.0"),
+            ("img00000011", "img00000002 @ 1.0"),
+            ("img00000012", "img00000003 @ 1.0"),
+        }, nd

@@ -95,6 +95,12 @@ def main() -> int:
                          "ledger); τ=4 (12-bit keys) is the "
                          "documented scale setting — twins at "
                          "hamming 0 are caught at ANY τ")
+    ap.add_argument("--audio-docs", type=int, default=200_000,
+                    help="clip count for the audio-ledger phase "
+                         "(0 = skip)")
+    ap.add_argument("--video-docs", type=int, default=50_000,
+                    help="video count for the video-ledger phase "
+                         "(0 = skip)")
     args = ap.parse_args()
 
     spark = build_session(args.cpus)
@@ -244,6 +250,111 @@ def main() -> int:
     )
     ph_probe_wall = time.time() - t0
 
+    # audio + video ledgers (round 7, 6th/7th families): same
+    # record-then-probe-a-10%-re-send shape as phash — every probe
+    # clip/video is byte-identical to an increment-1 row, so every
+    # probe must hit its twin (audio: hamming 0; video: vote = the
+    # source's full frame count)
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        AudioLedger,
+        VideoLedger,
+        cross_increment_audio_duplicates,
+        cross_increment_video_duplicates,
+    )
+    from python_extended_json_schema_validator_spark.pipeline.multimodal import (
+        neardup_audio_from_keys,
+        neardup_videos_from_keys,
+    )
+
+    audio_res = None
+    if args.audio_docs:
+        keys = spark.range(1, args.audio_docs + 1, 1, args.cpus * 4).select(
+            F.col("id").alias("k")
+        )
+        clips = neardup_audio_from_keys(keys)
+        al = AudioLedger(f"{root}/audio")
+        t0 = time.time()
+        av1 = cross_increment_audio_duplicates(
+            clips, "audio_id", al, audio_col="bytes"
+        )
+        n_av1 = av1.count()
+        a_rec_wall = time.time() - t0
+        probe_clips = clips.where(
+            F.substring("audio_id", 4, 8).cast("long") % 10 == 7
+        ).select(
+            F.concat(F.lit("re"), F.col("audio_id")).alias("audio_id"),
+            "bytes",
+        )
+        n_probe_clips = probe_clips.count()
+        t0 = time.time()
+        av2 = cross_increment_audio_duplicates(
+            probe_clips, "audio_id", al, audio_col="bytes", update=False
+        )
+        a_hits = av2.count()
+        a_probes_with_exact = (
+            av2.where("hamming = 0").select("doc_new").distinct().count()
+        )
+        a_probe_wall = time.time() - t0
+        assert n_av1 == 0, "audio increment 1 must not self-collide"
+        assert a_probes_with_exact == n_probe_clips, (
+            a_probes_with_exact, n_probe_clips)
+        audio_res = {
+            "inc1_clips": args.audio_docs,
+            "record_wall_sec": round(a_rec_wall, 2),
+            "record_clips_per_sec": round(args.audio_docs / a_rec_wall, 1),
+            "probe_clips": n_probe_clips,
+            "probe_hits": a_hits,
+            "probes_with_exact_twin": a_probes_with_exact,
+            "probe_wall_sec": round(a_probe_wall, 2),
+            "probe_clips_per_sec": round(n_probe_clips / a_probe_wall, 1),
+        }
+
+    video_res = None
+    if args.video_docs:
+        keys = spark.range(1, args.video_docs + 1, 1, args.cpus * 4).select(
+            F.col("id").alias("k")
+        )
+        vids = neardup_videos_from_keys(keys)
+        vl = VideoLedger(f"{root}/video")
+        t0 = time.time()
+        vv1 = cross_increment_video_duplicates(
+            vids, "video_id", vl, video_col="bytes"
+        )
+        n_vv1 = vv1.count()
+        v_rec_wall = time.time() - t0
+        probe_vids = vids.where(
+            F.substring("video_id", 4, 8).cast("long") % 10 == 7
+        ).select(
+            F.concat(F.lit("re"), F.col("video_id")).alias("video_id"),
+            "bytes",
+        )
+        n_probe_vids = probe_vids.count()
+        t0 = time.time()
+        vv2 = cross_increment_video_duplicates(
+            probe_vids, "video_id", vl, video_col="bytes", update=False
+        )
+        v_hits = vv2.count()
+        # vote floor: every probe's twin pair carries the source's
+        # FULL frame count (3..5) — gate per probe
+        v_probes_with_twin = (
+            vv2.where("shared_frames >= 3")
+            .select("video_new").distinct().count()
+        )
+        v_probe_wall = time.time() - t0
+        assert n_vv1 == 0, "video increment 1 must not self-collide"
+        assert v_probes_with_twin == n_probe_vids, (
+            v_probes_with_twin, n_probe_vids)
+        video_res = {
+            "inc1_videos": args.video_docs,
+            "record_wall_sec": round(v_rec_wall, 2),
+            "record_videos_per_sec": round(args.video_docs / v_rec_wall, 1),
+            "probe_videos": n_probe_vids,
+            "probe_hits": v_hits,
+            "probes_with_full_frame_vote": v_probes_with_twin,
+            "probe_wall_sec": round(v_probe_wall, 2),
+            "probe_videos_per_sec": round(n_probe_vids / v_probe_wall, 1),
+        }
+
     result = {
         "metric": "increment-ledger scale evidence (minhash sketch + drift + hll cardinality + phash)",
         "cpus": args.cpus,
@@ -289,6 +400,8 @@ def main() -> int:
             "probe_wall_sec": round(ph_probe_wall, 2),
             "probe_imgs_per_sec": round(n_probe_imgs / ph_probe_wall, 1),
         },
+        "audio": audio_res,
+        "video": video_res,
         "exact_vs_screen": {
             "key_record_wall_sec": round(key_rec_wall, 2),
             "key_probe_wall_sec": round(key_probe_wall, 2),
