@@ -364,3 +364,32 @@ def test_phash_pipeline_prunes_and_bands_jvm_side(spark, images_parquet):
     # only the signature stage is Python — at most one per join side,
     # and the runtime decode count above proves they dedupe to one
     assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") <= 2
+
+
+def test_embedding_ledger_probe_stays_jvm_side(spark, tmp_path):
+    """EmbeddingLedger probe (round 7): seeded-plane bucketing and
+    the exact cosine verify are pure column algebra — the whole
+    cross-increment plan has ZERO Python stages, and candidates come
+    from a bucket EQUI-join (never a nested-loop/cartesian against
+    history)."""
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        EmbeddingLedger,
+        cross_increment_embedding_duplicates,
+    )
+
+    rows = [
+        (f"e{i}", [1.0 if j == i % 6 else 0.0 for j in range(6)])
+        for i in range(8)
+    ]
+    inc = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>"
+    )
+    led = EmbeddingLedger(str(tmp_path / "emb"), dim=6)
+    cross_increment_embedding_duplicates(inc, "vec_id", led)
+    probe = cross_increment_embedding_duplicates(
+        inc, "vec_id", led, update=False
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, (bad, plan)
