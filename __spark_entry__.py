@@ -1009,6 +1009,77 @@ def q_embedding_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL curation (pipeline/curation.py) — the corpus
+    curation chain composed over the ledger families across two
+    increments: increment 1 (documents < 60) is curated and recorded
+    (fingerprints, MinHash sketches, per-language kept counts);
+    increment 2 (near mutants +100000, exact mutants +200000, fresh
+    re-keyed docs +400000) is curated AGAINST THAT HISTORY with
+    update=False.  Statuses follow registration-order near-dup
+    semantics (earlier string id holds — the engine's uniqueness
+    doctrine; the batch components form stays in corpus_curation).
+    The oracle replays both increments end to end: tokenizer,
+    normalized-fingerprint exact legs (within + vs recorded), the
+    md5 minhash signatures and band joins (within + vs recorded
+    sketches, m/8 estimator), and the quota windows with increment
+    1's kept counts consumed first."""
+    import tempfile
+
+    from python_extended_json_schema_validator_spark.manifest import (
+        KeyLedger,
+    )
+    from python_extended_json_schema_validator_spark.pipeline.curation import (
+        QuotaLedger,
+        curate_increment,
+    )
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        MinHashLedger,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    inc1 = docs.where(F.col("doc_id") < 60)
+    inc2 = (
+        docs.where(F.col("doc_id") < 30)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+            "lang",
+        )
+        .unionByName(
+            docs.where(
+                (F.col("doc_id") >= 30) & (F.col("doc_id") < 45)
+            ).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang"
+            )
+        )
+        .unionByName(
+            docs.where(
+                (F.col("doc_id") >= 60) & (F.col("doc_id") < 90)
+            ).select(
+                (F.col("doc_id") + 400000).alias("doc_id"), "text", "lang"
+            )
+        )
+    )
+    root = tempfile.mkdtemp(prefix="cur_led_q")
+    kl = KeyLedger(root=f"{root}/keys")
+    nl = MinHashLedger(f"{root}/nd", num_hashes=8, bands=4)
+    ql = QuotaLedger(f"{root}/quota")
+    s1 = curate_increment(
+        inc1, "doc_id", kl, nl, ql, min_tokens=30, threshold=0.5, quota=5
+    )
+    s2 = curate_increment(
+        inc2, "doc_id", kl, nl, ql, min_tokens=30, threshold=0.5,
+        quota=5, update=False,
+    )
+    return (
+        s1.select(F.lit(1).alias("inc"), "doc", "lang", "status")
+        .unionByName(
+            s2.select(F.lit(2).alias("inc"), "doc", "lang", "status")
+        )
+    )
+
+
 def q_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 schema dispatch: a mixed-schema document table routed to
     per-schema plans via the _schema probe; no_id / schema_unknown
@@ -1953,6 +2024,140 @@ def q_drift_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2)
 
 
+def _curation_ledger_oracle() -> str:
+    """SQL replay of q_curation_ledger: both increments' full chains
+    (tokens → normalized-fingerprint exact → md5-minhash near-dup →
+    quota windows), with increment 2's history legs reading increment
+    1's recorded sets (q1 fingerprints, q2 sketches, kept counts).
+    Composed from per-increment CTE blocks — the minhash/band CTEs
+    are the proven neardup_ledger oracle pattern."""
+
+    def chain(tag: str, src: str) -> str:
+        # per-increment: quality gate, exact leg (within; the history
+        # term is spliced in for inc 2), q2, shingles/signatures/bands
+        hist_exact = (
+            """OR norm IN (SELECT norm FROM q1_1)""" if tag == "2" else ""
+        )
+        return f"""
+        toks_{tag} AS (
+          SELECT doc, lang, text,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END AS n_toks
+          FROM {src}
+        ), q1_{tag} AS (
+          SELECT *, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                      AS norm
+          FROM toks_{tag} WHERE n_toks >= 30
+        ), exact_dropped_{tag} AS (
+          SELECT doc FROM (
+            SELECT doc, norm,
+                   min(doc) OVER (PARTITION BY norm) AS surv
+            FROM q1_{tag}
+          ) WHERE doc <> surv {hist_exact}
+        ), q2_{tag} AS (
+          SELECT * FROM q1_{tag}
+          WHERE doc NOT IN (SELECT doc FROM exact_dropped_{tag})
+        ), sh_{tag} AS (
+          SELECT DISTINCT doc,
+                 CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+                      ELSE array_to_string(t, ' ') END AS shingle
+          FROM (SELECT doc,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                FROM q2_{tag}),
+               LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+        ), sig_{tag} AS (
+          SELECT doc,
+                 min(md5('s0:' || shingle)) AS h0, min(md5('s1:' || shingle)) AS h1,
+                 min(md5('s2:' || shingle)) AS h2, min(md5('s3:' || shingle)) AS h3,
+                 min(md5('s4:' || shingle)) AS h4, min(md5('s5:' || shingle)) AS h5,
+                 min(md5('s6:' || shingle)) AS h6, min(md5('s7:' || shingle)) AS h7
+          FROM sh_{tag} GROUP BY doc
+        ), bands_{tag} AS (
+          SELECT doc, 0 AS band, h0 || '|' || h1 AS bucket FROM sig_{tag}
+          UNION ALL SELECT doc, 1, h2 || '|' || h3 FROM sig_{tag}
+          UNION ALL SELECT doc, 2, h4 || '|' || h5 FROM sig_{tag}
+          UNION ALL SELECT doc, 3, h6 || '|' || h7 FROM sig_{tag}
+        )"""
+
+    est = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+
+    def tail(tag: str, nd_hist: str, quota_expr: str) -> str:
+        # near-dup drop set (within + optional history), q3, quota
+        return f"""
+        , within_nd_{tag} AS (
+          SELECT DISTINCT p.doc_b AS doc
+          FROM (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+                FROM bands_{tag} x JOIN bands_{tag} y
+                  ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.doc < y.doc) p
+          JOIN sig_{tag} a ON a.doc = p.doc_a
+          JOIN sig_{tag} b ON b.doc = p.doc_b
+          WHERE ({est}) / 8.0 >= 0.5
+        ), nd_dropped_{tag} AS (
+          SELECT doc FROM within_nd_{tag} {nd_hist}
+        ), q3_{tag} AS (
+          SELECT doc, lang, length(text) AS n_chars
+          FROM q2_{tag}
+          WHERE doc NOT IN (SELECT doc FROM nd_dropped_{tag})
+        ), kept_{tag} AS (
+          SELECT doc FROM (
+            SELECT doc, lang,
+                   row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY n_chars DESC, doc ASC
+                   ) AS rn
+            FROM q3_{tag}
+          ) r
+          WHERE rn <= {quota_expr}
+        ), statuses_{tag} AS (
+          SELECT doc, 'quality' AS status FROM toks_{tag} WHERE n_toks < 30
+          UNION ALL SELECT doc, 'exact_dup' FROM exact_dropped_{tag}
+          UNION ALL SELECT doc, 'near_dup' FROM nd_dropped_{tag}
+          UNION ALL SELECT doc, 'kept' FROM kept_{tag}
+        )"""
+
+    nd_hist_2 = f"""
+          UNION
+          SELECT DISTINCT c.doc_a AS doc
+          FROM (SELECT DISTINCT n.doc AS doc_a, p.doc AS doc_b
+                FROM bands_2 n JOIN bands_1 p
+                  ON n.band = p.band AND n.bucket = p.bucket) c
+          JOIN sig_2 a ON a.doc = c.doc_a
+          JOIN sig_1 b ON b.doc = c.doc_b
+          WHERE ({est}) / 8.0 >= 0.5"""
+    quota_2 = (
+        "5 - COALESCE((SELECT count(*) FROM kept_1 k "
+        "JOIN q3_1 q ON q.doc = k.doc WHERE q.lang = r.lang), 0)"
+    )
+
+    return f"""
+        WITH inc1 AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc, text, lang
+          FROM documents WHERE doc_id < 60
+        ), inc2 AS (
+          SELECT CAST(doc_id + 100000 AS VARCHAR) AS doc,
+                 text || ' extra token' AS text, lang
+          FROM documents WHERE doc_id < 30
+          UNION ALL
+          SELECT CAST(doc_id + 200000 AS VARCHAR), text, lang
+          FROM documents WHERE doc_id >= 30 AND doc_id < 45
+          UNION ALL
+          SELECT CAST(doc_id + 400000 AS VARCHAR), text, lang
+          FROM documents WHERE doc_id >= 60 AND doc_id < 90
+        ), {chain("1", "inc1")} {tail("1", "", "5")},
+        {chain("2", "inc2")} {tail("2", nd_hist_2, quota_2)}
+        SELECT 1 AS inc, i.doc, i.lang,
+               COALESCE(s.status, 'quota') AS status
+        FROM inc1 i LEFT JOIN statuses_1 s ON s.doc = i.doc
+        UNION ALL
+        SELECT 2, i.doc, i.lang, COALESCE(s.status, 'quota')
+        FROM inc2 i LEFT JOIN statuses_2 s ON s.doc = i.doc
+    """
+
+
 def _drift_ledger_oracle() -> str:
     probs = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
     lbl = lambda p: f"p{int(round(p * 100))}"  # noqa: E731
@@ -2270,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_ledger": q_audio_ledger,
         "video_ledger": q_video_ledger,
         "embedding_ledger": q_embedding_ledger,
+        "curation_ledger": q_curation_ledger,
     }
 
 
@@ -3642,6 +3848,7 @@ def oracle_sql() -> dict[str, str]:
     d["dedup_components_star"] = d["dedup_components"]
     d["dedup_components_hybrid"] = d["dedup_components"]
     d["drift_ledger"] = _drift_ledger_oracle()
+    d["curation_ledger"] = _curation_ledger_oracle()
     # cross-increment near-dup ledger: increment 2's band collisions
     # against increment 1's recorded sketches + the m/8 component
     # estimator (dyadic → bitwise-stable), increment 1 emits nothing
