@@ -782,6 +782,62 @@ def q_stream_visual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mirror of the AUDIO ledger
+    (streaming.incremental.stateful_audio_dups — the signature-
+    agnostic stateful core under the band-occupancy fingerprint at
+    τ=1): two availableNow runs over one checkpoint — batch 1 is the
+    F12 audio corpus (injected (k-1, k) chord-reuse pairs emit
+    in-batch, sorted-order prior), batch 2 re-sends the same clips
+    under 're' ids and must emit its own in-batch pairs + every twin
+    + both flanks AGAINST BATCH 1's STATE, never re-emitting batch
+    1's rows (checkpoint resume).  Per-block duplicate emissions are
+    distinct()-ed (operator contract)."""
+    import shutil
+    import tempfile
+
+    from python_extended_json_schema_validator_spark.pipeline.multimodal import (
+        neardup_audio_from_keys,
+    )
+    from python_extended_json_schema_validator_spark.streaming.incremental import (
+        stateful_audio_dups,
+    )
+
+    keys = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("k")
+    )
+    clips = neardup_audio_from_keys(keys)
+    inc1 = clips.select("audio_id", "bytes")
+    inc2 = clips.select(
+        F.concat(F.lit("re"), F.col("audio_id")).alias("audio_id"),
+        "bytes",
+    )
+    root = tempfile.mkdtemp(prefix="sad_q")
+    src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    for inc in (inc1, inc2):
+        inc.coalesce(2).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "audio_id string, bytes binary"
+        ).parquet(src)
+        q = (
+            stateful_audio_dups(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.schema("doc_new string, doc_prior string, hamming int")
+        .parquet(out)
+        .select("doc_new", "doc_prior")
+        .distinct()
+    )
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-set BUILD the pipeline operators exist for,
     composed end to end over one corpus: quality gate (token count ≥
@@ -2476,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_ledger": q_video_ledger,
         "embedding_ledger": q_embedding_ledger,
         "curation_ledger": q_curation_ledger,
+        "stream_audio_dups": q_stream_audio_dups,
     }
 
 
@@ -2647,6 +2704,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'reimg' || lpad(CAST(k - 1 AS VARCHAR), 8, '0'),
                    'img' || lpad(CAST(k AS VARCHAR), 8, '0')
+            FROM ks WHERE k % 7 = 3 AND k >= 3
+        """,
+        # round 7: streaming audio mirror — identical 5-union shape
+        # under the 'aud' prefix (in-batch pairs both batches, twins,
+        # both flanks vs batch 1's state)
+        "stream_audio_dups": """
+            WITH ks AS (SELECT p_partkey AS k FROM part)
+            SELECT 'aud' || lpad(CAST(k AS VARCHAR), 8, '0') AS doc_new,
+                   'aud' || lpad(CAST(k - 1 AS VARCHAR), 8, '0') AS doc_prior
+            FROM ks WHERE k % 7 = 3 AND k >= 3
+            UNION ALL
+            SELECT 'reaud' || lpad(CAST(k AS VARCHAR), 8, '0'),
+                   'reaud' || lpad(CAST(k - 1 AS VARCHAR), 8, '0')
+            FROM ks WHERE k % 7 = 3 AND k >= 3
+            UNION ALL
+            SELECT 'reaud' || lpad(CAST(k AS VARCHAR), 8, '0'),
+                   'aud' || lpad(CAST(k AS VARCHAR), 8, '0')
+            FROM ks
+            UNION ALL
+            SELECT 'reaud' || lpad(CAST(k AS VARCHAR), 8, '0'),
+                   'aud' || lpad(CAST(k - 1 AS VARCHAR), 8, '0')
+            FROM ks WHERE k % 7 = 3 AND k >= 3
+            UNION ALL
+            SELECT 'reaud' || lpad(CAST(k - 1 AS VARCHAR), 8, '0'),
+                   'aud' || lpad(CAST(k AS VARCHAR), 8, '0')
             FROM ks WHERE k % 7 = 3 AND k >= 3
         """,
         # full re-send increment vs the ledger: twin hits for every

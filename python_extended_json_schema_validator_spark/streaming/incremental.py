@@ -236,17 +236,39 @@ def stateful_visual_dups(
     the same stream for payload:decode violations; duplicate ids in
     one batch never self-pair (mirroring the batch path's
     doc_a < doc_b), though each occurrence still registers."""
-    import pandas as pd
-
     from ..payload import phash as phash_mod
 
     sig = phash_mod.phash_signatures(
         stream_df, row_id=row_id, bytes_col=bytes_col
     )
+    return stateful_signature_dups(
+        sig, row_id, "phash_dct", max_hamming=max_hamming,
+        timeout=timeout,
+    )
+
+
+def stateful_signature_dups(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 6,
+    timeout: str = "NoTimeout",
+):
+    """The signature-agnostic core of ``stateful_visual_dups``
+    (round 7 factoring): any STREAMING (id, int64-signature) frame —
+    DCT phash, audio band-occupancy fingerprint, any future 64-bit
+    sketch — gets the same pigeonhole block keys + per-bucket
+    signature-registry state + exact in-state hamming verify.  All
+    the state-discipline and emission contracts of
+    ``stateful_visual_dups`` apply verbatim."""
+    import pandas as pd
+
+    from ..payload import phash as phash_mod
+
     blocked = phash_mod.phash_blocks(
-        sig, id_col=row_id, max_hamming=max_hamming,
-        carry_cols=("phash_dct",),
-    ).withColumnRenamed("phash_dct", "phash")
+        sig, id_col=id_col, phash_col=sig_col, max_hamming=max_hamming,
+        carry_cols=(sig_col,),
+    ).withColumnRenamed(sig_col, "phash")
 
     def flag(key, pdfs, state):
         if state.exists:
@@ -279,4 +301,30 @@ def stateful_visual_dups(
         stateStructType="docs array<string>, hashes array<long>",
         outputMode="append",
         timeoutConf=timeout,
+    )
+
+
+def stateful_audio_dups(
+    stream_df: DataFrame,
+    row_id: str = "audio_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 1,
+    timeout: str = "NoTimeout",
+):
+    """Cross-batch AUDIO near-duplicate emissions — the streaming
+    mirror of the batch AudioLedger, via the signature-agnostic core:
+    clips fingerprint through the map-only band-occupancy stage
+    (stateless, streaming-safe), then share
+    ``stateful_signature_dups`` at the audio-measured τ=1 (two 32-bit
+    block keys: buckets only form around half-fingerprint agreement,
+    so per-bucket registries stay tiny).  Undecodable clips are
+    skipped (NULL fingerprints carry no signature) — route them
+    through the stateless decode battery on the same stream."""
+    from ..pipeline.multimodal import audio_fingerprints
+
+    sig = audio_fingerprints(
+        stream_df, id_col=row_id, bytes_col=bytes_col
+    ).where(F.col("afp").isNotNull())
+    return stateful_signature_dups(
+        sig, row_id, "afp", max_hamming=max_hamming, timeout=timeout
     )

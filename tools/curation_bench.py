@@ -51,8 +51,15 @@ def build_session(cpus: int) -> SparkSession:
     )
 
 
-def corpus(spark: SparkSession, n: int) -> DataFrame:
-    half = n // 2
+def corpus(spark: SparkSession, n: int, id_offset: int = 0,
+           half: int = None) -> DataFrame:
+    """Texts derive from the BASE id (0..n), doc_id = base +
+    id_offset — so corpus(m, offset) regenerates the same texts as
+    corpus(n≥m)'s first m docs under fresh ids (exact re-sends for
+    the incremental phase).  ``half`` pins the exact-twin token
+    space; pass increment 1's value when generating re-sends."""
+    if half is None:
+        half = n // 2
     # neighbor-stream near-dups: doc 89k draws 9 of 12 tokens from
     # doc 89k+1's stream (token slots 0-8 shifted), Jaccard 9/15 = 0.6
     near = F.col("id") % 89 == 0
@@ -71,7 +78,7 @@ def corpus(spark: SparkSession, n: int) -> DataFrame:
         F.concat_ws(" ", *toks)
     )
     return spark.range(0, n, 1, 64).select(
-        F.col("id").alias("doc_id"),
+        (F.col("id") + id_offset).alias("doc_id"),
         text.alias("text"),
         F.concat(F.lit("l"), (F.col("id") % 5).cast("string")).alias("lang"),
     )
@@ -142,6 +149,75 @@ def run(spark: SparkSession, n_docs: int, quota: int) -> dict:
     }
 
 
+def run_incremental(
+    spark: SparkSession, n: int, m: int, quota: int
+) -> dict:
+    """The INCREMENTAL chain (pipeline/curation.curate_increment) at
+    scale: record increment 1 (n docs — fingerprints, sketches, kept
+    counts), then curate a probe increment of m docs against that
+    history WITHOUT re-reading it: the probe re-sends increment 1's
+    first m texts under fresh ids, odd base ids mutated with an
+    appended token (near-dups), even kept byte-equal (exact dups) —
+    so ~every quality-passing probe doc must flag against history."""
+    import tempfile
+
+    from python_extended_json_schema_validator_spark.manifest import (
+        KeyLedger,
+    )
+    from python_extended_json_schema_validator_spark.pipeline.curation import (
+        QuotaLedger,
+        curate_increment,
+    )
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        MinHashLedger,
+    )
+
+    root = tempfile.mkdtemp(prefix="cur_inc_bench")
+    kl = KeyLedger(root=f"{root}/keys")
+    nl = MinHashLedger(f"{root}/nd", num_hashes=8, bands=4)
+    ql = QuotaLedger(f"{root}/quota")
+
+    inc1 = corpus(spark, n)
+    t0 = time.time()
+    s1 = curate_increment(
+        inc1, "doc_id", kl, nl, ql,
+        min_tokens=10, threshold=0.5, quota=quota,
+    )
+    c1 = {r.status: r.n for r in
+          s1.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rec_wall = time.time() - t0
+
+    probe = corpus(spark, m, id_offset=n, half=n // 2).withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") - n) % 2 == 1,
+            F.concat(F.col("text"), F.lit(" zz extra")),
+        ).otherwise(F.col("text")),
+    )
+    t0 = time.time()
+    s2 = curate_increment(
+        probe, "doc_id", kl, nl, ql,
+        min_tokens=10, threshold=0.5, quota=quota, update=False,
+    )
+    c2 = {r.status: r.n for r in
+          s2.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+    probe_wall = time.time() - t0
+    # every quality-passing probe doc has a byte-identical or
+    # one-token-mutated twin in history — kept must be ~zero
+    flagged = c2.get("exact_dup", 0) + c2.get("near_dup", 0)
+    assert flagged >= (m - c2.get("quality", 0)) * 0.95, c2
+    return {
+        "inc1_docs": n,
+        "record_wall_sec": round(rec_wall, 2),
+        "record_docs_per_sec": round(n / rec_wall, 1),
+        "inc1_statuses": c1,
+        "probe_docs": m,
+        "probe_wall_sec": round(probe_wall, 2),
+        "probe_docs_per_sec": round(m / probe_wall, 1),
+        "probe_statuses": c2,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
@@ -152,6 +228,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     out = run(spark, args.docs, args.quota)
     out["cpus"] = args.cpus
+    out["incremental"] = run_incremental(
+        spark, args.docs, args.docs // 10, args.quota
+    )
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "BENCH_CURATION.json"), "w") as f:
         json.dump(out, f, indent=1)
