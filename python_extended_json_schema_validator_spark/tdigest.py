@@ -155,7 +155,10 @@ def quantile_sketch(
     ]
     out_schema = T.StructType(out_fields)
 
-    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # no type hints: a PARTIAL hint set makes pyspark's eval-type
+    # inference warn on every call (it requires hints on all params
+    # or none — group_ops.py:295)
+    def final(key, pdf):
         m = np.concatenate([np.asarray(x) for x in pdf["__means"]])
         w = np.concatenate([np.asarray(x) for x in pdf["__weights"]])
         m, w = _compress(m, w, 2 * max_centroids)

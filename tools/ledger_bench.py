@@ -101,6 +101,10 @@ def main() -> int:
     ap.add_argument("--video-docs", type=int, default=50_000,
                     help="video count for the video-ledger phase "
                          "(0 = skip)")
+    ap.add_argument("--embed-docs", type=int, default=1_000_000,
+                    help="vector count for the embedding-ledger "
+                         "phase (0 = skip)")
+    ap.add_argument("--embed-dim", type=int, default=64)
     args = ap.parse_args()
 
     spark = build_session(args.cpus)
@@ -355,6 +359,84 @@ def main() -> int:
             "probe_videos_per_sec": round(n_probe_vids / v_probe_wall, 1),
         }
 
+    # embedding ledger (round 7, the 5th modality family): record N
+    # synthetic 64-dim vectors + their seeded-plane buckets, probe a
+    # 10% re-send — identical vectors agree on every bucket table, so
+    # every probe must hit its twin at cos 1.0.  bits=16 here: the
+    # bucket count must scale with the ledger size (the embedding
+    # analogue of the simhash positions knob — 8-bit tables at 1M
+    # rows would put ~4k rows in every bucket and the probe join
+    # would blow up to ~10^9 candidates; 16-bit tables keep it ~10^6)
+    embed_res = None
+    if args.embed_docs:
+        from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+            EmbeddingLedger,
+            cross_increment_embedding_duplicates,
+        )
+
+        dim = args.embed_dim
+
+        # hash-derived pseudo-random coordinates: independent-ish
+        # uniform dims concentrate pairwise cosine near 0, so the
+        # probe's hits are exactly the re-sent twins (a sin-curve
+        # generator was measured pathologically dense — ~160 genuine
+        # cos≥0.95 neighbors per probe — which benchmarks the corpus,
+        # not the ledger)
+        def vec_expr(idc):
+            return F.array(
+                *[
+                    F.pmod(F.hash(idc, F.lit(j)), F.lit(2000)).cast(
+                        "double"
+                    ) / 1000.0 - 1.0
+                    for j in range(dim)
+                ]
+            )
+
+        base = spark.range(1, args.embed_docs + 1, 1, args.cpus * 4)
+        vecs = base.select(
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias(
+                "vec_id"
+            ),
+            vec_expr(F.col("id")).alias("embedding"),
+        )
+        el = EmbeddingLedger(f"{root}/embed", dim=dim, bits=16, tables=4)
+        t0 = time.time()
+        ev1 = cross_increment_embedding_duplicates(vecs, "vec_id", el)
+        n_ev1 = ev1.count()
+        e_rec_wall = time.time() - t0
+        probe_vecs = base.where(F.col("id") % 10 == 7).select(
+            F.concat(F.lit("rev"), F.col("id").cast("string")).alias(
+                "vec_id"
+            ),
+            vec_expr(F.col("id")).alias("embedding"),
+        )
+        n_probe_vecs = probe_vecs.count()
+        t0 = time.time()
+        ev2 = cross_increment_embedding_duplicates(
+            probe_vecs, "vec_id", el, update=False
+        )
+        e_hits = ev2.count()
+        e_twins = (
+            ev2.where("cos >= 0.999999")
+            .select("doc_new").distinct().count()
+        )
+        e_probe_wall = time.time() - t0
+        assert n_ev1 == 0, "embedding increment 1 must not self-collide"
+        assert e_twins == n_probe_vecs, (e_twins, n_probe_vecs)
+        embed_res = {
+            "inc1_vectors": args.embed_docs,
+            "dim": dim,
+            "bits": 16,
+            "tables": 4,
+            "record_wall_sec": round(e_rec_wall, 2),
+            "record_vecs_per_sec": round(args.embed_docs / e_rec_wall, 1),
+            "probe_vectors": n_probe_vecs,
+            "probe_hits": e_hits,
+            "probes_with_exact_twin": e_twins,
+            "probe_wall_sec": round(e_probe_wall, 2),
+            "probe_vecs_per_sec": round(n_probe_vecs / e_probe_wall, 1),
+        }
+
     result = {
         "metric": "increment-ledger scale evidence (minhash sketch + drift + hll cardinality + phash)",
         "cpus": args.cpus,
@@ -402,6 +484,7 @@ def main() -> int:
         },
         "audio": audio_res,
         "video": video_res,
+        "embedding": embed_res,
         "exact_vs_screen": {
             "key_record_wall_sec": round(key_rec_wall, 2),
             "key_probe_wall_sec": round(key_probe_wall, 2),
