@@ -275,8 +275,12 @@ def attach_av_columns(images: DataFrame, id_col: str = "image_id") -> DataFrame:
         F.substring("video_id", 4, 8).cast("long").alias("k"),
         F.col("bytes").alias("video"),
     )
+    # LEFT joins (review finding): a row whose id does not parse as
+    # 'img'+8digits must stay IN the validated table (with NULL
+    # payloads the decode batteries flag or skip) — an inner join
+    # would silently drop it from validation entirely
     out = images.withColumn(
         "__k", F.substring(F.col(id_col), 4, 8).cast("long")
     )
-    out = out.join(aud, out["__k"] == aud["k"]).drop("k")
-    return out.join(vid, out["__k"] == vid["k"]).drop("k", "__k")
+    out = out.join(aud, out["__k"] == aud["k"], "left").drop("k")
+    return out.join(vid, out["__k"] == vid["k"], "left").drop("k", "__k")

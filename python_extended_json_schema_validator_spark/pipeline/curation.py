@@ -115,7 +115,12 @@ def curate_increment(
         F.col(text_col).alias("__text"),
         F.col(lang_col).cast("string").alias("lang"),
     )
-    scored = base.withColumn("n_toks", token_count(F.col("__text")))
+    # NULL text counts as 0 tokens → 'quality' (review finding: a
+    # NULL n_toks would fall out of BOTH branches and coalesce to a
+    # false 'quota' while never being recorded as seen)
+    scored = base.withColumn(
+        "n_toks", F.coalesce(token_count(F.col("__text")), F.lit(0))
+    )
     q1 = scored.where(F.col("n_toks") >= min_tokens)
 
     # ---- exact: normalized fingerprint vs history + earlier-id ----
@@ -151,19 +156,7 @@ def curate_increment(
         )
         / float(H)
     )
-    within_pairs = (
-        bb.alias("x")
-        .join(
-            bb.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc") < F.col("y.doc")),
-        )
-        .select(
-            F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b")
-        )
-        .distinct()
-    )
+    within_pairs = dedup.lsh_candidate_pairs(sig, H, bands)
     within_nd = (
         within_pairs.join(sig.alias("a"), F.col("doc_a") == F.col("a.doc"))
         .join(sig.alias("b"), F.col("doc_b") == F.col("b.doc"))

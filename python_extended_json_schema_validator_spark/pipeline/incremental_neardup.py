@@ -39,6 +39,67 @@ from pyspark.sql import functions as F
 from ..manifest import LocalFS, SnapshotFS
 from . import dedup
 
+_META_TYPES = {"seed": "int", "dim": "int", "bits": "int",
+               "tables": "int", "num_hashes": "int", "bands": "int",
+               "max_hamming": "int", "every_k": "int"}
+
+
+def _meta_schema(fields) -> str:
+    return ", ".join(f"{f} {_META_TYPES[f]}" for f in fields)
+
+
+def _validated_meta(ledger, spark: SparkSession, fields,
+                    data_sub: str, meta_sub: str = "meta") -> bool:
+    """Shared parameter-pinning guard for every ledger family
+    (review findings, round 7): returns True iff a meta file exists
+    and matches the instance's parameters (cached on the instance —
+    the fields are immutable, so one driver read per ledger object
+    suffices); returns False iff the ledger is genuinely EMPTY (no
+    meta AND no data — first use); raises on a parameter mismatch OR
+    on a data-bearing root with no meta (a pre-pinning root must not
+    be silently re-certified with whatever parameters the caller
+    happens to pass — write the meta explicitly after verifying the
+    original parameters, or use a new root)."""
+    cache_attr = f"_meta_ok_{meta_sub}"
+    if getattr(ledger, cache_attr, False):
+        return True
+    meta = ledger._read(spark, meta_sub, _meta_schema(fields))
+    row = meta.first() if meta is not None else None
+    if row is None:
+        if ledger.fs.list_files(f"{ledger.root}/{data_sub}"):
+            raise ValueError(
+                f"{type(ledger).__name__} at {ledger.root!r} has "
+                f"recorded data but no {meta_sub!r} parameter file "
+                "(pre-pinning root): probing it with unverified "
+                "parameters would silently miss-join. Verify the "
+                "original parameters and write the meta file, or "
+                "use a new root."
+            )
+        return False
+    mine = tuple(getattr(ledger, f) for f in fields)
+    theirs = tuple(getattr(row, f) for f in fields)
+    if mine != theirs:
+        named = ", ".join(fields)
+        raise ValueError(
+            f"{type(ledger).__name__} at {ledger.root!r} was created "
+            f"with ({named})={theirs}; reopened with {mine} — "
+            "sketches would silently miss-join. Use the original "
+            "parameters or a new root."
+        )
+    setattr(ledger, cache_attr, True)
+    return True
+
+
+def _write_meta(ledger, spark: SparkSession, fields,
+                meta_sub: str = "meta") -> None:
+    spark.createDataFrame(
+        [tuple(getattr(ledger, f) for f in fields)],
+        _meta_schema(fields),
+    ).coalesce(1).write.mode("append").parquet(
+        f"{ledger.root}/{meta_sub}"
+    )
+    setattr(ledger, f"_meta_ok_{meta_sub}", True)
+
 
 @dataclass
 class MinHashLedger:
@@ -70,22 +131,9 @@ class MinHashLedger:
         return spark.read.schema(schema).parquet(*files)
 
     def _check_meta(self, spark: SparkSession) -> bool:
-        """Validate persisted parameters; True iff meta exists."""
-        meta = self._read(spark, "meta", "num_hashes int, bands int")
-        if meta is None:
-            return False
-        row = meta.first()
-        if row is None:
-            return False
-        if row.num_hashes != self.num_hashes or row.bands != self.bands:
-            raise ValueError(
-                f"MinHashLedger at {self.root!r} was created with "
-                f"num_hashes={row.num_hashes}, bands={row.bands}; "
-                f"reopened with num_hashes={self.num_hashes}, "
-                f"bands={self.bands} — sketches would silently "
-                "miss-join. Use the original parameters or a new root."
-            )
-        return True
+        return _validated_meta(
+            self, spark, ("num_hashes", "bands"), "sigs"
+        )
 
     def sigs_dim(self, spark: SparkSession) -> Optional[DataFrame]:
         self._check_meta(spark)
@@ -103,10 +151,7 @@ class MinHashLedger:
         materialized any candidates that read the ledger first)."""
         spark = signatures.sparkSession
         if not self._check_meta(spark):
-            spark.createDataFrame(
-                [(self.num_hashes, self.bands)],
-                "num_hashes int, bands int",
-            ).coalesce(1).write.mode("append").parquet(f"{self.root}/meta")
+            _write_meta(self, spark, ("num_hashes", "bands"))
         sig = signatures.select(
             F.col("doc").cast("string"),
             *[F.col(f"h{i}") for i in range(self.num_hashes)],
@@ -247,7 +292,10 @@ class PhashLedger:
 
     ``max_hamming`` is a LEDGER property, not a probe parameter:
     recorded block keys must use the same bounds future increments
-    probe with (dedup.block_bounds), so it is fixed at creation."""
+    probe with (dedup.block_bounds), so it is fixed at creation —
+    persisted to ``<root>/meta`` on first record and validated on
+    every open (round-7 review finding: the dataclass default alone
+    could not catch a drifted reopen)."""
 
     root: str
     max_hamming: int = 6
@@ -259,10 +307,15 @@ class PhashLedger:
             return None
         return spark.read.schema(schema).parquet(*files)
 
+    def _check_meta(self, spark: SparkSession) -> bool:
+        return _validated_meta(self, spark, ("max_hamming",), "sigs")
+
     def sigs_dim(self, spark: SparkSession) -> Optional[DataFrame]:
+        self._check_meta(spark)
         return self._read(spark, "sigs", "doc string, phash long")
 
     def blocks_dim(self, spark: SparkSession) -> Optional[DataFrame]:
+        self._check_meta(spark)
         return self._read(
             spark, "blocks", "doc string, blk int, bkey string"
         )
@@ -278,6 +331,8 @@ class PhashLedger:
         decode+DCT lineage (review finding, fixed)."""
         from ..payload import phash as phash_mod
 
+        if not self._check_meta(sig.sparkSession):
+            _write_meta(self, sig.sparkSession, ("max_hamming",))
         frame = sig.select(
             F.col("doc").cast("string"), F.col("phash").cast("long")
         ).persist()
@@ -486,8 +541,10 @@ class VideoLedger:
 
     ``max_hamming`` and ``every_k`` are LEDGER properties: block keys
     are recorded at ``max_hamming`` (same pinning rationale as
-    PhashLedger), and increments sampled at different ``every_k``
-    would systematically miss each other's frames.
+    PhashLedger — enforced by the embedded frame store's meta file),
+    and increments sampled at different ``every_k`` would
+    systematically miss each other's frames (enforced by this
+    ledger's own ``<root>/vmeta``, validated on record and probe).
     ``min_shared_frames`` is a PROBE parameter (a pure filter over
     the vote — historical data is threshold-agnostic)."""
 
@@ -496,11 +553,25 @@ class VideoLedger:
     every_k: int = 1
     fs: SnapshotFS = field(default_factory=LocalFS)
 
+    def _read(self, spark: SparkSession, sub: str, schema: str):
+        files = self.fs.list_files(f"{self.root}/{sub}")
+        if not files:
+            return None
+        return spark.read.schema(schema).parquet(*files)
+
+    def _check_meta(self, spark: SparkSession) -> bool:
+        return _validated_meta(
+            self, spark, ("every_k",), "sigs", meta_sub="vmeta"
+        )
+
     def frame_store(self) -> PhashLedger:
         return PhashLedger(self.root, self.max_hamming, self.fs)
 
     def record(self, sig: DataFrame) -> None:
         """Append a pre-built frame-signature frame (``frame_sigs``)."""
+        if not self._check_meta(sig.sparkSession):
+            _write_meta(self, sig.sparkSession, ("every_k",),
+                        meta_sub="vmeta")
         self.frame_store().record(sig)
 
 
@@ -510,9 +581,12 @@ def frame_sigs(
     video_col: str = "video",
     every_k: int = 1,
 ) -> DataFrame:
-    """(doc string, phash long) per SAMPLED FRAME, doc = 6-digit
+    """(doc string, phash long) per SAMPLED FRAME, doc = 9-digit
     frame index + video id — the one decode+DCT pass every
-    video-ledger consumer should share."""
+    video-ledger consumer should share.  Width 9 because Spark's
+    lpad TRUNCATES beyond the target width (review finding: a 6-digit
+    pad would collide frame 1,000,000 with 100,000 and silently
+    undercount the vote); 10^9 frames is past any real container."""
     from ..payload import phash as phash_mod
     from .multimodal import sample_frames
 
@@ -521,7 +595,7 @@ def frame_sigs(
     )
     fid = frames.select(
         F.concat(
-            F.lpad(F.col("frame_idx").cast("string"), 6, "0"),
+            F.lpad(F.col("frame_idx").cast("string"), 9, "0"),
             F.col("video_id"),
         ).alias("fid"),
         F.col("frame_bytes"),
@@ -554,6 +628,12 @@ def cross_increment_video_duplicates(
     DISTINCT frames on the smaller side so repeated static-scene
     frames cannot inflate past the threshold (same guard as
     ``multimodal.video_near_duplicates``)."""
+    # every_k drift fails loudly; the probe-with-update path records
+    # through the inner frame store, so the vmeta write happens HERE
+    # (VideoLedger.record covers the record-only path)
+    if not ledger._check_meta(df.sparkSession) and update:
+        _write_meta(ledger, df.sparkSession, ("every_k",),
+                    meta_sub="vmeta")
     own_sig = sig is None
     if own_sig:
         sig = frame_sigs(df, id_col, video_col, every_k=ledger.every_k)
@@ -562,8 +642,8 @@ def cross_increment_video_duplicates(
     fpairs = cross_increment_phash_duplicates(
         df, id_col, ledger.frame_store(), update=update, sig=sig
     )
-    va = F.expr("substring(doc_new, 7)")
-    vb = F.expr("substring(doc_prior, 7)")
+    va = F.expr("substring(doc_new, 10)")   # strip the 9-digit prefix
+    vb = F.expr("substring(doc_prior, 10)")
     out = (
         fpairs.where(va != vb)
         .select(
@@ -618,24 +698,9 @@ class EmbeddingLedger:
         return spark.read.schema(schema).parquet(*files)
 
     def _check_meta(self, spark: SparkSession) -> bool:
-        meta = self._read(
-            spark, "meta", "dim int, bits int, tables int, seed int"
+        return _validated_meta(
+            self, spark, ("dim", "bits", "tables", "seed"), "vecs"
         )
-        if meta is None:
-            return False
-        row = meta.first()
-        if row is None:
-            return False
-        mine = (self.dim, self.bits, self.tables, self.seed)
-        theirs = (row.dim, row.bits, row.tables, row.seed)
-        if mine != theirs:
-            raise ValueError(
-                f"EmbeddingLedger at {self.root!r} was created with "
-                f"(dim, bits, tables, seed)={theirs}; reopened with "
-                f"{mine} — buckets would silently miss-join. Use the "
-                "original parameters or a new root."
-            )
-        return True
 
     def planes(self) -> list:
         from .similarity import random_hyperplanes
@@ -662,10 +727,7 @@ class EmbeddingLedger:
 
         spark = sig.sparkSession
         if not self._check_meta(spark):
-            spark.createDataFrame(
-                [(self.dim, self.bits, self.tables, self.seed)],
-                "dim int, bits int, tables int, seed int",
-            ).coalesce(1).write.mode("append").parquet(f"{self.root}/meta")
+            _write_meta(self, spark, ("dim", "bits", "tables", "seed"))
         sig.write.mode("append").parquet(f"{self.root}/vecs")
         planes = self.planes()
         buckets = None

@@ -310,10 +310,13 @@ def audio_fingerprints(
             for aid, buf in zip(pdf["__id"], pdf["__b"]):
                 ids.append(aid)
                 try:
+                    # TypeError covers NULL payloads (e.g. rows a
+                    # LEFT payload-join left bare) — same undecodable
+                    # contract as a corrupt buffer
                     rate, x = decoder(buf)
                     fps.append(audio_fingerprint64(rate, x))
                     oks.append(True)
-                except (ValueError, ZeroDivisionError):
+                except (ValueError, ZeroDivisionError, TypeError):
                     fps.append(None)
                     oks.append(False)
             yield pd.DataFrame({id_col: ids, "afp": fps, "decode_ok": oks})
@@ -432,10 +435,12 @@ def video_near_duplicates(
                            bytes_col=bytes_col)
     # composite frame id: FIXED-WIDTH numeric prefix + video id — no
     # separator, so ids containing any character (incl. '#') survive
-    # the round trip; frame_idx < 10^6 by construction of the prefix
+    # the round trip; width 9 because Spark's lpad TRUNCATES past the
+    # target (a 6-digit pad would collide frame 10^6 with 10^5 and
+    # undercount the vote), and 10^9 frames exceeds any container
     fid = frames.select(
         F.concat(
-            F.lpad(F.col("frame_idx").cast("string"), 6, "0"),
+            F.lpad(F.col("frame_idx").cast("string"), 9, "0"),
             F.col(id_col),
         ).alias("fid"),
         F.col("frame_bytes"),
@@ -445,8 +450,8 @@ def video_near_duplicates(
     fpairs = phash_mod.phash_near_duplicates(
         sig, id_col="fid", max_hamming=max_hamming
     )
-    va = F.expr("substring(doc_a, 7)")
-    vb = F.expr("substring(doc_b, 7)")
+    va = F.expr("substring(doc_a, 10)")
+    vb = F.expr("substring(doc_b, 10)")
     norm = fpairs.where(va != vb).select(
         F.least(va, vb).alias("video_a"),
         F.greatest(va, vb).alias("video_b"),

@@ -93,3 +93,11 @@ def test_ledger_state_after_update(spark, ledgers):
     # quota counts: lang A kept 2
     counts = {r.lang: r.kept for r in ql.kept_counts(spark).collect()}
     assert counts == {"A": 2}
+
+
+def test_null_text_is_quality_failure(spark, ledgers):
+    """NULL text → 0 tokens → 'quality' (review finding: it used to
+    fall out of both branches and coalesce to a false 'quota')."""
+    rows = INC1 + [("a9", None, "A")]
+    s = _run(spark, rows, ledgers, update=False)
+    assert s["a9"] == "quality", s

@@ -90,10 +90,10 @@ def test_ledger_params_pinned_at_creation(spark, tmp_path):
         )
     # reopen with drifted num_hashes (the hardcoded read schema would
     # otherwise yield NULL h-columns silently)
-    with pytest.raises(ValueError, match="num_hashes=8"):
+    with pytest.raises(ValueError, match="num_hashes, bands"):
         MinHashLedger(root, num_hashes=16).sigs_dim(spark)
     # reopen with drifted bands
-    with pytest.raises(ValueError, match="bands=4"):
+    with pytest.raises(ValueError, match=r"\(8, 4\)"):
         cross_increment_near_duplicates(
             _docs(spark, MUTANTS), "doc_id",
             MinHashLedger(root, num_hashes=8, bands=2), update=False,

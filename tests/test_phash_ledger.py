@@ -215,3 +215,28 @@ def test_stateful_visual_dups_never_self_pairs(spark, tmp_path):
     ).parquet(out).collect()
     assert all(r.doc_new != r.doc_prior for r in rows), rows
     assert {(r.doc_new, r.doc_prior) for r in rows} == {("y", "x")}
+
+
+def test_phash_ledger_params_pinned(spark, tmp_path):
+    """max_hamming persists to meta on first record; a drifted reopen
+    raises; a data-bearing pre-pinning root (sigs without meta) is
+    rejected instead of silently re-certified (review findings)."""
+    import shutil
+
+    from python_extended_json_schema_validator_spark.pipeline.incremental_neardup import (
+        PhashLedger,
+    )
+
+    root = str(tmp_path / "pl")
+    led = PhashLedger(root, max_hamming=4)
+    sig = spark.createDataFrame(
+        [("a", 5), ("b", 6)], "doc string, phash long"
+    )
+    led.record(sig)
+    assert PhashLedger(root, max_hamming=4).sigs_dim(spark).count() == 2
+    with pytest.raises(ValueError, match="max_hamming"):
+        PhashLedger(root, max_hamming=6).blocks_dim(spark)
+    # simulate a pre-pinning root: drop the meta dir
+    shutil.rmtree(f"{root}/meta")
+    with pytest.raises(ValueError, match="pre-pinning"):
+        PhashLedger(root, max_hamming=4).sigs_dim(spark)
