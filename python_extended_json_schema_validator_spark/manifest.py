@@ -187,6 +187,57 @@ class KeyLedger:
             self._path(table, label)
         )
 
+    def compact(self, spark: SparkSession, table: str, label: str) -> int:
+        """OFFLINE compaction of one (table, label) key dir: after
+        ~10^4 increments the append-only layout is 10^4 small files
+        and every ``dim()`` pays 10^4 footer reads — rewrite the
+        current distinct key set into ONE file and retire the
+        fragments.  Returns the number of fragments retired (0 = no
+        work).
+
+        Crash ordering (POSIX has no cross-file transaction): the
+        consolidated file becomes VISIBLE first, the fragments are
+        removed after — a crash in between leaves duplicates, which
+        ``dim()``'s ``.distinct()`` makes harmless (rerun compaction
+        to finish).  Never run concurrently with an increment: an
+        append racing the fragment removal could be retired before
+        any dim snapshot saw it.  On a real deployment this whole
+        method is one Iceberg rewrite-files snapshot commit (the
+        SnapshotFS seam) — the POSIX path below is the sandbox
+        stand-in and refuses non-local filesystems."""
+        if not isinstance(self.fs, LocalFS):
+            raise NotImplementedError(
+                "compact() is the POSIX stand-in for an Iceberg "
+                "rewrite-files commit — wire your table format's "
+                "compaction instead of the local-rename path."
+            )
+        import shutil
+        import uuid as uuid_mod
+
+        p = self._path(table, label)
+        files = self.fs.list_files(p)
+        if len(files) <= 1:
+            return 0
+        tmp = f"{p}/__compact_tmp"  # subdir: invisible to list_files
+        (
+            spark.read.schema("__key string").parquet(*files)
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        os.rename(
+            f"{tmp}/{part}",
+            f"{p}/compacted-{uuid_mod.uuid4().hex}.parquet",
+        )
+        for f in files:
+            os.remove(f)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return len(files)
+
 
 def cross_increment_dup_violations(
     df: DataFrame,

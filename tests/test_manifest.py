@@ -438,3 +438,50 @@ def test_run_resumable_embedding_ledger(spark):
             ("img00000011", "img00000002 @ 1.0"),
             ("img00000012", "img00000003 @ 1.0"),
         }, nd
+
+
+def test_key_ledger_compaction(spark, tmp_path):
+    """Offline compaction folds an append-only key dir into one file
+    with the key SET unchanged: dups recorded before and after
+    compaction still flag, and later increments keep appending."""
+    import os
+
+    from python_extended_json_schema_validator_spark.manifest import (
+        KeyLedger,
+        cross_increment_dup_violations,
+    )
+    from python_extended_json_schema_validator_spark.payload.validate import (
+        image_table_spec,
+    )
+
+    ledger = KeyLedger(root=str(tmp_path / "keys"))
+    spec = image_table_spec()
+    for lo in (1, 51, 101):  # three increments → ≥3 fragment files
+        inc = synth.images_from_range(spark, lo + 49).where(
+            f"image_id > 'img{lo - 1:08d}'"
+        )
+        cross_increment_dup_violations(inc, spec, ledger)
+    path = ledger._path("images", "image_id")
+    before = ledger.fs.list_files(path)
+    keys_before = {r[0] for r in ledger.dim(spark, "images", "image_id").collect()}
+    assert len(before) >= 3
+
+    retired = ledger.compact(spark, "images", "image_id")
+    assert retired == len(before)
+    after = ledger.fs.list_files(path)
+    assert len(after) == 1 and after[0].endswith(".parquet")
+    keys_after = {r[0] for r in ledger.dim(spark, "images", "image_id").collect()}
+    assert keys_after == keys_before
+    assert not os.path.exists(f"{path}/__compact_tmp")
+
+    # a re-send still collides against the compacted history, and a
+    # fresh increment appends alongside the compacted file
+    resend = synth.images_from_range(spark, 10)
+    v = cross_increment_dup_violations(resend, spec, ledger, update=False)
+    assert v.where("constraint_id = 'pk:image_id'").count() == 10
+    fresh = synth.images_from_range(spark, 160).where(
+        "image_id > 'img00000150'"
+    )
+    cross_increment_dup_violations(fresh, spec, ledger)
+    assert len(ledger.fs.list_files(path)) >= 2
+    assert ledger.compact(spark, "images", "image_id") >= 2
