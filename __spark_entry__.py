@@ -1598,13 +1598,21 @@ def q_schema_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry, issues = load_schemas([("inline.json", schema)])
     assert not issues, issues
     cs = registry["ingest://documents/1.0"]
+    from python_extended_json_schema_validator_spark.parallel import (
+        ensure_parallelism,
+    )
+
     docs = _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("file"),
         F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars")).alias(
             "json"
         ),
     )
-    shredded = shred_json_strings(docs, cs)
+    # the shredder is CPU-bound Python: fan a narrow scan out to
+    # cluster parallelism before the Arrow stage (r08 — the sf0.1
+    # documents table is one input split, which serialized the whole
+    # shred on a single core)
+    shredded = shred_json_strings(ensure_parallelism(docs, "file"), cs)
     res = ValidationEngine([cs.table_spec]).validate({cs.uri: shredded})
     return _viol(res)
 
@@ -1765,7 +1773,12 @@ def q_combinator_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("json"),
     )
-    shredded = shred_json_strings(docs, cs)
+    from python_extended_json_schema_validator_spark.parallel import (
+        ensure_parallelism,
+    )
+
+    # fan the single-split scan out before the CPU-bound shred (r08)
+    shredded = shred_json_strings(ensure_parallelism(docs, "file"), cs)
     res = ValidationEngine([cs.table_spec]).validate({cs.uri: shredded})
     return res.violations.select("constraint_id", "reason", "row_id")
 

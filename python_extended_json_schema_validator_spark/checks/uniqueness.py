@@ -135,9 +135,31 @@ def dup_violations(
     strategy='agg': skew-proof two-level hash aggregation; identical
     output multiset (parity-tested), bounded partition state at ANY
     key skew.
+
+    ``surv=None`` means the caller proved EVERY row survives pass 1
+    (the table declares no row checks), so the holder logic collapses:
+    flagged ⇔ any earlier registration exists ⇔ row_number() > 1 —
+    one window function instead of three over the same sort (r08;
+    equivalence: with all rows surviving, prev-surviving-registration
+    and same-row-earlier-registration both reduce to "some earlier
+    row in the frame").
     """
     cid = f"{cid_prefix}:{ks.label}"
     path = F.lit("/" + ",".join(ks.members)).alias("path")
+    if surv is None and strategy == "window":
+        k = keyed(df, spec, ks)
+        w = Window.partitionBy("__key").orderBy("__row_id")
+        return (
+            k.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > 1)
+            .select(
+                F.lit(cid).alias("constraint_id"),
+                F.lit(reason).alias("reason"),
+                F.col("__row_id").alias("row_id"),
+                F.col("__observed").alias("observed_value"),
+                path,
+            )
+        )
     k = keyed(df, spec, ks, surv=surv if surv is not None else F.lit(True))
 
     if strategy == "agg":

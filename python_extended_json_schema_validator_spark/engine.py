@@ -337,6 +337,10 @@ class ValidationEngine:
         ref_viol: Dict[str, DataFrame] = {}
         survivors: Dict[str, DataFrame] = {}
         pass1_cols: Dict[str, object] = {}
+        # tables whose battery is EMPTY: pass 1 is vacuously true, so
+        # dup detection can take the single-window fast path (r08 —
+        # uniqueness.dup_violations surv=None)
+        trivial_ok: Dict[str, bool] = {}
 
         # ---- pass 1: row checks + survivor frames
         for name, df in tables.items():
@@ -349,6 +353,7 @@ class ValidationEngine:
 
                 ok = LF.library_pass1_ok(ov_errs)
                 pass1_cols[name] = ok
+                trivial_ok[name] = False
                 row_viol[name] = LF.library_row_violations(
                     df, F.col(spec.row_id), ov_errs
                 )
@@ -360,6 +365,7 @@ class ValidationEngine:
             )
             ok = row_checks.pass1_ok(compiled)
             pass1_cols[name] = ok
+            trivial_ok[name] = not compiled
             row_viol[name] = row_checks.row_violations(
                 df, F.col(spec.row_id), compiled
             )
@@ -429,19 +435,29 @@ class ValidationEngine:
                     # rows — forgotten rows contribute nothing
                     df = full.where(ok_col).drop("__cstar")
                     survivors[name] = df
+            # empty battery + oneshot mode ⇒ every row provably
+            # survives ⇒ the single-window dup fast path is exact
+            # (sequential mode's dup revocation changes holders even
+            # with no row checks, so it keeps the full holder logic)
+            surv_arg = (
+                None
+                if trivial_ok.get(name)
+                and self.config.forget_mode != "sequential"
+                else ok_col
+            )
             kv: List[DataFrame] = []
             for ks in spec.unique:
                 kv.append(
                     uniqueness.dup_violations(
                         full, spec, ks, errors.DUP_UNIQUE, "unique",
-                        strategy=self.config.dedup_strategy, surv=ok_col,
+                        strategy=self.config.dedup_strategy, surv=surv_arg,
                     )
                 )
             for ks in spec.primary_keys:
                 kv.append(
                     uniqueness.dup_violations(
                         full, spec, ks, errors.DUP_PK, "pk",
-                        strategy=self.config.dedup_strategy, surv=ok_col,
+                        strategy=self.config.dedup_strategy, surv=surv_arg,
                     )
                 )
                 # non-shadow provider keys count as pre-recorded → any

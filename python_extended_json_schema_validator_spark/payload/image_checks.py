@@ -57,12 +57,17 @@ def payload_violations(
     - ``payload:fmt``      decoded fmt != declared (reason fmt)
     - ``payload:psnr``     PSNR(decoded, reference decode) < psnr_min
     """
-    cols = df.select(
-        F.col(row_id).cast("string").alias("__row_id"),
-        F.col(bytes_col).alias("__bytes"),
-        F.col(w_col).cast("int").alias("__w"),
-        F.col(h_col).cast("int").alias("__h"),
-        F.col(fmt_col).cast("string").alias("__fmt"),
+    from ..parallel import ensure_parallelism
+
+    cols = ensure_parallelism(
+        df.select(
+            F.col(row_id).cast("string").alias("__row_id"),
+            F.col(bytes_col).alias("__bytes"),
+            F.col(w_col).cast("int").alias("__w"),
+            F.col(h_col).cast("int").alias("__h"),
+            F.col(fmt_col).cast("string").alias("__fmt"),
+        ),
+        "__row_id",
     )
 
     vectorized = decoder is codec.decode and ref is codec.ref_pixels

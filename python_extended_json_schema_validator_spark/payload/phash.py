@@ -154,10 +154,17 @@ def phash_signatures(
     """(row_id, phash_dct, decode_ok) — recomputed signature per image;
     undecodable payloads keep the row with a NULL hash so callers can
     route them to the decode check instead of silently dropping them.
-    Map-only: project (id, bytes) before the Arrow stage."""
-    cols = df.select(
-        F.col(row_id).cast("string").alias("__row_id"),
-        F.col(bytes_col).alias("__bytes"),
+    Project (id, bytes) before the Arrow stage; narrow scans fan out
+    to cluster parallelism first (parallel.ensure_parallelism — decode
+    cost must track cores, not the input's split count)."""
+    from ..parallel import ensure_parallelism
+
+    cols = ensure_parallelism(
+        df.select(
+            F.col(row_id).cast("string").alias("__row_id"),
+            F.col(bytes_col).alias("__bytes"),
+        ),
+        "__row_id",
     )
     schema = T.StructType(
         [
@@ -172,11 +179,25 @@ def phash_signatures(
             if not len(pdf):
                 continue
             ok_ids, bad_ids, sigs = _sig_rows(pdf, decoder)
+            # masked Int64 keeps the hashes in native int64 end to end
+            # (r08: a list of np scalars became an OBJECT column —
+            # per-element Arrow conversion cost ~40% of the stage; a
+            # float64 round-trip would corrupt 2^63-scale hashes, the
+            # same hazard phash_violations documents)
+            vals = np.zeros(len(ok_ids) + len(bad_ids), dtype=np.int64)
+            vals[: len(sigs)] = sigs
+            mask = np.zeros(len(vals), dtype=bool)
+            mask[len(sigs):] = True
             yield pd.DataFrame(
                 {
                     row_id: ok_ids + bad_ids,
-                    out_col: list(sigs) + [None] * len(bad_ids),
-                    "decode_ok": [True] * len(ok_ids) + [False] * len(bad_ids),
+                    out_col: pd.arrays.IntegerArray(vals, mask),
+                    "decode_ok": np.concatenate(
+                        [
+                            np.ones(len(ok_ids), dtype=bool),
+                            np.zeros(len(bad_ids), dtype=bool),
+                        ]
+                    ),
                 }
             )
 
@@ -207,10 +228,15 @@ def phash_violations(
     POSITIONALLY with the batch rows, never keyed by row id —
     duplicate ids (an injection class elsewhere in this engine) must
     each check against their own declared value."""
-    cols = df.select(
-        F.col(row_id).cast("string").alias("__row_id"),
-        F.col(bytes_col).alias("__bytes"),
-        F.col(declared_col).cast("long").cast("string").alias("__declared"),
+    from ..parallel import ensure_parallelism
+
+    cols = ensure_parallelism(
+        df.select(
+            F.col(row_id).cast("string").alias("__row_id"),
+            F.col(bytes_col).alias("__bytes"),
+            F.col(declared_col).cast("long").cast("string").alias("__declared"),
+        ),
+        "__row_id",
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -304,10 +330,12 @@ def phash_near_duplicates(
     Plan shape matters here because the signature lineage is map-only
     and EXPENSIVE (decode + DCT): banding uses the single-scan
     ``dedup.banded_hamming_pairs`` (posexplode of the block-key array,
-    not a per-block union), and the signatures are repartitioned by
-    doc so the join's two sides share ONE decode pass via
-    ReusedExchange — accumulator-verified N decodes for N images,
-    plan-asserted in tests/test_plans.py."""
+    not a per-block union), whose explicit (blk, bkey) repartition is
+    the ONE exchange both join sides share via ReusedExchange — so the
+    decode pass runs once (accumulator-verified N decodes for N
+    images, plan-asserted in tests/test_plans.py; the former extra
+    ``repartition("doc")`` reuse point became redundant in r08 and was
+    dropped — one less exchange on the signature lineage)."""
     from ..pipeline.dedup import banded_hamming_pairs
 
     sh = (
@@ -316,6 +344,5 @@ def phash_near_duplicates(
             F.col(id_col).alias("doc"),
             phash_bitstring(F.col(phash_col)).alias("simhash"),
         )
-        .repartition("doc")
     )
     return banded_hamming_pairs(sh, max_hamming, positions=BITS)

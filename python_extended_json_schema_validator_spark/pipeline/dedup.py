@@ -677,26 +677,51 @@ def block_bounds(positions: int, nblocks: int) -> "list[tuple[int, int]]":
     return bounds
 
 
+def _join_parallelism(df: DataFrame) -> int:
+    """Partition count for banded self-joins: max(cluster cores,
+    configured shuffle partitions) — parameterised by the environment
+    (defaultParallelism scales with the cluster, shuffle.partitions is
+    the prod tuning knob), never a hard-coded local constant.
+
+    Why explicit instead of AQE: the banded join's cost is its pair
+    FAN-OUT (quadratic within buckets), which AQE's byte-based
+    coalescing cannot see — a few MB of block keys coalesce to one
+    partition and the multi-million-pair verify runs single-threaded
+    (measured on the r08 flagship: the whole candidate join serialized
+    onto 1 task).  A user-specified repartition pins the parallelism;
+    the keys are hash-derived bits, so the spread is uniform by
+    construction (skew on block keys is governed by the documented
+    ``positions``/block-width knob, not by the partition count)."""
+    spark = df.sparkSession
+    try:
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        shuffle_parts = 0
+    return max(spark.sparkContext.defaultParallelism, shuffle_parts)
+
+
 def banded_hamming_pairs(
     sh: DataFrame, max_hamming: int = 2, positions: int = 16
 ) -> DataFrame:
     """Pigeonhole-banded hamming pairs over (doc, simhash bit-string)
-    signatures — same contract as ``simhash_pairs_from_signatures``
-    (recall 1.0 within ``max_hamming``; full-hash verify on integer
-    chunks) but the block keys are ONE ``posexplode`` of a key array
-    instead of a ``max_hamming + 1``-way union of frames.
+    signatures — recall 1.0 within ``max_hamming``; full-hash verify on
+    integer chunks.  The block keys are ONE ``posexplode`` of a key
+    array instead of a ``max_hamming + 1``-way union of frames.
 
-    Why it exists: the union form references the signature subtree
-    once per block, and when the signature lineage is MAP-ONLY (e.g.
-    image decode → DCT phash, payload/phash.py) Spark re-executes it
-    per branch — measured 7× the decode work at ``max_hamming=6``;
+    Why the single-scan form: the union form references the signature
+    subtree once per block, and when the signature lineage is MAP-ONLY
+    (e.g. image decode → DCT phash, payload/phash.py) Spark re-executes
+    it per branch — measured 7× the decode work at ``max_hamming=6``;
     AQE's stage reuse only deduplicated the two join sides, not the
     sibling union branches.  The explode form scans the signatures
-    once per join side, and a caller-side ``repartition`` collapses
-    those two into one ReusedExchange (accumulator-verified: N
-    decodes for N images).  SimHash keeps the union form: its
-    signature ends in a groupBy whose shuffle already reuses, and its
-    flagship plan is adjudicated."""
+    once, and the explicit (blk, bkey) repartition makes BOTH join
+    sides one ReusedExchange (accumulator-verified: N decodes for N
+    images) while pinning the join parallelism (_join_parallelism —
+    AQE's byte-based coalescing must not serialize the quadratic pair
+    fan-out onto one task).  The hamming verify runs BEFORE the
+    pair-dedup so the distinct shuffles only surviving pairs, not the
+    full candidate fan-out (r08: 1.6M candidates → 19k survivors on
+    the flagship corpus)."""
     bounds = block_bounds(positions, max_hamming + 1)
     chunk_names, chunk_cols = _hash_chunks(positions)
     blocked = sh.select("doc", "simhash", *chunk_cols).select(
@@ -705,28 +730,25 @@ def banded_hamming_pairs(
         F.posexplode(
             F.array(*[F.substring("simhash", s, ln) for s, ln in bounds])
         ).alias("blk", "bkey"),
-    )
+    ).repartition(_join_parallelism(sh), "blk", "bkey")
 
     a, b = blocked.alias("a"), blocked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            *[F.col(f"a.{n}").alias(f"a{n}") for n in chunk_names],
-            *[F.col(f"b.{n}").alias(f"b{n}") for n in chunk_names],
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        *[F.col(f"a.{n}").alias(f"a{n}") for n in chunk_names],
+        *[F.col(f"b.{n}").alias(f"b{n}") for n in chunk_names],
     )
     return (
         cand.withColumn("hamming", _chunk_hamming(chunk_names))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()  # a pair can match in several blocks
     )
 
 
@@ -806,42 +828,14 @@ def simhash_pairs_from_signatures(
     including 64+, where a single whole-string conv would overflow)
     and hamming = Σ bit_count(chunk_a XOR chunk_b), a couple of
     codegen'd ops per pair instead of ``positions`` substring
-    comparisons.  Block keys join as plain substrings."""
-    bounds = block_bounds(positions, max_hamming + 1)
-    chunk_names, chunk_cols = _hash_chunks(positions)
-    sigs = sh.select("doc", "simhash", *chunk_cols)
+    comparisons.
 
-    frames = [
-        sigs.select(
-            "doc",
-            *chunk_names,
-            F.lit(bi).alias("blk"),
-            F.substring("simhash", s, ln).alias("bkey"),
-        )
-        for bi, (s, ln) in enumerate(bounds)
-    ]
-    blocked = frames[0]
-    for fdf in frames[1:]:
-        blocked = blocked.unionByName(fdf)
-
-    a, b = blocked.alias("a"), blocked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            *[F.col(f"a.{n}").alias(f"a{n}") for n in chunk_names],
-            *[F.col(f"b.{n}").alias(f"b{n}") for n in chunk_names],
-        )
-        .distinct()  # a pair can match in several blocks
-    )
-    return (
-        cand.withColumn("hamming", _chunk_hamming(chunk_names))
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    r08: delegates to the single-scan ``banded_hamming_pairs`` form.
+    The previous per-block UNION of frames referenced the signature
+    subtree once per block AND per join side — the flagship plan
+    executed the tokenize → md5 → 16-way aggregation six times
+    (3 blocks × 2 sides, zero ReusedExchange).  The posexplode form
+    computes the signature once under a shared exchange; output is
+    identical (same pigeonhole blocks via ``block_bounds``, same
+    chunked verify)."""
+    return banded_hamming_pairs(sh, max_hamming, positions)
