@@ -584,7 +584,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_extended_json_schema_validator_spark.pipeline import similarity
 
     out = similarity.cosine_near_duplicates(
-        _embed_corpus(spark, sf_dir), threshold=0.95, bits=8
+        _embed_corpus(spark, sf_dir), threshold=0.95, bits=8, dim=64
     )
     return out.select(
         F.col("doc_a").cast("long").alias("doc_a"),
@@ -607,7 +607,7 @@ def q_embed_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _embed_corpus(spark, sf_dir)
     pairs = similarity.cosine_near_duplicates(
-        corpus, threshold=0.95, bits=8
+        corpus, threshold=0.95, bits=8, dim=64
     )
     out = dedup.survivors_from_pairs(
         pairs,
@@ -1353,7 +1353,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.lsh_topk(
-        emb, emb.where(F.col("vec_id") < 20), k=5, bits=8, tables=4, seed=42
+        emb, emb.where(F.col("vec_id") < 20), k=5, bits=8, tables=4, seed=42,
+        dim=64,  # known from the table schema — skips the inference scan
     )
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),

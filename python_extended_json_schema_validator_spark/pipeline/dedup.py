@@ -228,40 +228,51 @@ def connected_components(
     # materialize the symmetrized edge set ONCE: the loop joins it
     # every iteration, and without this the whole upstream edge
     # lineage (e.g. dedup_survivors' minhash -> LSH join -> Jaccard
-    # verify chain) re-executes per pass (code-review round 6)
-    sym = edges.select(
-        F.col("src").alias("s"), F.col("dst").alias("d")
-    ).unionByName(
-        edges.select(F.col("dst").alias("s"), F.col("src").alias("d"))
-    ).localCheckpoint()
+    # verify chain) re-executes per pass (code-review round 6).
+    # r08: IDENTITY edges (x, x) ride along, so each round is ONE
+    # join + ONE aggregation — min over (own ∪ neighbor) labels
+    # replaces the old groupBy + left-join-back shape (a shuffle per
+    # round less), and the same aggregation yields the OLD label (the
+    # identity row's), so the moved flag needs no second join either.
+    sym = (
+        edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+        .unionByName(
+            edges.select(F.col("dst").alias("s"), F.col("src").alias("d"))
+        )
+        .unionByName(
+            ids.select(F.col(id_col).alias("s"), F.col(id_col).alias("d"))
+        )
+        .localCheckpoint(eager=False)
+    )
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    )
 
     def _propagate(lbls):
-        nbr = (
+        # every node has its identity row, so the groupBy covers all
+        # ids and min(label over own ∪ nbrs) IS the propagation step
+        new = (
             sym.join(lbls, sym["d"] == lbls["id"])
             .groupBy("s")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new = (
-            lbls.join(nbr, lbls["id"] == nbr["s"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+            .agg(
+                F.min("label").alias("label"),
+                F.min(
+                    F.when(F.col("d") == F.col("s"), F.col("label"))
+                ).alias("__old"),
             )
-            .localCheckpoint()
+            .select(
+                F.col("s").alias("id"),
+                "label",
+                (F.col("label") != F.col("__old")).alias("__moved"),
+            )
+            .localCheckpoint(eager=False)
         )
-        moved = (
-            new.alias("n")
-            .join(lbls.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        return new, moved
+        # the moved flag rides the checkpointed frame: the probe is a
+        # limit(1) scan of already-materialized partitions, not a
+        # join of old vs new labels (r08 — the probe join added two
+        # shuffles + its own AQE jobs per iteration)
+        moved = new.where(F.col("__moved")).limit(1).count()
+        return new.select("id", "label"), moved
 
     changed = 1
     iter_secs = []
@@ -342,7 +353,7 @@ def connected_components_star(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _large_star(ed):
@@ -381,7 +392,7 @@ def connected_components_star(
     converged = False
     for _ in range(max_iter):
         t0 = _time.time()
-        new = _small_star(_large_star(e)).localCheckpoint()
+        new = _small_star(_large_star(e)).localCheckpoint(eager=False)
         same_count = new.count() == e.count()
         moved = (
             0
@@ -475,7 +486,7 @@ def connected_components_hybrid(
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     lids = ids.select(F.col(id_col).cast("long").alias(id_col))
     st_plain: dict = {}
     # no persist(): the plain loop localCheckpoints every iteration,

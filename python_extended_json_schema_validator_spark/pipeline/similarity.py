@@ -83,6 +83,25 @@ def brute_force_topk(
     )
 
 
+def _matrix_lit(rows) -> Column:
+    """One literal array<array<double>> via a single parsed SQL
+    expression.  The per-element ``F.array(*[F.lit(x) ...])`` form
+    costs one py4j round trip per scalar — ≈0.5 s of driver time per
+    8×64 matrix, paid once per table per join side on every query
+    construction (r08-measured ~100× slower than the parser).  The
+    ``D`` suffix forces DOUBLE literals (bare decimals parse as
+    DECIMAL); ``repr`` round-trips doubles exactly — bitwise-verified
+    including denormals, -0.0 and 1e300-scale values."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
 def random_hyperplanes(
     dim: int, bits: int = 8, tables: int = 4, seed: int = 42
 ) -> list:
@@ -107,10 +126,9 @@ def hyperplane_bucket(vec: Column, planes: list) -> Column:
     zip_with/aggregate dot-product template — a compact expression
     tree (one aggregate node total) instead of ``bits`` separate
     aggregates, which keeps analysis/codegen cost flat as bits×tables
-    grows."""
-    planes_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in plane]) for plane in planes]
-    )
+    grows.  The plane matrix is ONE parsed literal (_matrix_lit) so
+    driver-side construction is a single py4j call."""
+    planes_lit = _matrix_lit(planes)
     signs = F.transform(
         planes_lit,
         lambda p: F.when(
@@ -216,9 +234,7 @@ def _centroid_probes(vec: Column, centroids, nprobe: int) -> Column:
     the top nprobe.  Assignment of 10^12 rows is map-only; the old
     shape (crossJoin ×k then a row_number window) shuffled n×k
     vector-carrying rows per iteration just to take an argmin."""
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cents_lit = _matrix_lit(centroids)
     scored = F.transform(
         cents_lit,
         lambda cv, ci: F.struct(
