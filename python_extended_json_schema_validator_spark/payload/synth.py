@@ -264,8 +264,16 @@ def attach_av_columns(images: DataFrame, id_col: str = "image_id") -> DataFrame:
     key — payloads ride only their own join, nothing wider."""
     from ..pipeline import multimodal
 
-    keys = images.select(
-        F.substring(F.col(id_col), 4, 8).cast("long").alias("k")
+    # guard the key derivation with a FORMAT check (ADVICE r07): only
+    # 'img' + 8 digits parses to a join key — an arbitrary id whose
+    # characters 4-11 happen to be numeric must get NULL payloads via
+    # the LEFT join, not silently attach the wrong clip
+    img_k = F.when(
+        F.col(id_col).rlike("^img[0-9]{8}$"),
+        F.substring(F.col(id_col), 4, 8).cast("long"),
+    )
+    keys = images.select(img_k.alias("k")).where(
+        F.col("k").isNotNull()
     ).distinct()
     aud = multimodal.neardup_audio_from_keys(keys).select(
         F.substring("audio_id", 4, 8).cast("long").alias("k"),
@@ -279,8 +287,6 @@ def attach_av_columns(images: DataFrame, id_col: str = "image_id") -> DataFrame:
     # 'img'+8digits must stay IN the validated table (with NULL
     # payloads the decode batteries flag or skip) — an inner join
     # would silently drop it from validation entirely
-    out = images.withColumn(
-        "__k", F.substring(F.col(id_col), 4, 8).cast("long")
-    )
+    out = images.withColumn("__k", img_k)
     out = out.join(aud, out["__k"] == aud["k"], "left").drop("k")
     return out.join(vid, out["__k"] == vid["k"], "left").drop("k", "__k")

@@ -105,7 +105,19 @@ def curate_increment(
     With ``update=True`` the increment is then recorded: q1's
     distinct fingerprints (all quality-passing content counts as
     SEEN, kept or not), q2's MinHash sketches, and the per-language
-    kept counts."""
+    kept counts.
+
+    Crash modes (ADVICE r07, stated explicitly): the three ledger
+    appends are sequential — a crash BEFORE any append loses the
+    whole increment's sketches (bounded false negatives on re-run,
+    the family-wide contract).  A crash BETWEEN the appends can
+    additionally lose the quota counts AFTER the statuses were
+    already consumed: the next increment then re-grants the lost
+    kept-count budget, so 'quota never exceeded across increments'
+    holds only crash-free.  Recovery that must preserve the quota
+    invariant should re-derive kept counts from the recorded status
+    output before resuming (the statuses are the durable record; the
+    QuotaLedger is a cache of their per-language aggregation)."""
     spark = df.sparkSession
     H = neardup_ledger.num_hashes
     bands = neardup_ledger.bands
@@ -198,6 +210,26 @@ def curate_increment(
     prior_counts = quota_ledger.kept_counts(spark)
     if prior_counts is None:
         prior_counts = spark.createDataFrame([], "lang string, kept long")
+    # bounded quota (r08, the round-7 verdict's skew item): a salted
+    # partial top-(quota) pre-filter first — rem ≤ quota always, and
+    # the true per-language top-rem is a subset of every salt bucket's
+    # top-quota under the same (n_chars desc, doc) total order — so
+    # the exact window sorts at most S × quota rows per language
+    # instead of the whole surviving increment (one language can be
+    # half the corpus; the window key has ~|langs| distinct values)
+    from .sampling import quota_salt_buckets
+
+    salt = F.pmod(F.xxhash64(F.col("doc")), F.lit(quota_salt_buckets(q3)))
+    pre = F.row_number().over(
+        Window.partitionBy("lang", salt).orderBy(
+            F.col("n_chars").desc(), F.col("doc").asc()
+        )
+    )
+    q3 = (
+        q3.withColumn("__prn", pre)
+        .where(F.col("__prn") <= quota)
+        .drop("__prn")
+    )
     rn = F.row_number().over(
         Window.partitionBy("lang").orderBy(
             F.col("n_chars").desc(), F.col("doc").asc()
@@ -233,8 +265,13 @@ def curate_increment(
             F.coalesce("status", F.lit("quota")).alias("status"),
         )
     )
-    out = out.persist()
-    out.count()  # materialize BEFORE any ledger grows
+    if update:
+        # materialize BEFORE any ledger grows; the cache then belongs
+        # to the CALLER (release contract, r08: unpersist once
+        # consumed).  Probe-only calls (update=False) return an
+        # unpersisted frame — no ledger grew, recompute is safe.
+        out = out.persist()
+        out.count()
     if update:
         exact_ledger.record(keyed, "curation", "text_fp")
         neardup_ledger.record(sig)

@@ -128,8 +128,15 @@ def cross_increment_drift(
     else:
         out = stats.quantile_shift(
             qc, qb, list(group_by), probs, threshold
-        ).persist()
-        out.count()  # materialize BEFORE the snapshot appends
+        )
+        if update:
+            # materialize BEFORE the snapshot appends; the cache then
+            # belongs to the CALLER (release contract, r08: unpersist
+            # once consumed).  Probe-only calls return an unpersisted
+            # frame — the baseline plan is pinned to the pre-append
+            # file list, so recompute stays safe either way.
+            out = out.persist()
+            out.count()
     if update:
         ledger.record(
             qc, table, column, ledger.next_seq(spark, table, column)

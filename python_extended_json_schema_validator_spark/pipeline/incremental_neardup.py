@@ -240,8 +240,17 @@ def cross_increment_near_duplicates(
             )
             .where(F.col("est_jaccard") >= min_est_jaccard)
         )
-        out = out.persist()
-        out.count()  # materialize BEFORE the ledger grows
+        if update:
+            # materialize BEFORE the ledger grows (a recompute after
+            # the append would self-collide); the cache then belongs
+            # to the CALLER — release contract (r08): unpersist the
+            # returned frame once consumed.  Probe-only calls
+            # (update=False) return an UNPERSISTED frame: recompute
+            # against the unchanged ledger is safe, and batch drivers
+            # (run_resumable) fold it into their own persisted union —
+            # previously these frames stayed cached for session life.
+            out = out.persist()
+            out.count()
     if update:
         ledger.record(sig)
     return out
@@ -441,8 +450,17 @@ def cross_increment_phash_duplicates(
             )
             .where(F.col("hamming") <= ledger.max_hamming)
         )
-        out = out.persist()
-        out.count()  # materialize BEFORE the ledger grows
+        if update:
+            # materialize BEFORE the ledger grows (a recompute after
+            # the append would self-collide); the cache then belongs
+            # to the CALLER — release contract (r08): unpersist the
+            # returned frame once consumed.  Probe-only calls
+            # (update=False) return an UNPERSISTED frame: recompute
+            # against the unchanged ledger is safe, and batch drivers
+            # (run_resumable) fold it into their own persisted union —
+            # previously these frames stayed cached for session life.
+            out = out.persist()
+            out.count()
     if update:
         ledger.record(sig)
         if own_sig:
@@ -532,9 +550,10 @@ def cross_increment_audio_duplicates(
 class VideoLedger:
     """Persistent FRAME signatures for cross-increment VIDEO
     near-duplicate detection: frames of prior increments live in an
-    embedded frame-level PhashLedger (composite ids: 6-digit
-    zero-padded frame index + video id, the format of
-    ``multimodal.video_near_duplicates``); probes band-join this
+    embedded frame-level PhashLedger (composite ids: 9-digit
+    zero-padded frame index + video id — see ``frame_sigs`` and the
+    lpad-truncation rationale below; the in-corpus
+    ``multimodal.video_near_duplicates`` shape); probes band-join this
     increment's frame hashes against history and then VOTE per
     (video_new, video_prior) pair — videos never all-pair, frames
     never all-pair, prior pixels never re-read.
@@ -723,24 +742,31 @@ class EmbeddingLedger:
         (caller must have materialized any candidates that read the
         ledger first).  ``sig`` is persisted across the two write
         jobs by the caller (exchange reuse never spans writes)."""
-        from .similarity import hyperplane_bucket
-
         spark = sig.sparkSession
         if not self._check_meta(spark):
             _write_meta(self, spark, ("dim", "bits", "tables", "seed"))
         sig.write.mode("append").parquet(f"{self.root}/vecs")
-        planes = self.planes()
-        buckets = None
-        for t, table_planes in enumerate(planes):
-            b = sig.select(
-                "doc",
-                F.lit(t).cast("int").alias("tbl"),
-                hyperplane_bucket(F.col("vec"), table_planes).alias(
-                    "bucket"
-                ),
+        _embedding_bucket_keys(sig, self.planes()).write.mode(
+            "append"
+        ).parquet(f"{self.root}/buckets")
+
+
+def _embedding_bucket_keys(sig: DataFrame, planes: list) -> DataFrame:
+    """(doc, tbl int, bucket) — ONE scan of ``sig``: the per-table
+    bucket expressions ride a single array + posexplode, the same
+    single-scan form the phash leg uses (r08, round-7 verdict item:
+    the previous ``tables``-way unionByName re-referenced the
+    signature frame once per table)."""
+    from .similarity import hyperplane_bucket
+
+    return sig.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[hyperplane_bucket(F.col("vec"), tp) for tp in planes]
             )
-            buckets = b if buckets is None else buckets.unionByName(b)
-        buckets.write.mode("append").parquet(f"{self.root}/buckets")
+        ).alias("tbl", "bucket"),
+    ).select("doc", F.col("tbl").cast("int").alias("tbl"), "bucket")
 
 
 def embedding_sigs(
@@ -774,7 +800,7 @@ def cross_increment_embedding_duplicates(
     verification EXACT against the stored vectors (prior embeddings
     fetched by doc, never recomputed).  Same crash ordering as every
     other family: candidates materialize BEFORE the append."""
-    from .similarity import cosine, hyperplane_bucket
+    from .similarity import cosine
 
     spark = df.sparkSession
     own_sig = sig is None
@@ -788,17 +814,7 @@ def cross_increment_embedding_duplicates(
             [], "doc_new string, doc_prior string, cos double"
         )
     else:
-        planes = ledger.planes()
-        mine = None
-        for t, table_planes in enumerate(planes):
-            b = sig.select(
-                "doc",
-                F.lit(t).cast("int").alias("tbl"),
-                hyperplane_bucket(F.col("vec"), table_planes).alias(
-                    "bucket"
-                ),
-            )
-            mine = b if mine is None else mine.unionByName(b)
+        mine = _embedding_bucket_keys(sig, ledger.planes())
         cands = (
             mine.alias("n")
             .join(
@@ -826,8 +842,17 @@ def cross_increment_embedding_duplicates(
             )
             .where(F.col("cos") >= threshold)
         )
-        out = out.persist()
-        out.count()  # materialize BEFORE the ledger grows
+        if update:
+            # materialize BEFORE the ledger grows (a recompute after
+            # the append would self-collide); the cache then belongs
+            # to the CALLER — release contract (r08): unpersist the
+            # returned frame once consumed.  Probe-only calls
+            # (update=False) return an UNPERSISTED frame: recompute
+            # against the unchanged ledger is safe, and batch drivers
+            # (run_resumable) fold it into their own persisted union —
+            # previously these frames stayed cached for session life.
+            out = out.persist()
+            out.count()
     if update:
         ledger.record(sig)
         if own_sig:

@@ -81,6 +81,69 @@ def element_battery_skew(spark, n_docs: int, hot_len: int) -> dict:
     return out
 
 
+def quota_skew(spark, n_docs: int, hot_frac: float, quota: int) -> dict:
+    """r08 (round-7 verdict skew item): the bounded per-group quota —
+    salted partial top-n before the exact window — vs the plain
+    single-window form, on a corpus where ONE language holds
+    ``hot_frac`` of all documents (the English-at-10^12-rows shape).
+    Output equality is asserted (same kept multiset)."""
+    from pyspark.sql.window import Window
+
+    from python_extended_json_schema_validator_spark.pipeline import sampling
+
+    docs = (
+        spark.range(0, n_docs, 1, 64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                (F.col("id") % 100) < int(hot_frac * 100), F.lit("en")
+            )
+            .otherwise(
+                F.concat(F.lit("l"), (F.col("id") % 29).cast("string"))
+            )
+            .alias("lang"),
+            (F.xxhash64("id") % 100000).alias("n_chars"),
+        )
+        .persist()
+    )
+    docs.count()
+
+    def plain():
+        w = Window.partitionBy("lang").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+        return (
+            docs.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= quota)
+            .drop("__rn")
+        )
+
+    timings, sums = {}, {}
+    for name, fn in (
+        ("plain_window", plain),
+        ("bounded", lambda: sampling.top_n_per_group(
+            docs, ["lang"], "n_chars", quota, tiebreak="doc_id")),
+    ):
+        fn().count()  # warm
+        t0 = time.time()
+        out = fn()
+        sums[name] = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("s")
+        ).first()
+        timings[name] = round(time.time() - t0, 2)
+    assert tuple(sums["plain_window"]) == tuple(sums["bounded"]), sums
+    docs.unpersist()
+    return {
+        "docs": n_docs,
+        "hot_frac": hot_frac,
+        "quota": quota,
+        "kept_rows": sums["bounded"]["n"],
+        "plain_window_sec": timings["plain_window"],
+        "bounded_sec": timings["bounded"],
+        "ratio": round(timings["plain_window"] / timings["bounded"], 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=5_000_000)
@@ -89,7 +152,12 @@ def main() -> None:
     ap.add_argument("--element", action="store_true",
                     help="run the per-element battery hot-array case "
                     "instead of the dedup-strategy comparison")
+    ap.add_argument("--quota", action="store_true",
+                    help="run the skewed per-language quota case "
+                    "(bounded salted top-n vs plain window)")
     ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--hot-frac", type=float, default=0.9)
+    ap.add_argument("--quota-n", type=int, default=1000)
     ap.add_argument("--hot-len", type=int, default=100_000)
     args = ap.parse_args()
 
@@ -105,6 +173,13 @@ def main() -> None:
     if args.element:
         out = element_battery_skew(spark, args.docs, args.hot_len)
         out["metric"] = "per-element battery hot-array straggler ratio"
+        out["cpus"] = args.cpus
+        print(json.dumps(out))
+        return
+
+    if args.quota:
+        out = quota_skew(spark, args.docs, args.hot_frac, args.quota_n)
+        out["metric"] = "skewed per-language quota wall time"
         out["cpus"] = args.cpus
         print(json.dumps(out))
         return
