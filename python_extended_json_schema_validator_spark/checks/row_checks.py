@@ -1217,6 +1217,20 @@ def compile_if_then_else(
     return out
 
 
+# compiled-battery memo (r08): compiling a battery is a PURE function
+# of the check specs — but it costs ~13k py4j round trips (~1.3 s of
+# driver wall for the combinator flagship, measured) because every
+# Column op is a JVM call.  A long-running validator compiles each
+# schema once and validates many batches; this memo gives the engine
+# that steady-state shape.  Nothing data-dependent is cached — the
+# values are unresolved Column EXPRESSION handles (F.col by name),
+# reusable against any DataFrame.  Keyed on the active SparkContext's
+# identity too: a restarted JVM must not serve stale Column handles.
+# Skipped when a custom-format overlay is present (formats may hold
+# arbitrary callables whose identity is not content-keyable).
+_BATTERY_MEMO: dict = {}
+
+
 def compile_battery(
     checks: List[ColumnCheck], json_mode: bool = False, formats=None
 ) -> List[Tuple[str, str, Column, Column]]:
@@ -1225,6 +1239,21 @@ def compile_battery(
     so one suite's customFormats never leak into another run, matching
     the reference's per-instance scoping (extensible_validator.py
     :77-84,117-138)."""
+    memo_key = None
+    if not formats:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if sc is not None:
+            checks_repr = repr(list(checks))
+            # address-based reprs (embedded callables/objects) are not
+            # content keys — a recycled address must never alias two
+            # different specs, so such batteries are never memoized
+            if " at 0x" not in checks_repr:
+                memo_key = (id(sc), checks_repr, json_mode)
+                hit = _BATTERY_MEMO.get(memo_key)
+                if hit is not None:
+                    return list(hit)
     out: List[Tuple[str, str, Column, Column]] = []
     for ch in checks:
         if isinstance(ch, CombinatorCheck):
@@ -1240,6 +1269,10 @@ def compile_battery(
         else:
             out.extend(compile_check(ch, json_mode=json_mode,
                                      formats=formats))
+    if memo_key is not None:
+        if len(_BATTERY_MEMO) > 64:  # bound driver memory
+            _BATTERY_MEMO.clear()
+        _BATTERY_MEMO[memo_key] = list(out)
     return out
 
 

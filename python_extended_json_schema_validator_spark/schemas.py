@@ -2304,6 +2304,10 @@ def register_custom_formats(custom_formats) -> None:
         register_format(name, checker)
 
 
+# in-memory load_schemas memo (r08) — see the docstring note
+_LOAD_MEMO: Dict[str, Tuple[Dict[str, "CompiledSchema"], list]] = {}
+
+
 def load_schemas(
     path_or_schemas,
     custom_formats=None,
@@ -2319,7 +2323,25 @@ def load_schemas(
     ``table_spec.custom_formats`` and shadows the global FORMATS
     registry only for these schemas' batteries — no process-global
     mutation (⇔ the reference's per-instance customFormats,
-    extensible_validator.py:77-84,117-138)."""
+    extensible_validator.py:77-84,117-138).
+
+    r08: in-memory schema lists with no custom-format overlay are
+    MEMOIZED on their canonical JSON — meta-validation + compile is a
+    pure function of the schema content (CompiledSchema is plain
+    Python, no JVM handles), and a long-running validator compiles
+    each schema once.  Directory loads are filesystem-dependent and
+    never memoized."""
+    memo_key = None
+    if custom_formats is None and not isinstance(path_or_schemas, str):
+        try:
+            memo_key = json.dumps(
+                list(path_or_schemas), sort_keys=True
+            )
+        except (TypeError, ValueError):
+            memo_key = None
+        if memo_key is not None and memo_key in _LOAD_MEMO:
+            reg, iss = _LOAD_MEMO[memo_key]
+            return dict(reg), list(iss)
     formats = (
         normalize_custom_formats(custom_formats)
         if custom_formats is not None
@@ -2372,4 +2394,8 @@ def load_schemas(
         issues.extend(c_issues)
         if compiled is not None:
             registry[uri] = compiled
+    if memo_key is not None:
+        if len(_LOAD_MEMO) > 32:  # bound driver memory
+            _LOAD_MEMO.clear()
+        _LOAD_MEMO[memo_key] = (dict(registry), list(issues))
     return registry, issues

@@ -242,7 +242,7 @@ def main() -> int:
     t0 = time.time()
     pv2 = cross_increment_phash_duplicates(
         probe_imgs, "image_id", pl, update=False
-    )
+    ).persist()  # probe-only results are caller-cached (r08 contract)
     ph_hits = pv2.count()
     ph_exact = pv2.where("hamming = 0").count()
     # the stated guarantee is PER PROBE: every probe image has a
@@ -293,7 +293,7 @@ def main() -> int:
         t0 = time.time()
         av2 = cross_increment_audio_duplicates(
             probe_clips, "audio_id", al, audio_col="bytes", update=False
-        )
+        ).persist()  # probe-only results are caller-cached (r08 contract)
         a_hits = av2.count()
         a_probes_with_exact = (
             av2.where("hamming = 0").select("doc_new").distinct().count()
@@ -336,7 +336,7 @@ def main() -> int:
         t0 = time.time()
         vv2 = cross_increment_video_duplicates(
             probe_vids, "video_id", vl, video_col="bytes", update=False
-        )
+        ).persist()  # probe-only results are caller-cached (r08 contract)
         v_hits = vv2.count()
         # vote floor: every probe's twin pair carries the source's
         # FULL frame count (3..5) — gate per probe
@@ -414,7 +414,7 @@ def main() -> int:
         t0 = time.time()
         ev2 = cross_increment_embedding_duplicates(
             probe_vecs, "vec_id", el, update=False
-        )
+        ).persist()  # probe-only results are caller-cached (r08 contract)
         e_hits = ev2.count()
         e_twins = (
             ev2.where("cos >= 0.999999")
